@@ -1,0 +1,149 @@
+"""Codec registry + column-level encode/decode wrapper.
+
+The wrapper owns everything codecs don't: dtype canonicalization,
+validity bitmaps, CRC32 of canonical decoded bytes, the optional
+zstd general-purpose topper (pyarrow's C zstd on the payload, kept
+only when it shrinks), and the plain-fallback size guarantee
+(``encoded <= plain`` always — SURVEY.md §2.2 selection invariant).
+
+Registry mirrors the reference's user-extension surface (SURVEY §2.1
+R14): registering a codec object makes it visible to the selector and
+the tests.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .base import (
+    CodecError,
+    EncodedColumn,
+    b64d,
+    b64e,
+    canonical_int_bytes,
+    canonical_str_bytes,
+    parts_to_str,
+    str_to_parts,
+)
+from .intcodecs import DictInt, ForBitpack, PlainInt, Rle
+from .strcodecs import DictStr, FsstStr, PlainStr
+
+INT_CODECS: dict[str, object] = {}
+STR_CODECS: dict[str, object] = {}
+
+
+def register(codec) -> None:
+    table = INT_CODECS if codec.kind == "int" else STR_CODECS
+    table[codec.name] = codec
+
+
+for _c in (PlainInt(), ForBitpack(), Rle(), DictInt()):
+    register(_c)
+for _c in (PlainStr(), DictStr(), FsstStr()):
+    register(_c)
+
+_INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(), pa.uint8(), pa.uint16(), pa.uint32()}
+
+
+def _as_array(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    if isinstance(arr, np.ndarray):
+        return pa.array(arr)
+    return arr
+
+
+def encode_array(arr, column: str, codec: str = "auto", zstd: bool = True) -> EncodedColumn:
+    """Encode one column chunk.  `codec="auto"` runs the selector (E4)."""
+    arr = _as_array(arr)
+    params: dict = {}
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+        params["valid"] = b64e(np.packbits(validity, bitorder="little").tobytes())
+        arr = arr.fill_null(0 if arr.type in _INT_TYPES else "")
+
+    if arr.type in _INT_TYPES or arr.type == pa.int64():
+        kind = "int"
+        values = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        params["dtype"] = str(arr.type)
+        plain_crc = zlib.crc32(canonical_int_bytes(values))
+        plain_bytes = len(values) * arr.type.bit_width // 8
+        n = len(values)
+        payload_input = values
+        table = INT_CODECS
+    elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        kind = "str"
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        plain_crc = zlib.crc32(canonical_str_bytes(arr))
+        lengths, data = str_to_parts(arr)
+        plain_bytes = len(data) + 4 * len(arr)
+        n = len(arr)
+        payload_input = arr
+        table = STR_CODECS
+    else:
+        raise CodecError(f"unsupported column type {arr.type} for {column}")
+
+    if codec == "auto":
+        from ..selector import select  # late import: selector depends on registry
+
+        codec = select(payload_input, kind)
+    c = table[codec]
+    cparams, payload = c.encode(payload_input)
+    # plain-fallback guarantee: selected real size must not exceed plain
+    if codec != "plain":
+        plain_params, plain_payload = table["plain"].encode(payload_input)
+        if len(payload) + len(json.dumps(cparams)) > len(plain_payload) + 8:
+            codec, cparams, payload = "plain", plain_params, plain_payload
+    if zstd and len(payload) > 64:
+        z = pa.compress(payload, codec="zstd", asbytes=True)
+        if len(z) < len(payload):
+            params["z"] = len(payload)
+            payload = z
+    params["c"] = cparams
+    return EncodedColumn(
+        column=column,
+        codec=codec,
+        params=params,
+        payload=payload,
+        n_values=n,
+        plain_bytes=plain_bytes,
+        crc32=plain_crc,
+    )
+
+
+def decode_array(enc: EncodedColumn) -> pa.Array:
+    """Exact inverse of encode_array — bit-identical values/validity."""
+    params = enc.params
+    payload = enc.payload
+    if "z" in params:
+        payload = pa.decompress(payload, decompressed_size=params["z"], codec="zstd", asbytes=True)
+    if "dtype" in params:
+        c = INT_CODECS[enc.codec]
+        values = c.decode(params["c"], payload, enc.n_values)
+        if zlib.crc32(canonical_int_bytes(values)) != enc.crc32:
+            raise CodecError(f"crc mismatch decoding {enc.column} ({enc.codec})")
+        out = pa.array(values.astype(np.dtype(params["dtype"])))
+    else:
+        c = STR_CODECS[enc.codec]
+        out = c.decode(params["c"], payload, enc.n_values)
+        if zlib.crc32(canonical_str_bytes(out)) != enc.crc32:
+            raise CodecError(f"crc mismatch decoding {enc.column} ({enc.codec})")
+    if "valid" in params:
+        validity = np.unpackbits(
+            np.frombuffer(b64d(params["valid"]), dtype=np.uint8),
+            count=enc.n_values,
+            bitorder="little",
+        ).astype(bool)
+        mask = pa.array(~validity)
+        out = pa.compute.if_else(mask, pa.scalar(None, type=out.type), out)
+    return out
+
+
+def encoded_total_bytes(enc: EncodedColumn) -> int:
+    """Honest on-disk size: payload + serialized params (JSON)."""
+    return len(enc.payload) + len(json.dumps(enc.params))

@@ -1,0 +1,109 @@
+"""String codecs: plain, dictionary (+FSST-compressed dictionary), FSST.
+
+Operate on null-free ``pa.Array`` of type string (the column wrapper
+owns validity).  Each maps the array to (lengths, concat utf8 bytes)
+and encodes both streams; decode is the exact inverse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import b64d, b64e, parts_to_str, str_to_parts
+from .bitpack import bit_width, pack_bits, unpack_bits
+from .fsst import Fsst, SymbolTable, train
+from .intcodecs import ForBitpack
+
+_for = ForBitpack()
+_fsst = Fsst()
+
+
+def _sample_bytes(arr: pa.Array, cap: int = 16 * 1024) -> bytes:
+    _, data = str_to_parts(arr.slice(0, min(len(arr), 2048)))
+    return data[:cap]
+
+
+class PlainStr:
+    name = "plain"
+    kind = "str"
+
+    def estimate(self, sample: pa.Array) -> float:
+        lengths, data = str_to_parts(sample)
+        return len(data) + _for.estimate(lengths)
+
+    def encode(self, arr: pa.Array):
+        lengths, data = str_to_parts(arr)
+        pl, bl = _for.encode(lengths)
+        return {"l": pl, "llen": len(bl)}, bl + data
+
+    def decode(self, params: dict, payload: bytes, n: int) -> pa.Array:
+        lengths = _for.decode(params["l"], payload[: params["llen"]], n)
+        return parts_to_str(lengths, payload[params["llen"] :])
+
+
+class FsstStr:
+    """FSST over the concatenated utf8 buffer; per-string lengths FOR-packed."""
+
+    name = "fsst"
+    kind = "str"
+
+    def estimate(self, sample: pa.Array) -> float:
+        lengths, data = str_to_parts(sample)
+        return _fsst.estimate_bytes(data, len(data)) + _for.estimate(lengths)
+
+    def encode(self, arr: pa.Array):
+        lengths, data = str_to_parts(arr)
+        table, enc = _fsst.encode_bytes(data)
+        pl, bl = _for.encode(lengths)
+        params = {"l": pl, "llen": len(bl), "t": b64e(table.serialize())}
+        return params, bl + enc
+
+    def decode(self, params: dict, payload: bytes, n: int) -> pa.Array:
+        lengths = _for.decode(params["l"], payload[: params["llen"]], n)
+        data = _fsst.decode_bytes(b64d(params["t"]), payload[params["llen"] :])
+        return parts_to_str(lengths, data)
+
+
+class DictStr:
+    """Arrow dictionary-encode; indices bit-packed; dictionary plain or FSST."""
+
+    name = "dict"
+    kind = "str"
+
+    def estimate(self, sample: pa.Array) -> float:
+        if len(sample) == 0:
+            return 0.0
+        denc = pc.dictionary_encode(sample)
+        dictionary = denc.dictionary if isinstance(denc, pa.DictionaryArray) else denc.chunk(0).dictionary
+        nd = len(dictionary)
+        w = bit_width(nd - 1)
+        _, ddata = str_to_parts(dictionary)
+        return len(sample) * w / 8.0 + len(ddata) + nd + 16.0
+
+    def encode(self, arr: pa.Array):
+        denc = pc.dictionary_encode(arr)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        dictionary = denc.dictionary.cast(pa.string())
+        indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = bit_width(len(dictionary) - 1) if len(dictionary) else 0
+        bi = pack_bits(indices, w)
+        # dictionary stream: pick the smaller of plain / fsst
+        plain_params, plain_pay = PlainStr().encode(dictionary)
+        fsst_params, fsst_pay = FsstStr().encode(dictionary)
+        if len(fsst_pay) + len(fsst_params.get("t", "")) < len(plain_pay):
+            dcodec, dparams, dpay = "fsst", fsst_params, fsst_pay
+        else:
+            dcodec, dparams, dpay = "plain", plain_params, plain_pay
+        params = {"nd": len(dictionary), "w": w, "dc": dcodec, "dp": dparams, "dlen": len(dpay)}
+        return params, dpay + bi
+
+    def decode(self, params: dict, payload: bytes, n: int) -> pa.Array:
+        sub = FsstStr() if params["dc"] == "fsst" else PlainStr()
+        dictionary = sub.decode(params["dp"], payload[: params["dlen"]], params["nd"])
+        idx = unpack_bits(payload[params["dlen"] :], params["w"], n).astype(np.int64)
+        if params["nd"] == 0:
+            return pa.array([], type=pa.string())
+        return dictionary.take(pa.array(idx))

@@ -1,0 +1,141 @@
+"""Codec unit + property tests (SURVEY.md §5.2.1, FIXTURES.md F2).
+
+Every codec x every edge-case array: decode(encode(a)) == a
+bit-identical, and the selected codec's real size <= plain's.
+No Ray involved.
+"""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fileconvert_ray.codecs import (
+    INT_CODECS,
+    STR_CODECS,
+    decode_array,
+    encode_array,
+    encoded_total_bytes,
+)
+from fileconvert_ray.codecs.bitpack import pack_bits, packed_nbytes, unpack_bits
+
+RNG = np.random.default_rng(42)
+
+INT_CASES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([7], dtype=np.int64),
+    "constant": np.full(10_000, 42, dtype=np.int64),
+    "two_valued": np.tile([0, 1], 5000).astype(np.int64),
+    "all_distinct": np.arange(10_000, dtype=np.int64),
+    "max_run": np.repeat(np.int64(9), 1_000_000),
+    "wide_range": np.array([0, 2**31 - 1] * 100, dtype=np.int64),
+    "negative": RNG.integers(-(2**31), 2**31, 5000).astype(np.int64),
+    "random_u32": RNG.integers(0, 2**32, 5000).astype(np.int64),
+    "int64_extremes": np.array([-(2**63), 2**63 - 1, 0, -1], dtype=np.int64),
+    "zipf": (RNG.zipf(1.3, 20_000) % 31).astype(np.int64),
+    "runs": np.repeat(RNG.integers(0, 31, 200), RNG.integers(1, 64, 200)).astype(np.int64),
+}
+
+STR_CASES = {
+    "empty": [],
+    "single": ["hello"],
+    "shared_prefix": ["d%09d" % i for i in range(5000)],
+    "low_card": [f"src{i % 20}" for i in range(5000)],
+    "unicode": ["héllo wörld £æ€", "日本語テキスト", "emoji 🎉🎊", ""] * 100,
+    "empty_strings": ["", "", "a", ""],
+    "escape_stress": ["\xff" * 5, "\x00\xff\x00", "abc\xffdef"] * 50,
+}
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 5, 8, 13, 17, 31, 32, 33, 63, 64])
+def test_bitpack_roundtrip(width):
+    n = 4097
+    if width == 64:
+        vals = RNG.integers(0, 2**63, n).astype(np.uint64) * 2 + 1
+    else:
+        vals = RNG.integers(0, 2**width if width else 1, n).astype(np.uint64)
+    buf = pack_bits(vals, width)
+    assert len(buf) == packed_nbytes(n, width)
+    out = unpack_bits(buf, width, n)
+    np.testing.assert_array_equal(out, vals)
+
+
+@pytest.mark.parametrize("codec", list(INT_CODECS))
+@pytest.mark.parametrize("case", list(INT_CASES))
+def test_int_codec_roundtrip(codec, case):
+    vals = INT_CASES[case]
+    c = INT_CODECS[codec]
+    params, payload = c.encode(vals)
+    # params must be JSON-serializable (container contract)
+    json.dumps(params)
+    out = c.decode(params, payload, len(vals))
+    np.testing.assert_array_equal(out, vals)
+    assert out.dtype == np.int64
+
+
+@pytest.mark.parametrize("codec", list(STR_CODECS))
+@pytest.mark.parametrize("case", list(STR_CASES))
+def test_str_codec_roundtrip(codec, case):
+    arr = pa.array(STR_CASES[case], type=pa.string())
+    c = STR_CODECS[codec]
+    params, payload = c.encode(arr)
+    json.dumps(params)
+    out = c.decode(params, payload, len(arr))
+    assert out.equals(arr) or out.to_pylist() == arr.to_pylist()
+
+
+@pytest.mark.parametrize("case", list(INT_CASES))
+def test_int_auto_wrapper(case):
+    vals = INT_CASES[case]
+    for dtype in (pa.int32(), pa.int64()):
+        if dtype == pa.int32() and (vals.size and (vals.max() >= 2**31 or vals.min() < -(2**31))):
+            continue
+        arr = pa.array(vals, type=dtype)
+        enc = encode_array(arr, "col", codec="auto")
+        dec = decode_array(enc)
+        assert dec.type == dtype
+        assert dec.equals(arr) or dec.to_pylist() == arr.to_pylist()
+        # selection invariant: never bigger than plain + small overhead
+        plain = encode_array(arr, "col", codec="plain", zstd=False)
+        assert len(enc.payload) <= len(plain.payload) + 64
+
+
+@pytest.mark.parametrize("case", list(STR_CASES))
+def test_str_auto_wrapper(case):
+    arr = pa.array(STR_CASES[case], type=pa.string())
+    enc = encode_array(arr, "col", codec="auto")
+    dec = decode_array(enc)
+    assert dec.to_pylist() == arr.to_pylist()
+
+
+def test_nulls_roundtrip():
+    arr = pa.array([1, None, 3, None, 5], type=pa.int32())
+    enc = encode_array(arr, "col")
+    dec = decode_array(enc)
+    assert dec.to_pylist() == arr.to_pylist()
+    sarr = pa.array(["a", None, "c", None], type=pa.string())
+    enc = encode_array(sarr, "col")
+    assert decode_array(enc).to_pylist() == sarr.to_pylist()
+
+
+def test_crc_detects_corruption():
+    from fileconvert_ray.codecs.base import CodecError
+
+    arr = pa.array(np.arange(1000), type=pa.int64())
+    enc = encode_array(arr, "col", codec="plain", zstd=False)
+    enc.crc32 ^= 0xDEADBEEF
+    with pytest.raises(CodecError):
+        decode_array(enc)
+
+
+def test_compression_wins_on_fixture_shapes():
+    """Sanity: the right codec wins by a real margin on its home turf."""
+    tokens = (RNG.zipf(1.3, 100_000) % 31).astype(np.int64)
+    enc = encode_array(pa.array(tokens, type=pa.int32()), "tokens", zstd=False)
+    assert len(enc.payload) < 100_000 * 4 * 0.25  # ~5 bits/value vs 32
+
+    src = pa.array([f"src{i % 20}" for i in range(50_000)], type=pa.string())
+    enc = encode_array(src, "source", zstd=False)
+    assert enc.codec == "dict"
+    assert len(enc.payload) < 50_000 * 0.65  # ~5-bit indices vs ~5 bytes/value
