@@ -57,8 +57,14 @@ def _as_array(arr) -> pa.Array:
     return arr
 
 
-def encode_array(arr, column: str, codec: str = "auto", zstd: bool = True) -> EncodedColumn:
-    """Encode one column chunk.  `codec="auto"` runs the selector (E4)."""
+def encode_array(
+    arr, column: str, codec: str = "auto", zstd: bool = True, fsst_table=None
+) -> EncodedColumn:
+    """Encode one column chunk.  `codec="auto"` runs the selector (E4).
+
+    `fsst_table`: optional pre-trained FSST SymbolTable (actor-pool
+    state shared across batches of the same source — SURVEY §2.2 E5).
+    """
     arr = _as_array(arr)
     params: dict = {}
     if arr.null_count:
@@ -93,7 +99,10 @@ def encode_array(arr, column: str, codec: str = "auto", zstd: bool = True) -> En
 
         codec = select(payload_input, kind)
     c = table[codec]
-    cparams, payload = c.encode(payload_input)
+    if codec == "fsst" and kind == "str" and fsst_table is not None:
+        cparams, payload = c.encode(payload_input, table=fsst_table)
+    else:
+        cparams, payload = c.encode(payload_input)
     # plain-fallback guarantee: selected real size must not exceed plain
     if codec != "plain":
         plain_params, plain_payload = table["plain"].encode(payload_input)

@@ -53,9 +53,9 @@ class FsstStr:
         lengths, data = str_to_parts(sample)
         return _fsst.estimate_bytes(data, len(data)) + _for.estimate(lengths)
 
-    def encode(self, arr: pa.Array):
+    def encode(self, arr: pa.Array, table: SymbolTable | None = None):
         lengths, data = str_to_parts(arr)
-        table, enc = _fsst.encode_bytes(data)
+        table, enc = _fsst.encode_bytes(data, table=table)
         pl, bl = _for.encode(lengths)
         params = {"l": pl, "llen": len(bl), "t": b64e(table.serialize())}
         return params, bl + enc

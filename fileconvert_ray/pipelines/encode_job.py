@@ -1,0 +1,71 @@
+"""Encode job — the flagship pipeline (SURVEY.md §3.2a).
+
+    E7 resume filter -> E1 read -> E3 stats pass + bucket plan
+    -> E3 assign part_id (stateless map_batches)
+    -> groupby(part_id)               [the only big shuffle]
+    -> E5 EncoderActor pool (map_groups) -> E8/E6 atomic container+manifest
+    -> returns a small metrics Dataset (one row per partition)
+
+Never calls ray.init(); the caller owns the session.  All heavy stages
+are Arrow-zero-copy; the stats pass reads only (source, n_tok) via
+parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..stages.encoder import EncoderActor
+from ..stages.partition import bucket_plan, make_assigner, make_resume_filter, source_stats
+from ..state.manifest import JobDirs, completed_partitions, write_plan
+
+
+@dataclass
+class EncodeConfig:
+    out_dir: str
+    target_partition_tokens: int = 4_000_000  # ~16 MiB of int32 token values
+    codec_overrides: dict = field(default_factory=dict)
+    zstd: bool = True
+    resume: bool = True
+    encode_concurrency: tuple | int = (1, 16)
+    encode_num_cpus: float = 1.0
+
+
+def run_encode(ds_factory, cfg: EncodeConfig):
+    """ds_factory() -> tokseq Dataset (called twice: stats pass + encode;
+    Ray datasets are consumed by execution, and re-reading beats
+    materializing the whole input).  Returns the metrics Dataset."""
+    JobDirs(cfg.out_dir).create()
+
+    stats = source_stats(ds_factory())
+    plan = bucket_plan(stats, cfg.target_partition_tokens)
+    write_plan(
+        cfg.out_dir,
+        {
+            "buckets": plan,
+            "target_partition_tokens": cfg.target_partition_tokens,
+            "source_tokens": {k: int(v) for k, v in stats.items()},
+        },
+    )
+
+    done = frozenset(completed_partitions(cfg.out_dir)) if cfg.resume else frozenset()
+
+    ds = ds_factory().map_batches(
+        make_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if done:
+        ds = ds.map_batches(
+            make_resume_filter(done), batch_format="pyarrow", zero_copy_batch=True
+        )
+    metrics = ds.groupby("part_id").map_groups(
+        EncoderActor,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "out_dir": cfg.out_dir,
+            "codec_overrides": cfg.codec_overrides,
+            "zstd": cfg.zstd,
+        },
+        concurrency=cfg.encode_concurrency,
+        num_cpus=cfg.encode_num_cpus,
+    )
+    return metrics

@@ -1,0 +1,114 @@
+"""Skew-aware partition assignment (SURVEY.md §2.2 E3, §4.2).
+
+Two-step: a cheap stats pass over only (source, n_tok) — column-pruned
+at the parquet read — yields per-source token totals; the bucket plan
+gives each source ``k = ceil(source_token_bytes / target)`` buckets so
+hot sources split into size-bounded partitions while tiny sources get
+exactly one.  Assignment is a stateless vectorized map_batches:
+``part_id = f"{sanitize(source)}-b{fnv(doc_id) % k}"`` — deterministic
+across processes (no PYTHONHASHSEED), which is what makes resume and
+verify reproduce identical partitions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..util.hashing import hash_strings_u64
+
+_SAN = re.compile(r"[^a-z0-9_]+")
+
+
+def sanitize_id(name: str) -> str:
+    """Path-safe identifier (reference's sanitize_column_name semantics,
+    SURVEY §2.1 R9, applied to partition ids)."""
+    s = _SAN.sub("_", name.lower()).strip("_")
+    return s or "x"
+
+
+def source_stats(ds) -> dict[str, int]:
+    """Per-source token totals via per-batch partials + a tiny groupby
+    (pre-aggregation pattern — the shuffle moves one row per source per
+    batch, not one per input row)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["source", "n_tok"]), "source").aggregate(
+            [("n_tok", "sum")]
+        )
+        return g.rename_columns(["source", "tok"])
+
+    small = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = small.groupby("source").aggregate(Sum("tok", alias_name="tokens"))
+    out = agg.to_pandas()  # O(sources) rows — safe to materialize
+    return dict(zip(out["source"], out["tokens"].astype(int)))
+
+
+def bucket_plan(
+    stats: dict[str, int], target_partition_tokens: int = 4_000_000
+) -> dict[str, int]:
+    """source -> bucket count, proportional to token share (min 1)."""
+    plan = {}
+    for src, tok in sorted(stats.items()):
+        plan[src] = max(1, -(-int(tok) // target_partition_tokens))
+    return plan
+
+
+def sanitized_names(sources) -> dict[str, str]:
+    """Collision-free path-safe names (dedup suffix, like R9's rename dedup)."""
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    for src in sorted(sources):
+        base = sanitize_id(src)
+        name, i = base, 1
+        while name in seen:
+            name, i = f"{base}_{i}", i + 1
+        seen.add(name)
+        out[src] = name
+    return out
+
+
+def make_assigner(plan: dict[str, int]):
+    """Vectorized part_id assignment closure for map_batches."""
+    san = sanitized_names(plan)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").combine_chunks()
+        h = hash_strings_u64(batch.column("doc_id"))
+        # per-row bucket count via a small dictionary gather
+        denc = src.dictionary_encode()
+        dsrcs = denc.dictionary.to_pylist()
+        ks = np.array([plan.get(s, 1) for s in dsrcs], dtype=np.uint64)
+        names = [san.get(s, sanitize_id(s)) for s in dsrcs]
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        bucket = (h % ks[idx]).astype(np.int64)
+        # part_id strings built via dictionary gather (one python string
+        # per (source, bucket) pair, not per row)
+        kmax = int(ks.max()) if len(ks) else 1
+        pair = idx.astype(np.int64) * kmax + bucket
+        uniq, inv = np.unique(pair, return_inverse=True)
+        labels = [f"{names[int(p // kmax)]}-b{int(p % kmax):04d}" for p in uniq]
+        part = pa.DictionaryArray.from_arrays(
+            pa.array(inv, type=pa.int32()), pa.array(labels, type=pa.string())
+        ).cast(pa.string())
+        return batch.append_column("part_id", part)
+
+    return assign
+
+
+def make_resume_filter(done: frozenset):
+    """Drop rows of already-completed partitions (E7) before the shuffle."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not done:
+            return batch
+        mask = pc.invert(pc.is_in(batch.column("part_id"), value_set=pa.array(sorted(done))))
+        return batch.filter(mask)
+
+    return flt

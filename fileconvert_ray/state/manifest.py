@@ -1,0 +1,94 @@
+"""Checkpoint manifest + resume (SURVEY.md §2.2 E6/E7, §4.2).
+
+Layout under an encode job's output dir:
+
+    out_dir/
+      plan.json                 # bucket plan + config echo (deterministic)
+      parts/{part_id}.parquet   # encoded container, written atomically
+      manifest/{part_id}.json   # lineage record, written LAST (atomic)
+      tmp/                      # staging for atomic renames
+
+A partition is complete iff its manifest file exists; the container
+rename always precedes the manifest rename, so a crash between the
+two re-encodes the partition idempotently (same part_id -> same
+bytes).  Resume = list manifest dir once on the driver, broadcast the
+done-set, drop those rows before the shuffle — partition granularity,
+O(partitions) driver work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = os.path.join(
+        os.path.dirname(path), f".tmp-{uuid.uuid4().hex}-{os.path.basename(path)}"
+    )
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class JobDirs:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.parts = os.path.join(out_dir, "parts")
+        self.manifest = os.path.join(out_dir, "manifest")
+        self.tmp = os.path.join(out_dir, "tmp")
+
+    def create(self) -> "JobDirs":
+        for d in (self.parts, self.manifest, self.tmp):
+            os.makedirs(d, exist_ok=True)
+        return self
+
+    def container_path(self, part_id: str) -> str:
+        return os.path.join(self.parts, f"{part_id}.parquet")
+
+    def manifest_path(self, part_id: str) -> str:
+        return os.path.join(self.manifest, f"{part_id}.json")
+
+
+def write_plan(out_dir: str, plan: dict) -> None:
+    _atomic_write_bytes(
+        os.path.join(out_dir, "plan.json"), json.dumps(plan, sort_keys=True).encode()
+    )
+
+
+def read_plan(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "plan.json"), "rb") as f:
+        return json.loads(f.read())
+
+
+def write_manifest_entry(dirs: JobDirs, part_id: str, record: dict) -> None:
+    """Lineage record — written only after the container rename landed."""
+    _atomic_write_bytes(dirs.manifest_path(part_id), json.dumps(record, sort_keys=True).encode())
+
+
+def atomic_rename_into(dirs: JobDirs, tmp_file: str, part_id: str) -> str:
+    dst = dirs.container_path(part_id)
+    os.replace(tmp_file, dst)
+    return dst
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+
+
+def read_manifest_entries(out_dir: str) -> dict[str, dict]:
+    out = {}
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return out
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f), "rb") as fh:
+                out[f[:-5]] = json.loads(fh.read())
+    return out

@@ -1,0 +1,109 @@
+"""End-to-end encode -> decode-verify over Ray (SURVEY.md §5.2.3-5)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
+from fileconvert_ray.pipelines.verify_job import run_verify
+from fileconvert_ray.sources.tokseq import synth_dataset, synth_rows, tokseq_dataset, tokseq_table
+from fileconvert_ray.state.manifest import completed_partitions, read_manifest_entries
+
+
+@pytest.fixture
+def out_dir(tmp_path):
+    return str(tmp_path / "enc")
+
+
+def test_encode_verify_roundtrip_sf0001(ray_session, sf_dir, out_dir):
+    factory = lambda: tokseq_dataset(sf_dir)
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=5_000, encode_concurrency=(1, 4))
+    metrics = run_encode(factory, cfg).to_pandas()
+    assert metrics["n_rows"].sum() == 500
+    tok_total = int(tokseq_table(sf_dir).column("n_tok").to_pandas().sum())
+    assert metrics["n_tokens"].sum() == tok_total
+
+    verify = run_verify(factory, out_dir).to_pandas()
+    assert verify["ok"].all(), verify[~verify["ok"]]
+    assert verify["n_rows"].sum() == 500
+
+    # manifests: one per partition, rows add up exactly
+    entries = read_manifest_entries(out_dir)
+    assert sum(e["n_rows"] for e in entries.values()) == 500
+    assert set(entries) == set(metrics["part_id"])
+
+
+def test_size_bound_vs_reference_proxy_sf01(ray_session, out_dir):
+    """North-rule bound (BASELINE.md): total encoded bytes <= pyarrow
+    parquet zstd+dict on the identical table, at realistic partition
+    sizes (the 0.720 B/token reference proxy, sf0.1)."""
+    sf = "/root/testdata/sf0.1"
+    factory = lambda: tokseq_dataset(sf)
+    cfg = EncodeConfig(out_dir=out_dir, encode_concurrency=(1, 4))
+    metrics = run_encode(factory, cfg).to_pandas()
+
+    t = tokseq_table(sf)
+    proxy = os.path.join(out_dir, "proxy.parquet")
+    pq.write_table(t, proxy, compression="zstd", use_dictionary=True)
+    encoded = int(metrics["encoded_bytes"].sum())
+    assert encoded <= os.path.getsize(proxy), (encoded, os.path.getsize(proxy))
+    n_tokens = int(metrics["n_tokens"].sum())
+    assert encoded / n_tokens < 0.72  # beats the measured reference proxy
+
+
+def test_resume_skips_completed(ray_session, sf_dir, out_dir):
+    factory = lambda: tokseq_dataset(sf_dir)
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=5_000, encode_concurrency=(1, 4))
+    run_encode(factory, cfg).materialize()
+    entries1 = read_manifest_entries(out_dir)
+    assert len(entries1) > 2
+
+    # drop manifests (not containers) for half the partitions -> only
+    # those re-encode (SURVEY §5.2.4)
+    victims = sorted(entries1)[: len(entries1) // 2]
+    for p in victims:
+        os.remove(os.path.join(out_dir, "manifest", f"{p}.json"))
+    assert completed_partitions(out_dir) == set(entries1) - set(victims)
+
+    metrics2 = run_encode(factory, cfg).to_pandas()
+    assert sorted(metrics2["part_id"]) == victims  # only victims re-ran
+
+    verify = run_verify(factory, out_dir).to_pandas()
+    assert verify["ok"].all()
+
+
+def test_skew_split(ray_session, out_dir):
+    """F3: hot source split into multiple bounded partitions (§5.2.5)."""
+    factory = lambda: synth_dataset(4000, num_blocks=8, seed=7)
+    target = 50_000
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=target, encode_concurrency=(1, 4))
+    metrics = run_encode(factory, cfg).to_pandas()
+    assert metrics["n_rows"].sum() == 4000
+
+    plan = json.load(open(os.path.join(out_dir, "plan.json")))
+    hot = max(plan["source_tokens"], key=plan["source_tokens"].get)
+    assert plan["buckets"][hot] >= 4  # hot source actually split
+
+    # per-partition token counts bounded: no partition > 2x target + max doc len
+    per_part = metrics.set_index("part_id")["n_tokens"]
+    assert per_part.max() <= 2 * target + 32_768
+
+    verify = run_verify(factory, out_dir).to_pandas()
+    assert verify["ok"].all()
+
+
+def test_synth_corpus_roundtrip(ray_session, out_dir):
+    """F1b corpus with bursts/skew round-trips bit-identically."""
+    factory = lambda: synth_dataset(2000, num_blocks=4)
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=200_000)
+    metrics = run_encode(factory, cfg).to_pandas()
+    verify = run_verify(factory, out_dir).to_pandas()
+    assert verify["ok"].all()
+    assert metrics["n_rows"].sum() == 2000
+    # compression actually happened (zipf vocab 50257 -> ~2B/token worst case)
+    assert metrics["encoded_bytes"].sum() < metrics["plain_bytes"].sum()
