@@ -1,0 +1,171 @@
+"""Benchmark driver — prints ONE JSON line (SURVEY.md §6, ray_guide.md §bench).
+
+    python bench.py                 # headline run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # fresh processes at 8 and 32 CPUs, same input
+
+Headline: the flagship partitioned encode over a deterministic F1b
+zipfian corpus (default 500k docs, ~200M tokens, generated once into
+/tmp and cached), plus decode-verify and the aggregate/dedup query
+pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+This script OWNS its ray session (unlike __ray_entry__ / the library).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "500000"))
+CORPUS_DIR = f"/tmp/fcray_bench/corpus-{BENCH_ROWS}"
+OUT_DIR = f"/tmp/fcray_bench/encode-{BENCH_ROWS}-{NUM_CPUS}"
+
+
+def _ensure_corpus():
+    import ray
+
+    from fileconvert_ray.sources.tokseq import write_synth_corpus
+
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    import shutil
+
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    write_synth_corpus(CORPUS_DIR, BENCH_ROWS, shards=64)
+    open(marker, "w").write("ok")
+
+
+def _warm_cache():
+    # one untimed pass so we measure compute+shuffle, not cold reads
+    for root in (CORPUS_DIR, SF_DIR):
+        for f in os.listdir(root):
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import shutil
+
+    import ray.data as rd
+
+    from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
+    from fileconvert_ray.pipelines.verify_job import run_verify
+    from fileconvert_ray.functions.queries import (
+        q_minhash_dedup_docs,
+        q_per_source_stats,
+        q_token_histogram,
+    )
+
+    _ensure_corpus()
+    _warm_cache()
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    # ---- headline: partitioned encode of the synthetic corpus
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    factory = lambda: rd.read_parquet(CORPUS_DIR)
+    t0 = time.perf_counter()
+    metrics = run_encode(
+        factory,
+        EncodeConfig(
+            out_dir=OUT_DIR,
+            target_partition_tokens=8_000_000,
+            encode_concurrency=(1, max(2, NUM_CPUS - 4)),
+        ),
+    ).to_pandas()
+    t_encode = time.perf_counter() - t0
+    queries["encode_synth"] = round(t_encode, 3)
+    n_tokens = int(metrics["n_tokens"].sum())
+    extra["encode_tokens"] = n_tokens
+    extra["tokens_per_sec"] = round(n_tokens / t_encode)
+    extra["bytes_per_token"] = round(float(metrics["encoded_bytes"].sum()) / n_tokens, 4)
+
+    # ---- decode-verify of the same output
+    t0 = time.perf_counter()
+    v = run_verify(factory, OUT_DIR).to_pandas()
+    queries["verify_synth"] = round(time.perf_counter() - t0, 3)
+    extra["verify_ok"] = bool(v["ok"].all())
+
+    # ---- aggregate + dedup pipelines over the sf dir
+    t0 = time.perf_counter()
+    q_per_source_stats(SF_DIR)
+    queries["per_source_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    q_token_histogram(SF_DIR).materialize()
+    queries["token_histogram"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    q_minhash_dedup_docs(SF_DIR).materialize()
+    queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "encode throughput (tokens/sec) + pipeline wall times",
+        "value": round(t_encode, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extra,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (encode, 8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "tokens_per_sec_8": r_lo.get("tokens_per_sec"),
+        "tokens_per_sec_32": r_hi.get("tokens_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -29,7 +29,7 @@ from .base import (
     parts_to_str,
     str_to_parts,
 )
-from .intcodecs import DictInt, ForBitpack, PlainInt, Rle
+from .intcodecs import DictInt, DictZ, ForBitpack, PlainInt, Rle
 from .strcodecs import DictStr, FsstStr, PlainStr
 
 INT_CODECS: dict[str, object] = {}
@@ -41,7 +41,7 @@ def register(codec) -> None:
     table[codec.name] = codec
 
 
-for _c in (PlainInt(), ForBitpack(), Rle(), DictInt()):
+for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ()):
     register(_c)
 for _c in (PlainStr(), DictStr(), FsstStr()):
     register(_c)
@@ -74,10 +74,12 @@ def encode_array(
 
     if arr.type in _INT_TYPES or arr.type == pa.int64():
         kind = "int"
-        values = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep the NATIVE dtype end-to-end: every avoided astype is a
+        # full-array memory pass, and this box is bandwidth-bound
+        values = np.ascontiguousarray(arr.to_numpy(zero_copy_only=False))
         params["dtype"] = str(arr.type)
-        plain_crc = zlib.crc32(canonical_int_bytes(values))
-        plain_bytes = len(values) * arr.type.bit_width // 8
+        plain_crc = zlib.crc32(memoryview(values))
+        plain_bytes = values.nbytes
         n = len(values)
         payload_input = values
         table = INT_CODECS
@@ -97,17 +99,17 @@ def encode_array(
     if codec == "auto":
         from ..selector import select  # late import: selector depends on registry
 
-        codec = select(payload_input, kind)
+        codec = select(payload_input, kind, zstd=zstd)
     c = table[codec]
     if codec == "fsst" and kind == "str" and fsst_table is not None:
         cparams, payload = c.encode(payload_input, table=fsst_table)
     else:
         cparams, payload = c.encode(payload_input)
-    # plain-fallback guarantee: selected real size must not exceed plain
-    if codec != "plain":
-        plain_params, plain_payload = table["plain"].encode(payload_input)
-        if len(payload) + len(json.dumps(cparams)) > len(plain_payload) + 8:
-            codec, cparams, payload = "plain", plain_params, plain_payload
+    # plain-fallback guarantee: selected real size must not exceed plain.
+    # plain's size is known analytically — only materialize it on fallback.
+    if codec != "plain" and len(payload) + len(json.dumps(cparams)) > plain_bytes + 8:
+        codec = "plain"
+        cparams, payload = table["plain"].encode(payload_input)
     if zstd and len(payload) > 64:
         z = pa.compress(payload, codec="zstd", asbytes=True)
         if len(z) < len(payload):
@@ -134,9 +136,10 @@ def decode_array(enc: EncodedColumn) -> pa.Array:
     if "dtype" in params:
         c = INT_CODECS[enc.codec]
         values = c.decode(params["c"], payload, enc.n_values)
-        if zlib.crc32(canonical_int_bytes(values)) != enc.crc32:
+        native = np.ascontiguousarray(values.astype(np.dtype(params["dtype"]), copy=False))
+        if zlib.crc32(memoryview(native)) != enc.crc32:
             raise CodecError(f"crc mismatch decoding {enc.column} ({enc.codec})")
-        out = pa.array(values.astype(np.dtype(params["dtype"])))
+        out = pa.array(native)
     else:
         c = STR_CODECS[enc.codec]
         out = c.decode(params["c"], payload, enc.n_values)

@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Ray-Data-first shapes (ray_guide.md "Aggregation at scale"):
+  - exact:   vectorized content-hash in map_batches -> groupby(hash)
+             -> keep min doc_id per group (hash collisions re-checked
+             against the actual content inside the group)
+  - minhash: stateful hasher actor (permutation params built once) ->
+             exploded (band_key, doc_id, signature) rows -> groupby on
+             the band key -> candidate pairs -> signature-estimated
+             Jaccard filter -> connected components -> survivors
+  - simhash: 64-bit sign-hash -> (k+1)-chunk exact-match banding for
+             hamming<=k -> same pair/cluster machinery
+
+Candidate pairs are assumed small relative to the corpus (the LSH
+premise); components run driver-side union-find over only the pairs.
+At 100 TB the same pair stream feeds an iterative min-label-propagation
+groupby instead — the band/bucket stages are unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util.hashing import hash_strings_u64, splitmix64
+
+_MASK = (1 << 64) - 1
+
+
+# ------------------------------------------------------------- exact
+
+
+def add_content_hash(batch: pa.Table, key: str = "text") -> pa.Table:
+    h = hash_strings_u64(batch.column(key))
+    return batch.append_column("content_hash", pa.array(h.view(np.int64)))
+
+
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
+    """Drop duplicate content, keeping the smallest id (SURVEY §2.2 E14)."""
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group.drop_columns(["content_hash"])
+        # collision-safe: group by actual content within the hash group
+        df = group.to_pandas()
+        df = df.sort_values(id_col).drop_duplicates(subset=key, keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False).drop_columns(["content_hash"])
+
+    return (
+        ds.map_batches(lambda b: add_content_hash(b, key), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_hash")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------- shingles/minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _word_kgram_hashes(texts: pa.Array, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word k-gram hashes per doc -> (flat shingle hashes, doc lengths)."""
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    wh = hash_strings_u64(flat, seed=seed)
+    n_sh = np.maximum(lens - k + 1, 0)
+    if len(wh) == 0 or n_sh.sum() == 0:
+        return np.zeros(0, dtype=np.uint64), n_sh
+    # rolling combine of k consecutive word hashes, masked at doc bounds
+    comb = np.zeros(len(wh), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            rot = np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & _MASK)
+            shifted = np.roll(wh, -j)
+            comb ^= shifted * rot
+    comb = splitmix64(comb)
+    # valid shingle start positions: first n_sh[i] positions of each doc
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    pos_in_doc = np.arange(len(wh)) - np.repeat(starts[:-1], lens)
+    valid = pos_in_doc < np.repeat(n_sh, lens)
+    return comb[valid], n_sh
+
+
+class MinHasher:
+    """map_batches actor: doc -> (doc_id, band_key, signature bytes)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+        self.seed = seed
+
+    def signatures(self, texts: pa.Array) -> np.ndarray:
+        sh, n_sh = _word_kgram_hashes(texts, self.k, self.seed)
+        n_docs = len(n_sh)
+        sig = np.full((n_docs, self.num_perm), _MASK, dtype=np.uint64)
+        if len(sh):
+            offsets = np.concatenate(([0], np.cumsum(n_sh)))
+            with np.errstate(over="ignore"):
+                # (S, P) permuted values; reduceat-min per doc segment
+                vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) & np.uint64(_MASK)
+            nonempty = n_sh > 0
+            idx = np.minimum(offsets[:-1], len(sh) - 1)
+            mins = np.minimum.reduceat(vals, idx, axis=0)
+            sig[nonempty] = mins[nonempty]
+        return sig
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """(n_docs, bands) int64 band bucket keys."""
+        n = sig.shape[0]
+        keys = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(self.bands):
+                chunk = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                h = np.full(n, np.uint64((0x12345678 + 0x1111 * b) & _MASK), dtype=np.uint64)
+                for r in range(self.rows_per_band):
+                    h = splitmix64(h ^ chunk[:, r])
+                keys[:, b] = h
+        return keys.view(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        sig = self.signatures(texts)
+        keys = self.band_keys(sig)
+        n, bands = keys.shape
+        doc_id = pc.cast(batch.column("doc_id"), pa.string())
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([doc_id] * bands),
+                pa.array(keys.T.ravel()),  # band-major, matches doc_id tiling
+                pa.array(sig_bytes * bands, type=pa.binary()),
+            ],
+            names=["doc_id", "band_key", "sig"],
+        )
+
+
+def _candidate_pairs(group: pa.Table, est_threshold: float, num_perm: int) -> pa.Table:
+    """Within one band bucket: pairs whose signature agreement >= threshold."""
+    out_a, out_b, out_s = [], [], []
+    if group.num_rows > 1:
+        ids = group.column("doc_id").to_pylist()
+        sigs = np.stack(
+            [np.frombuffer(m, dtype=np.uint64) for m in group.column("sig").to_pylist()]
+        )
+        order = np.argsort(np.asarray(ids, dtype=object))
+        for i_ in range(len(order)):
+            for j_ in range(i_ + 1, len(order)):
+                i, j = order[i_], order[j_]
+                if ids[i] == ids[j]:
+                    continue
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= est_threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(est)
+    return pa.Table.from_pydict(
+        {"a": pa.array(out_a, type=pa.string()), "b": pa.array(out_b, type=pa.string()),
+         "est_jaccard": pa.array(out_s, type=pa.float64())}
+    )
+
+
+def union_find_survivors(pairs, all_ids=None) -> tuple[set, dict]:
+    """Driver-side components over the (small) candidate pair set.
+    Returns (dropped ids, root map)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    dropped = {x for x in parent if find(x) != x}
+    roots = {x: find(x) for x in parent}
+    return dropped, roots
+
+
+def minhash_dedup(ds, *, threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
+                  shingle_k: int = 3, seed: int = 1):
+    """Returns (survivor Dataset, pairs pandas DataFrame)."""
+    import pyarrow.compute as _pc
+
+    hasher_kwargs = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed)
+    exploded = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=hasher_kwargs,
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    pairs = (
+        exploded.groupby("band_key")
+        .map_groups(lambda g: _candidate_pairs(g, threshold, num_perm), batch_format="pyarrow")
+        .to_pandas()
+    )
+    pairs = pairs.drop_duplicates(subset=["a", "b"])
+    dropped, _ = union_find_survivors(pairs[["a", "b"]].itertuples(index=False, name=None))
+    dropped_arr = pa.array(sorted(dropped), type=pa.string())
+
+    def flt(batch: pa.Table) -> pa.Table:
+        if len(dropped_arr) == 0:
+            return batch
+        ids = _pc.cast(batch.column("doc_id"), pa.string())
+        return batch.filter(_pc.invert(_pc.is_in(ids, value_set=dropped_arr)))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True), pairs
+
+
+# ----------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit SimHash over word features; bands for hamming<=h_max lookup."""
+
+    def __init__(self, chunks: int = 4, seed: int = 2):
+        self.chunks = chunks  # hamming <= chunks-1 guaranteed caught
+        self.seed = seed
+
+    def simhash(self, texts: pa.Array) -> np.ndarray:
+        words = pc.split_pattern(texts, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        wh = hash_strings_u64(flat, seed=self.seed)
+        n = len(lens)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(wh):
+            bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            bits = bits * 2 - 1  # ±1
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            idx = np.minimum(starts[:-1], len(wh) - 1)
+            sums = np.add.reduceat(bits, idx, axis=0)
+            sums[lens == 0] = 0
+            sign = (sums > 0).astype(np.uint64)
+            out = (sign << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        h = self.simhash(texts)
+        n = len(h)
+        doc_id = pc.cast(batch.column("doc_id"), pa.string())
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        w = 64 // self.chunks
+        keys = np.zeros((self.chunks, n), dtype=np.uint64)
+        for c in range(self.chunks):
+            chunk = (h >> np.uint64(c * w)) & np.uint64((1 << w) - 1)
+            keys[c] = splitmix64(chunk ^ np.uint64(0xABC0 + c))
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([doc_id] * self.chunks),
+                pa.array(keys.ravel().view(np.int64)),  # band-major
+                pa.array(np.tile(h.view(np.int64), self.chunks)),
+            ],
+            names=["doc_id", "band_key", "simhash"],
+        )
+
+
+def _simhash_pairs(group: pa.Table, h_max: int) -> pa.Table:
+    out_a, out_b, out_d = [], [], []
+    if group.num_rows > 1:
+        ids = group.column("doc_id").to_pylist()
+        hs = np.asarray(group.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
+        order = np.argsort(np.asarray(ids, dtype=object))
+        for i_ in range(len(order)):
+            for j_ in range(i_ + 1, len(order)):
+                i, j = order[i_], order[j_]
+                if ids[i] == ids[j]:
+                    continue
+                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                if d <= h_max:
+                    out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
+    return pa.Table.from_pydict(
+        {"a": pa.array(out_a, type=pa.string()), "b": pa.array(out_b, type=pa.string()),
+         "hamming": pa.array(out_d, type=pa.int64())}
+    )
+
+
+def simhash_dedup(ds, *, h_max: int = 3, chunks: int = 4, seed: int = 2):
+    exploded = ds.map_batches(
+        SimHasher, fn_constructor_kwargs=dict(chunks=chunks, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    pairs = (
+        exploded.groupby("band_key")
+        .map_groups(lambda g: _simhash_pairs(g, h_max), batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(subset=["a", "b"])
+    )
+    dropped, _ = union_find_survivors(pairs[["a", "b"]].itertuples(index=False, name=None))
+    dropped_arr = pa.array(sorted(dropped), type=pa.string())
+
+    def flt(batch: pa.Table) -> pa.Table:
+        if len(dropped_arr) == 0:
+            return batch
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        return batch.filter(pc.invert(pc.is_in(ids, value_set=dropped_arr)))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True), pairs
+
+
+def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 3, seed: int = 1) -> np.ndarray:
+    """Exact word-k-gram Jaccard for verification of candidate pairs."""
+    out = np.zeros(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa, _ = _word_kgram_hashes(pa.array([ta]), k, seed)
+        sb, _ = _word_kgram_hashes(pa.array([tb]), k, seed)
+        A, B = set(sa.tolist()), set(sb.tolist())
+        out[i] = len(A & B) / max(1, len(A | B))
+    return out

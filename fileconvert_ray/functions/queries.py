@@ -1,0 +1,554 @@
+"""Driver-oracle query surface (SURVEY.md §5.2.6, FIXTURES.md F5).
+
+Every entry in QUERIES is a Ray-Data pipeline over the testdata
+parquet tables; entries in ORACLE_SQL are the DuckDB-equivalent ANSI
+SQL over the same tables.  Column NAMES and TYPES match exactly (the
+driver hashes values after sorting columns by name).  Float columns
+are produced by the identical IEEE double operation on both sides
+(int64 sums then one double division; cosine rounded to 6 decimals
+computed in float64 on both sides — DuckDB needs ``::DOUBLE[]`` casts
+because ``list_cosine_similarity`` on FLOAT lists computes in
+float32).
+
+Aggregations follow the pre-aggregate pattern: per-batch partials via
+``pyarrow.TableGroupBy`` inside ``map_batches``, then a tiny global
+``groupby().aggregate(Sum)`` — the shuffle moves O(groups), not
+O(rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..sources.tokseq import tokseq_dataset
+from .dedup import exact_dedup, minhash_dedup, simhash_dedup
+from .multimodal import BlobStats, blobs_from_documents
+from .similarity import embedding_dup_pairs, knn_search, lsh_dup_pairs
+from .textstats import TOKEN_RE, LangId, TokenCounter, fingerprint_batch, quality_batch
+
+COSINE_T = 0.3
+PRICE_T = 400_000.0
+TOP_K = 10
+KNN_K = 5
+KNN_QIDS = (0, 1, 2)
+
+
+def _sum_groupby(ds, keys: list[str], int_cols: list[str]):
+    """groupby(keys).sum(int_cols) with per-batch partial aggregation."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(keys + int_cols), keys).aggregate(
+            [(c, "sum") for c in int_cols]
+        )
+        return g.rename_columns(keys + int_cols)
+
+    small = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return small.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in int_cols])
+
+
+# ----------------------------------------------------------- tokseq
+
+
+def q_per_source_stats(sf_dir: str):
+    ds = tokseq_dataset(sf_dir)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("source"),
+                pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                pc.cast(batch.column("n_tok"), pa.int64()),
+            ],
+            names=["source", "n_docs", "sum_tok"],
+        )
+
+    agg = _sum_groupby(ds.map_batches(widen, batch_format="pyarrow"), ["source"], ["n_docs", "sum_tok"])
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)  # O(sources) rows
+    avg = t.column("sum_tok").to_numpy().astype(np.float64) / t.column("n_docs").to_numpy().astype(
+        np.float64
+    )
+    return t.append_column("avg_tok", pa.array(avg, type=pa.float64()))
+
+
+def q_token_histogram(sf_dir: str):
+    ds = tokseq_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.Table.from_pydict(
+            {"token": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    return _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), ["token"], ["cnt"]
+    )
+
+
+def q_distinct_sources(sf_dir: str):
+    ds = tokseq_dataset(sf_dir)
+    vals = sorted(ds.unique("source"))
+    return pa.Table.from_pydict({"source": pa.array(vals, type=pa.string())})
+
+
+def q_top_docs_by_len(sf_dir: str):
+    ds = tokseq_dataset(sf_dir).select_columns(["doc_id", "n_tok", "source"])
+    return ds.sort(["n_tok", "doc_id"], descending=[True, False]).limit(TOP_K)
+
+
+def q_dedup_text_stats(sf_dir: str):
+    """Per source: doc count and distinct-text count.  Exact grouping on
+    (source, text); the 100 TB path swaps text for a 128-bit content
+    hash with in-group re-check (functions/dedup.py)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per_text = _sum_groupby(
+        ds.map_batches(
+            lambda b: b.append_column("one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["source", "text"],
+        ["one"],
+    )
+    uniq = _sum_groupby(
+        per_text.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "source": b.column("source"),
+                    "n_unique_text": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                    "n_docs": pc.cast(b.column("one"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["source"],
+        ["n_unique_text", "n_docs"],
+    )
+    return uniq
+
+
+# -------------------------------------------------- text analysis
+
+
+def q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_token_count_regex(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        TokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+def q_lang_stats(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return _sum_groupby(
+        ds.map_batches(
+            lambda b: b.append_column("n_docs", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["lang"],
+        ["n_docs"],
+    )
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------- dedup
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    surv = exact_dedup(ds, key="text", id_col="doc_id")
+    return surv.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("doc_id"), pa.string())], names=["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    surv, _pairs = minhash_dedup(ds, threshold=0.9)
+    out = surv.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("doc_id"), pa.string())], names=["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+def q_simhash_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    surv, _pairs = simhash_dedup(ds, h_max=0)
+    return surv.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("doc_id"), pa.string())], names=["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------- embeddings / ANN
+
+
+def _load_embeddings(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    dim = len(t.column("embedding")[0])
+    m = (
+        t.column("embedding")
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), dim)
+    )
+    return ids, m
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    ids, m = _load_embeddings(sf_dir)
+    ref = ray.put((ids, m))  # broadcast ONCE; read inside every task
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=COSINE_T, matrix_ref=ref)
+
+
+def q_knn_search(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    ids, m = _load_embeddings(sf_dir)
+    qsel = np.isin(ids, KNN_QIDS)
+    ref = ray.put((list(np.asarray(ids)[qsel]), m[qsel]))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_search(ds, ref, k=KNN_K)
+
+
+def q_lsh_dup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    ids, m = _load_embeddings(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_dup_pairs(ds, dim=m.shape[1], threshold=COSINE_T, planes=8)
+
+
+# ------------------------------------------------------ multimodal
+
+
+def q_blob_stats(sf_dir: str):
+    return blobs_from_documents(sf_dir).map_batches(
+        BlobStats, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+# ------------------------------------------------- generic relational
+
+
+def q_pricing_summary(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("l_returnflag"),
+                batch.column("l_linestatus"),
+                pc.cast(batch.column("l_quantity"), pa.int64()),
+                pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            ],
+            names=["l_returnflag", "l_linestatus", "sum_qty", "n"],
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "n"],
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    avg = t.column("sum_qty").to_numpy().astype(np.float64) / t.column("n").to_numpy().astype(
+        np.float64
+    )
+    return t.append_column("avg_qty", pa.array(avg, type=pa.float64()))
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast join: small dims (customer->nation name) shipped once
+    via ray.put; orders stream through a lookup map_batches — no
+    shuffle join (ray_guide.md 'Joins and lookups')."""
+    import ray
+    import ray.data as rd
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ckeys = cust.column("c_custkey").to_numpy()
+    order_ = np.argsort(ckeys)
+    ckeys = ckeys[order_]
+    cnation = cust.column("c_nationkey").to_numpy()[order_]
+    nkeys = nation.column("n_nationkey").to_numpy()
+    nnames = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    name_of = dict(zip(nkeys.tolist(), nnames.tolist()))
+    lut_names = np.asarray([name_of[k] for k in cnation.tolist()], dtype=object)
+    ref = ray.put((ckeys, lut_names))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ok = batch.column("o_custkey").to_numpy()
+        idx = np.searchsorted(keys, ok)
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array(names[idx], type=pa.string()),
+                "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return _sum_groupby(
+        ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_name"],
+        ["n_orders"],
+    )
+
+
+def q_high_value_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") >= PRICE_T),  # row-group pushdown
+    )
+    return ds
+
+
+def q_events_hourly(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        hour = micros // 3_600_000_000
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pa.array(hour.astype(np.int64)),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        ["n"],
+    )
+
+
+# -------------------------------------------- flagship (rows-only)
+
+
+def _job_dir(sf_dir: str, tag: str) -> str:
+    h = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:10]
+    return f"/tmp/fcray_q/{tag}-{h}"
+
+
+def q_encode_roundtrip(sf_dir: str):
+    """Flagship encode + decode-verify; returns per-partition ok rows.
+    Not SQL-expressible -> driver records the rows-only check."""
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..pipelines.verify_job import run_verify
+
+    out = _job_dir(sf_dir, "roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    factory = lambda: tokseq_dataset(sf_dir)
+    run_encode(factory, EncodeConfig(out_dir=out, target_partition_tokens=200_000)).materialize()
+    return run_verify(factory, out)
+
+
+def q_encode_metrics(sf_dir: str):
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+
+    out = _job_dir(sf_dir, "metrics")
+    shutil.rmtree(out, ignore_errors=True)
+    factory = lambda: tokseq_dataset(sf_dir)
+    return run_encode(factory, EncodeConfig(out_dir=out, target_partition_tokens=200_000))
+
+
+QUERIES = {
+    "per_source_stats": q_per_source_stats,
+    "token_histogram": q_token_histogram,
+    "distinct_sources": q_distinct_sources,
+    "top_docs_by_len": q_top_docs_by_len,
+    "dedup_text_stats": q_dedup_text_stats,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count_regex": q_token_count_regex,
+    "lang_stats": q_lang_stats,
+    "lang_id": q_lang_id,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_dedup_docs": q_simhash_dedup_docs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "knn_search": q_knn_search,
+    "lsh_dup_pairs": q_lsh_dup_pairs,
+    "blob_stats": q_blob_stats,
+    "pricing_summary": q_pricing_summary,
+    "orders_per_nation": q_orders_per_nation,
+    "high_value_orders": q_high_value_orders,
+    "events_hourly": q_events_hourly,
+    "encode_roundtrip": q_encode_roundtrip,
+    "encode_metrics": q_encode_metrics,
+}
+
+_VOCAB_CTE = """
+with w as (select unnest(string_split(text, ' ')) as word from documents),
+v as (select word, row_number() over (order by word) - 1 as token
+      from (select distinct word from w))
+"""
+
+ORACLE_SQL = {
+    "per_source_stats": """
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(len(string_split(text, ' '))) as bigint) as sum_tok,
+               cast(sum(len(string_split(text, ' '))) as bigint)::double / count(*) as avg_tok
+        from documents group by source
+    """,
+    "token_histogram": _VOCAB_CTE
+    + """,
+    c as (select word, cast(count(*) as bigint) as cnt from w group by word)
+    select cast(v.token as bigint) as token, c.cnt as cnt from v join c using (word)
+    """,
+    "distinct_sources": "select distinct source from documents",
+    "top_docs_by_len": """
+        select cast(doc_id as varchar) as doc_id,
+               cast(len(string_split(text, ' ')) as int) as n_tok,
+               source
+        from documents
+        order by n_tok desc, cast(doc_id as varchar) asc limit 10
+    """,
+    "dedup_text_stats": """
+        select source,
+               cast(count(distinct text) as bigint) as n_unique_text,
+               cast(count(*) as bigint) as n_docs
+        from documents group by source
+    """,
+    "text_quality": """
+        select cast(doc_id as varchar) as doc_id,
+               cast(length(text) as bigint) as n_chars,
+               cast(len(string_split(text, ' ')) as bigint) as n_words,
+               cast(len(list_filter(string_split(text, ' '), x -> x in ('a', 'the')))
+                    as bigint)::double / len(string_split(text, ' ')) as stop_ratio,
+               cast(length(replace(text, ' ', '')) as bigint)::double
+                    / len(string_split(text, ' ')) as mean_word_len
+        from documents
+    """,
+    "doc_fingerprint": """
+        select cast(doc_id as varchar) as doc_id, md5(text) as fingerprint from documents
+    """,
+    "token_count_regex": rf"""
+        select cast(doc_id as varchar) as doc_id,
+               cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint) as n_tokens_re
+        from documents
+    """,
+    "lang_stats": "select lang, cast(count(*) as bigint) as n_docs from documents group by lang",
+    "exact_dedup_docs": """
+        select cast(min(doc_id) as varchar) as doc_id from documents group by text
+    """,
+    "embedding_dup_pairs": f"""
+        select a.vec_id as a, b.vec_id as b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as score
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_T}
+    """,
+    "knn_search": f"""
+        select q.vec_id as qid, e.vec_id as nid,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) as score
+        from embeddings q join embeddings e on e.vec_id != q.vec_id
+        where q.vec_id in {tuple(KNN_QIDS)}
+        qualify row_number() over (
+            partition by q.vec_id
+            order by round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) desc,
+                     e.vec_id asc
+        ) <= {KNN_K}
+    """,
+    "blob_stats": """
+        select cast(doc_id as varchar) as blob_id,
+               cast(octet_length(encode(text)) as bigint) as n_bytes,
+               md5(text) as digest
+        from documents
+    """,
+    "pricing_summary": """
+        select l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+               cast(count(*) as bigint) as n,
+               cast(sum(cast(l_quantity as bigint)) as bigint)::double / count(*) as avg_qty
+        from lineitem group by l_returnflag, l_linestatus
+    """,
+    "orders_per_nation": """
+        select n_name, cast(count(*) as bigint) as n_orders
+        from orders
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        group by n_name
+    """,
+    "high_value_orders": f"""
+        select o_orderkey, o_custkey, o_totalprice from orders
+        where o_totalprice >= {PRICE_T}
+    """,
+    "events_hourly": """
+        select event_type,
+               cast(floor(epoch(ts) / 3600) as bigint) as hour,
+               cast(count(*) as bigint) as n
+        from events group by event_type, hour
+    """,
+    # lang_id, minhash/simhash/lsh dedup, encode_* are not
+    # SQL-expressible -> rows-only checks (driver records which).
+}

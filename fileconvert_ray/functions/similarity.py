@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: brute-force cosine — the query matrix is broadcast ONCE via
+``ray.put`` and every map_batches task scores its batch against it
+with one numpy matmul (no shuffle, no per-batch re-ship).  Scale path:
+random-hyperplane LSH bucketing -> groupby(bucket) -> within-bucket
+pairwise, which bounds the pairwise work to bucket sizes.
+
+Scores are float64 and rounded to 6 decimals BEFORE ranking so results
+are reproducible against a DuckDB ``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dim = len(col[0]) if len(col) else 0
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norm == 0, 1, norm)
+
+
+def knn_search(ds, query_ref, k: int = 5, *, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Top-k cosine neighbors for each broadcast query vector.
+
+    query_ref: ray.ObjectRef of (query_ids, query_matrix) — ray.put once
+    on the driver — or the tuple itself for in-process use.
+    Returns Dataset (qid, nid, score) with exactly k rows per query.
+    """
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        qids, qm = q
+        qm = _normalize(np.asarray(qm, dtype=np.float64))
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        s = np.round(m @ qm.T, 6)  # (batch, nq)
+        nq = len(qids)
+        # per-batch partial top-k: only k best rows per query leave the task
+        out_q, out_n, out_s = [], [], []
+        for j in range(nq):
+            sj = s[:, j]
+            keep = np.ones(len(ids), dtype=bool)
+            keep &= ids != qids[j]
+            cand = np.flatnonzero(keep)
+            if len(cand) > k:
+                part = cand[np.argpartition(-sj[cand], k)[:k]]
+            else:
+                part = cand
+            out_q.extend([qids[j]] * len(part))
+            out_n.extend(ids[part].tolist())
+            out_s.extend(sj[part].tolist())
+        return pa.Table.from_pydict(
+            {"qid": pa.array(out_q, type=pa.int64()), "nid": pa.array(out_n, type=pa.int64()),
+             "score": pa.array(out_s, type=pa.float64())}
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["score", "nid"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding", matrix_ref=None):
+    """Exact near-duplicate pairs (i<j, cosine>=threshold) by scoring
+    each batch against the broadcast full matrix.  O(n^2) compute but
+    streaming memory; oracle-able.  Use lsh_dup_pairs at scale."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = (
+            ray.get(matrix_ref) if isinstance(matrix_ref, ray.ObjectRef) else matrix_ref
+        )
+        m_all_n = _normalize(np.asarray(m_all, dtype=np.float64))
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        s = np.round(m @ m_all_n.T, 6)
+        rows, cols = np.nonzero(s >= threshold)
+        a = ids[rows]
+        b = np.asarray(ids_all)[cols]
+        keep = a < b  # i<j once, regardless of which batch saw it
+        return pa.Table.from_pydict(
+            {"a": pa.array(a[keep], type=pa.int64()), "b": pa.array(b[keep], type=pa.int64()),
+             "score": pa.array(s[rows, cols][keep], type=pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LshBucketer:
+    """Random-hyperplane signature -> bucket key (actor: planes built once)."""
+
+    def __init__(self, dim: int, planes: int = 12, seed: int = 3):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, "embedding"))
+        bits = (m @ self.planes) > 0
+        key = np.zeros(len(m), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            key |= bits[:, j].astype(np.int64) << j
+        return batch.append_column("bucket", pa.array(key))
+
+
+def lsh_dup_pairs(ds, dim: int, threshold: float = 0.95, planes: int = 12, seed: int = 3):
+    """Approximate near-dup pairs: same-bucket pairwise only (scale path)."""
+
+    def pairwise(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.Table.from_pydict(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        m = _normalize(_emb_matrix(group, "embedding"))
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        s = np.round(m @ m.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = s[iu, ju] >= threshold
+        a, b = ids[iu[mask]], ids[ju[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.Table.from_pydict(
+            {"a": pa.array(lo, type=pa.int64()), "b": pa.array(hi, type=pa.int64()),
+             "score": pa.array(s[iu, ju][mask], type=pa.float64())}
+        )
+
+    return (
+        ds.map_batches(
+            LshBucketer, fn_constructor_kwargs=dict(dim=dim, planes=planes, seed=seed),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        )
+        .groupby("bucket")
+        .map_groups(pairwise, batch_format="pyarrow")
+    )

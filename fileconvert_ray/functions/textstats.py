@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are vectorized ``map_batches`` bodies (Arrow kernels /
+numpy / compiled regex); stateful pieces (compiled patterns, stopword
+sets, language profiles) live in callable-class ``__init__`` so actor
+pools amortize them across batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("a", "the")
+TOKEN_RE = r"\w+|[^\w\s]"  # BPE-ish pre-tokenizer split (whitespace + punct)
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc quality signals with exact SQL equivalents (oracle-able):
+    n_chars, n_words, stop_ratio, mean_word_len."""
+    text = batch.column("text").combine_chunks()
+    words = pc.split_pattern(text, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_words = pc.cast(pc.list_value_length(words), pa.int64())
+    flat = words.flatten()
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS))
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    stop_flat = np.asarray(is_stop).astype(np.int64)
+    word_bytes = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    # reduceat chokes on empty segments at the array end; clip + mask
+    if len(stop_flat) == 0:
+        stop_per_doc = np.zeros(len(lens), dtype=np.int64)
+        bytes_per_doc = np.zeros(len(lens), dtype=np.int64)
+    else:
+        idx = np.minimum(offsets[:-1], len(stop_flat) - 1)
+        stop_per_doc = np.add.reduceat(stop_flat, idx) * (lens > 0)
+        bytes_per_doc = np.add.reduceat(word_bytes, idx) * (lens > 0)
+    nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+    stop_ratio = np.where(nw > 0, stop_per_doc / nw, 0.0)
+    mean_word_len = np.where(nw > 0, bytes_per_doc / nw, 0.0)
+    return pa.Table.from_arrays(
+        [
+            pc.cast(batch.column("doc_id"), pa.string()),
+            n_chars,
+            n_words,
+            pa.array(stop_ratio, type=pa.float64()),
+            pa.array(mean_word_len, type=pa.float64()),
+        ],
+        names=["doc_id", "n_chars", "n_words", "stop_ratio", "mean_word_len"],
+    )
+
+
+class TokenCounter:
+    """Regex token counting — compiled ONCE per actor (stateful stage)."""
+
+    def __init__(self, pattern: str = TOKEN_RE):
+        self.pat = re.compile(pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = [len(self.pat.findall(t)) for t in texts]
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.string()),
+                pa.array(counts, type=pa.int64()),
+            ],
+            names=["doc_id", "n_tokens_re"],
+        )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint = md5 hex of utf8 text (SQL: md5(text))."""
+    texts = batch.column("text").to_pylist()
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.Table.from_arrays(
+        [pc.cast(batch.column("doc_id"), pa.string()), pa.array(digests, type=pa.string())],
+        names=["doc_id", "fingerprint"],
+    )
+
+
+# Byte-frequency profiles per language for the n-gram/char heuristic.
+# Deterministic toy profiles (the sandbox has no real langid model);
+# the SHAPE (actor holding profile matrix, vectorized scoring) is the
+# production design — swap profiles for real ones.
+_LANG_PROFILES = {
+    "en": "etaoinshrdlu",
+    "es": "eaosrnidlctu",
+    "fr": "esaitnrulodc",
+    "de": "enisratdhulc",
+    "zh": "aeiounghszwx",
+}
+
+
+class LangId:
+    """Char-frequency cosine against per-language profiles — actor state."""
+
+    def __init__(self):
+        self.langs = sorted(_LANG_PROFILES)
+        prof = np.zeros((len(self.langs), 256))
+        for i, lang in enumerate(self.langs):
+            chars = _LANG_PROFILES[lang]
+            for rank, ch in enumerate(chars):
+                prof[i, ord(ch)] = len(chars) - rank
+        norm = np.linalg.norm(prof, axis=1, keepdims=True)
+        self.profiles = prof / np.where(norm == 0, 1, norm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        freq = np.zeros((len(texts), 256))
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b):
+                freq[i] = np.bincount(b, minlength=256)
+        norm = np.linalg.norm(freq, axis=1, keepdims=True)
+        freq = freq / np.where(norm == 0, 1, norm)
+        scores = freq @ self.profiles.T
+        pred = [self.langs[j] for j in np.argmax(scores, axis=1)]
+        return pa.Table.from_arrays(
+            [pc.cast(batch.column("doc_id"), pa.string()), pa.array(pred, type=pa.string())],
+            names=["doc_id", "pred_lang"],
+        )

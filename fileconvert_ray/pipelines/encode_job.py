@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..stages.encoder import EncoderActor
+from ..stages.encoder import ChunkEncoder, PartitionWriter
 from ..stages.partition import bucket_plan, make_assigner, make_resume_filter, source_stats
 from ..state.manifest import JobDirs, completed_partitions, write_plan
 
@@ -29,6 +29,15 @@ class EncodeConfig:
     resume: bool = True
     encode_concurrency: tuple | int = (1, 16)
     encode_num_cpus: float = 1.0
+    chunk_rows: int = 4096  # map-side encode batch size (rows)
+    # Map-side codecs are a cheap transport compression (shrink the
+    # shuffle ~3-4x at near-memcpy cost); the reduce side re-encodes
+    # each partition once with the full auto-selector (compaction), so
+    # final quality is partition-granular, not batch-granular.
+    map_codec_overrides: dict = field(
+        default_factory=lambda: {"doc_id": "plain", "source": "dict", "n_tok": "plain", "tokens": "plain"}
+    )
+    compact_tokens: int | None = None  # None = always compact on reduce
 
 
 def run_encode(ds_factory, cfg: EncodeConfig):
@@ -57,15 +66,31 @@ def run_encode(ds_factory, cfg: EncodeConfig):
         ds = ds.map_batches(
             make_resume_filter(done), batch_format="pyarrow", zero_copy_batch=True
         )
-    metrics = ds.groupby("part_id").map_groups(
-        EncoderActor,
+    # Phase 1 (map-side combine): encode chunks BEFORE the shuffle so the
+    # all-to-all moves codec output, not raw tokens.
+    chunks = ds.map_batches(
+        ChunkEncoder,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.chunk_rows,
+        fn_constructor_kwargs={
+            "codec_overrides": {**cfg.map_codec_overrides, **cfg.codec_overrides},
+            "zstd": cfg.zstd,
+        },
+        concurrency=cfg.encode_concurrency,
+        num_cpus=cfg.encode_num_cpus,
+    )
+    # Phase 2: co-locate chunk rows per partition, write containers.
+    metrics = chunks.groupby("part_id").map_groups(
+        PartitionWriter,
         batch_format="pyarrow",
         fn_constructor_kwargs={
             "out_dir": cfg.out_dir,
             "codec_overrides": cfg.codec_overrides,
             "zstd": cfg.zstd,
+            "compact_tokens": cfg.compact_tokens,
         },
-        concurrency=cfg.encode_concurrency,
-        num_cpus=cfg.encode_num_cpus,
+        concurrency=(1, 16),
+        num_cpus=1.0,
     )
     return metrics

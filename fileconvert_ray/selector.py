@@ -39,10 +39,16 @@ def _sample_str(arr: pa.Array) -> pa.Array:
     return pa.concat_arrays([arr.slice(s, win) for s in starts])
 
 
-def select(values, kind: str, candidates: list[str] | None = None) -> str:
-    """Return the codec name with the smallest estimated encoded size."""
+def select(values, kind: str, candidates: list[str] | None = None, zstd: bool = True) -> str:
+    """Return the codec name with the smallest estimated encoded size.
+
+    ``zstd=False`` excludes codecs whose estimate assumes the zstd
+    topper (dictz's byte-aligned indices only pay off under entropy
+    coding)."""
     from .codecs import INT_CODECS, STR_CODECS
 
+    if not zstd:
+        candidates = [c for c in (candidates or ["plain", "for_bitpack", "rle", "dict", "fsst"])]
     if kind == "int":
         sample = _sample_int(np.ascontiguousarray(values, dtype=np.int64))
         table = INT_CODECS

@@ -1,17 +1,27 @@
-"""Partition encoder — the stateful actor-pool stage (SURVEY.md §2.2 E5/E6/E8).
+"""Two-phase partition encoder (SURVEY.md §2.2 E5/E6/E8).
 
-``EncoderActor`` is a callable class handed to
-``groupby("part_id").map_groups(EncoderActor, batch_format="pyarrow",
-concurrency=N)``: construction happens once per actor (codec choice +
-FSST symbol-table caches keyed by (source, column) survive across the
-many partitions one actor encodes); ``__call__`` encodes one partition
-group, writes its container atomically, emits the manifest line LAST,
-and returns one metrics row (counters are data, never actor globals,
-so task retries cannot double-count — SURVEY §3.2).
+Map-combine architecture (the "pre-aggregate before the shuffle"
+pattern, ray_guide.md §Aggregation-at-scale, applied to encoding):
+
+1. ``ChunkEncoder`` — stateful actor-pool ``map_batches`` stage.  Each
+   batch is split by ``part_id`` (one vectorized sort + slice) and
+   every sub-chunk's four columns are encoded immediately, emitting
+   tiny rows ``(part_id, chunk_uid, column, codec, params, payload,
+   ...)``.  The shuffle that follows therefore moves ~0.6-2 B/token of
+   codec output instead of 4 B/token of raw values — the all-to-all
+   exchange shrinks by the compression ratio.  FSST symbol tables and
+   codec choices are cached per (source, column) across batches (the
+   actor-pool state the north star calls for).
+2. ``groupby(part_id).map_groups(PartitionWriter)`` — co-locates each
+   partition's chunk rows (cheap: rows are already compressed), writes
+   the container parquet atomically, emits the manifest line LAST, and
+   returns one metrics row.  No partition-sized compute stragglers:
+   heavy encoding happened chunk-wise in phase 1.
 
 The tokens list column is encoded from its flat int32 values buffer
-(zero-copy via ``ListArray.flatten()``); offsets ride for free on the
-already-present ``n_tok`` column (SURVEY §1.2).
+(``ListArray.flatten()``, zero-copy); offsets ride on ``n_tok``
+(SURVEY §1.2).  Counters are data rows, never actor globals, so task
+retries cannot double-count (SURVEY §3.2).
 """
 
 from __future__ import annotations
@@ -23,6 +33,7 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..codecs import EncodedColumn, encode_array
@@ -33,15 +44,20 @@ from ..state.manifest import JobDirs, write_manifest_entry
 CONTAINER_SCHEMA = pa.schema(
     [
         ("part_id", pa.string()),
+        ("source", pa.string()),
+        ("chunk_uid", pa.string()),
         ("column", pa.string()),
         ("codec", pa.string()),
         ("params", pa.string()),
         ("payload", pa.binary()),
         ("n_values", pa.int64()),
+        ("n_rows", pa.int64()),
         ("plain_bytes", pa.int64()),
         ("crc32", pa.int64()),
     ]
 )
+
+COLUMNS = ("doc_id", "source", "n_tok", "tokens")
 
 
 def flat_tokens(batch: pa.Table) -> pa.Array:
@@ -65,7 +81,7 @@ def encode_partition_table(
     choice_cache: dict | None = None,
     source_key: str = "",
 ) -> tuple[list[EncodedColumn], dict]:
-    """Encode one partition's columns; returns encoded rows + per-column info."""
+    """Encode one chunk's columns; returns encoded rows + per-column info."""
     overrides = codec_overrides or {}
     encoded: list[EncodedColumn] = []
     info: dict[str, dict] = {}
@@ -93,22 +109,58 @@ def encode_partition_table(
     return encoded, info
 
 
-def container_table(part_id: str, encoded: list[EncodedColumn]) -> pa.Table:
-    rows = {
-        "part_id": [part_id] * len(encoded),
-        "column": [e.column for e in encoded],
-        "codec": [e.codec for e in encoded],
-        "params": [json.dumps(e.params) for e in encoded],
-        "payload": [e.payload for e in encoded],
-        "n_values": [e.n_values for e in encoded],
-        "plain_bytes": [e.plain_bytes for e in encoded],
-        "crc32": [e.crc32 for e in encoded],
-    }
-    return pa.Table.from_pydict(rows, schema=CONTAINER_SCHEMA)
+class ChunkEncoder:
+    """Map-side actor: batch -> encoded chunk rows, split by part_id."""
+
+    def __init__(self, codec_overrides: dict[str, str] | None = None, zstd: bool = True):
+        self.codec_overrides = codec_overrides or {}
+        self.zstd = zstd
+        self.fsst_cache: dict = {}  # (source, column) -> SymbolTable
+        self.choice_cache: dict = {}  # (source, column) -> codec name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({k: [] for k in CONTAINER_SCHEMA.names}, schema=CONTAINER_SCHEMA)
+        batch = batch.combine_chunks().sort_by("part_id")
+        pids = batch.column("part_id")
+        # boundaries of equal-part_id runs (batch is sorted)
+        enc_ = pids.dictionary_encode()
+        if isinstance(enc_, pa.ChunkedArray):
+            enc_ = enc_.combine_chunks()
+        idx = enc_.indices.to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(idx)) + 1, [len(idx)]))
+        cols: dict[str, list] = {k: [] for k in CONTAINER_SCHEMA.names}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub = batch.slice(s, e - s)
+            part_id = pids[s].as_py()
+            source = sub.column("source")[0].as_py()
+            chunk_uid = uuid.uuid4().hex
+            encoded, _info = encode_partition_table(
+                sub.drop_columns(["part_id"]),
+                codec_overrides=self.codec_overrides,
+                zstd=self.zstd,
+                fsst_cache=self.fsst_cache,
+                choice_cache=self.choice_cache,
+                source_key=source,
+            )
+            for ec in encoded:
+                cols["part_id"].append(part_id)
+                cols["source"].append(source)
+                cols["chunk_uid"].append(chunk_uid)
+                cols["column"].append(ec.column)
+                cols["codec"].append(ec.codec)
+                cols["params"].append(json.dumps(ec.params))
+                cols["payload"].append(ec.payload)
+                cols["n_values"].append(ec.n_values)
+                cols["n_rows"].append(sub.num_rows)
+                cols["plain_bytes"].append(ec.plain_bytes)
+                cols["crc32"].append(ec.crc32)
+        return pa.Table.from_pydict(cols, schema=CONTAINER_SCHEMA)
 
 
-class EncoderActor:
-    """Callable class for the map_groups actor pool (one call = one partition)."""
+class PartitionWriter:
+    """Reduce-side actor: one partition's chunk rows -> atomic container
+    + manifest line (LAST) + one metrics row."""
 
     METRICS_SCHEMA = pa.schema(
         [
@@ -116,6 +168,7 @@ class EncoderActor:
             ("source", pa.string()),
             ("n_rows", pa.int64()),
             ("n_tokens", pa.int64()),
+            ("n_chunks", pa.int64()),
             ("plain_bytes", pa.int64()),
             ("encoded_bytes", pa.int64()),
             ("codecs", pa.string()),
@@ -123,55 +176,105 @@ class EncoderActor:
         ]
     )
 
-    def __init__(self, out_dir: str, codec_overrides: dict[str, str] | None = None, zstd: bool = True):
+    def __init__(
+        self,
+        out_dir: str,
+        codec_overrides: dict | None = None,
+        zstd: bool = True,
+        compact_tokens: int | None = None,
+    ):
         self.dirs = JobDirs(out_dir).create()
         self.codec_overrides = codec_overrides or {}
         self.zstd = zstd
-        self.fsst_cache: dict = {}  # (source, column) -> SymbolTable
-        self.choice_cache: dict = {}  # (source, column) -> codec name
+        self.compact_tokens = compact_tokens
+        self.fsst_cache: dict = {}
+        self.choice_cache: dict = {}
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        if group.num_rows == 0:
-            return pa.Table.from_pydict({k: [] for k in self.METRICS_SCHEMA.names}, schema=self.METRICS_SCHEMA)
+    def _compact(self, group: pa.Table) -> pa.Table:
+        """Small partition: decode its chunks and re-encode as ONE chunk,
+        shedding per-chunk dictionary/params overhead (the chunked map
+        phase optimizes shuffle volume; compaction restores single-shot
+        compression quality where the partition is small anyway)."""
+        from .decoder import decode_container_table
+
+        decoded = decode_container_table(group)
         part_id = group.column("part_id")[0].as_py()
         source = group.column("source")[0].as_py()
-        body = group.drop_columns(["part_id"])
-        encoded, info = encode_partition_table(
-            body,
+        encoded, _info = encode_partition_table(
+            decoded,
             codec_overrides=self.codec_overrides,
             zstd=self.zstd,
             fsst_cache=self.fsst_cache,
             choice_cache=self.choice_cache,
             source_key=source,
         )
-        cont = container_table(part_id, encoded)
+        chunk_uid = uuid.uuid4().hex
+        cols: dict[str, list] = {k: [] for k in CONTAINER_SCHEMA.names}
+        for ec in encoded:
+            cols["part_id"].append(part_id)
+            cols["source"].append(source)
+            cols["chunk_uid"].append(chunk_uid)
+            cols["column"].append(ec.column)
+            cols["codec"].append(ec.codec)
+            cols["params"].append(json.dumps(ec.params))
+            cols["payload"].append(ec.payload)
+            cols["n_values"].append(ec.n_values)
+            cols["n_rows"].append(decoded.num_rows)
+            cols["plain_bytes"].append(ec.plain_bytes)
+            cols["crc32"].append(ec.crc32)
+        return pa.Table.from_pydict(cols, schema=CONTAINER_SCHEMA)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        if group.num_rows == 0:
+            return pa.Table.from_pydict({k: [] for k in self.METRICS_SCHEMA.names}, schema=self.METRICS_SCHEMA)
+        group = group.combine_chunks()
+        is_tok = pc.equal(group.column("column"), "tokens")
+        tok_total = int(pc.sum(pc.if_else(is_tok, group.column("n_values"), 0)).as_py() or 0)
+        if self.compact_tokens is None or tok_total <= self.compact_tokens:
+            group = self._compact(group)
+        part_id = group.column("part_id")[0].as_py()
         tmp = os.path.join(self.dirs.tmp, f"{part_id}-{uuid.uuid4().hex}.parquet")
-        # container payloads are already codec-compressed; store uncompressed
-        pq.write_table(cont, tmp, compression="none")
+        # payloads are codec-compressed already; container stays raw
+        pq.write_table(group, tmp, compression="none")
         os.replace(tmp, self.dirs.container_path(part_id))
-        enc_bytes = int(os.path.getsize(self.dirs.container_path(part_id)))
-        n_tokens = int(sum(e.n_values for e in encoded if e.column == "tokens"))
+
+        colnames = group.column("column").to_pylist()
+        n_values = group.column("n_values").to_numpy()
+        n_rows_col = group.column("n_rows").to_numpy()
+        plain = group.column("plain_bytes").to_numpy()
+        payload_len = pc.binary_length(group.column("payload")).to_numpy()
+        params_len = pc.utf8_length(group.column("params")).to_numpy()
+        codecs_used = group.column("codec").to_pylist()
+        is_tokens = np.array([c == "tokens" for c in colnames])
+        is_docid = np.array([c == "doc_id" for c in colnames])
+        n_tokens = int(n_values[is_tokens].sum())
+        n_rows = int(n_rows_col[is_docid].sum())
+        per_col = {}
+        for c, cod in zip(colnames, codecs_used):
+            per_col.setdefault(c, cod)
+        source = group.column("source")[0].as_py()
         record = {
             "part_id": part_id,
             "source": source,
-            "n_rows": group.num_rows,
+            "n_rows": n_rows,
             "n_tokens": n_tokens,
-            "columns": info,
-            "container_bytes": enc_bytes,
+            "n_chunks": int(is_tokens.sum()),
+            "columns": per_col,
+            "container_bytes": int(os.path.getsize(self.dirs.container_path(part_id))),
             "wall_s": round(time.perf_counter() - t0, 6),
         }
         write_manifest_entry(self.dirs, part_id, record)  # LAST: marks completion
-        payload_bytes = int(sum(len(e.payload) + len(json.dumps(e.params)) for e in encoded))
         return pa.Table.from_pydict(
             {
                 "part_id": [part_id],
                 "source": [source],
-                "n_rows": [group.num_rows],
+                "n_rows": [n_rows],
                 "n_tokens": [n_tokens],
-                "plain_bytes": [int(sum(e.plain_bytes for e in encoded))],
-                "encoded_bytes": [payload_bytes],
-                "codecs": [json.dumps({k: v["codec"] for k, v in info.items()})],
+                "n_chunks": [record["n_chunks"]],
+                "plain_bytes": [int(plain.sum())],
+                "encoded_bytes": [int(payload_len.sum() + params_len.sum())],
+                "codecs": [json.dumps(per_col)],
                 "wall_s": [record["wall_s"]],
             },
             schema=self.METRICS_SCHEMA,

@@ -1,0 +1,165 @@
+"""Functional tests for training-data ops: dedup finds injected
+duplicates, knn matches brute force, multimodal plumbing works."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_dups():
+    """20 base docs + exact dups + near dups (one word changed)."""
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(20)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": f"d{i:04d}", "text": t})
+    # exact duplicates of docs 0..4
+    for i in range(5):
+        rows.append({"doc_id": f"e{i:04d}", "text": base[i]})
+    # near duplicates of docs 5..9 (change one word)
+    for i in range(5, 10):
+        words = base[i].split()
+        words[3] = "CHANGED"
+        rows.append({"doc_id": f"n{i:04d}", "text": " ".join(words)})
+    return pa.Table.from_pylist(rows)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import exact_dedup
+
+    t = _docs_with_dups()
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    # 25 distinct texts (20 base + 5 near-dups); exact dups e* dropped
+    assert len(out) == 25
+    assert not out["doc_id"].str.startswith("e").any()
+
+
+def test_minhash_dedup_catches_near_dups(ray_session):
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import minhash_dedup
+
+    t = _docs_with_dups()
+    surv, pairs = minhash_dedup(rd.from_arrow(t), threshold=0.5)
+    out = surv.to_pandas()
+    # every exact dup pair must be found; near dups (1 word / 40) too
+    found = set(map(tuple, pairs[["a", "b"]].itertuples(index=False, name=None)))
+    for i in range(5):
+        assert (f"d{i:04d}", f"e{i:04d}") in found
+    for i in range(5, 10):
+        assert (f"d{i:04d}", f"n{i:04d}") in found
+    assert len(out) == 20  # one survivor per cluster
+    assert set(out["doc_id"]) == {f"d{i:04d}" for i in range(20)}
+
+
+def test_simhash_dedup_exact(ray_session):
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import simhash_dedup
+
+    t = _docs_with_dups()
+    surv, pairs = simhash_dedup(rd.from_arrow(t), h_max=2)
+    found = set(map(tuple, pairs[["a", "b"]].itertuples(index=False, name=None)))
+    for i in range(5):
+        assert (f"d{i:04d}", f"e{i:04d}") in found  # hamming 0
+    out = surv.to_pandas()
+    assert len(out) <= 25
+
+
+def test_ngram_jaccard():
+    from fileconvert_ray.functions.dedup import ngram_jaccard
+
+    j = ngram_jaccard(["a b c d e"], ["a b c d e"])[0]
+    assert j == 1.0
+    j2 = ngram_jaccard(["a b c d e"], ["x y z w v"])[0]
+    assert j2 == 0.0
+
+
+def test_knn_matches_bruteforce(ray_session):
+    import ray
+    import ray.data as rd
+
+    from fileconvert_ray.functions.similarity import knn_search
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 200, 16, 5
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.Table.from_pydict(
+        {"vec_id": pa.array(np.arange(n)), "embedding": pa.array(list(m), type=pa.list_(pa.float32()))}
+    )
+    qids = [0, 7]
+    ref = ray.put((qids, m[qids].astype(np.float64)))
+    got = knn_search(rd.from_arrow(t), ref, k=k).to_pandas()
+
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    s = np.round(mn @ mn.T, 6)
+    for q in qids:
+        scores = s[q].copy()
+        order = sorted(range(n), key=lambda i: (-scores[i], i))
+        expect = [i for i in order if i != q][:k]
+        sub = got[got.qid == q].sort_values(["score", "nid"], ascending=[False, True])
+        assert sub["nid"].tolist() == expect
+
+
+def test_lsh_dup_pairs_subset_of_exact(ray_session):
+    import ray
+    import ray.data as rd
+
+    from fileconvert_ray.functions.similarity import embedding_dup_pairs, lsh_dup_pairs
+
+    rng = np.random.default_rng(13)
+    n, dim = 300, 8
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    m[50] = m[10] + 0.01  # planted near-dup
+    t = pa.Table.from_pydict(
+        {"vec_id": pa.array(np.arange(n)), "embedding": pa.array(list(m), type=pa.list_(pa.float32()))}
+    )
+    ids = np.arange(n)
+    exact = embedding_dup_pairs(
+        rd.from_arrow(t), threshold=0.99, matrix_ref=ray.put((ids, m.astype(np.float64)))
+    ).to_pandas()
+    approx = lsh_dup_pairs(rd.from_arrow(t), dim=dim, threshold=0.99, planes=6).to_pandas()
+    exact_set = set(map(tuple, exact[["a", "b"]].itertuples(index=False, name=None)))
+    approx_set = set(map(tuple, approx[["a", "b"]].itertuples(index=False, name=None)))
+    assert (10, 50) in exact_set
+    assert approx_set <= exact_set  # LSH never invents pairs
+    assert (10, 50) in approx_set  # near-identical vectors share all buckets
+
+
+def test_multimodal_fake_image(ray_session):
+    import ray.data as rd
+
+    from fileconvert_ray.functions.multimodal import ImageDecodeStage, make_fake_image
+
+    blobs = pa.Table.from_pydict(
+        {
+            "blob_id": ["a", "b"],
+            "payload": pa.array([make_fake_image(4, 3, 1), make_fake_image(8, 2, 2)], type=pa.binary()),
+            "media_type": ["image/fake", "image/fake"],
+        }
+    )
+    out = (
+        rd.from_arrow(blobs)
+        .map_batches(ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+                     batch_format="pyarrow", concurrency=1, batch_size=1)
+        .to_pandas()
+        .sort_values("blob_id")
+    )
+    assert out["width"].tolist() == [4, 8]
+    assert out["height"].tolist() == [3, 2]
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(fake=False)
+
+
+def test_quality_empty_word_edge():
+    from fileconvert_ray.functions.textstats import quality_batch
+
+    t = pa.Table.from_pydict({"doc_id": [1, 2], "text": ["a b c", "hello"]})
+    out = quality_batch(t).to_pandas()
+    assert out["n_words"].tolist() == [3, 1]
+    assert out["stop_ratio"].tolist()[0] == pytest.approx(1 / 3)
