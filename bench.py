@@ -87,6 +87,7 @@ def run_bench() -> dict:
     # ---- headline: partitioned encode of the synthetic corpus
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     factory = lambda: rd.read_parquet(CORPUS_DIR)
+    stats_factory = lambda: rd.read_parquet(CORPUS_DIR, columns=["source", "n_tok"])
     t0 = time.perf_counter()
     metrics = run_encode(
         factory,
@@ -94,7 +95,9 @@ def run_bench() -> dict:
             out_dir=OUT_DIR,
             target_partition_tokens=8_000_000,
             encode_concurrency=(1, max(2, NUM_CPUS - 4)),
+            write_concurrency=(1, max(2, NUM_CPUS - 8)),
         ),
+        stats_factory=stats_factory,
     ).to_pandas()
     t_encode = time.perf_counter() - t0
     queries["encode_synth"] = round(t_encode, 3)

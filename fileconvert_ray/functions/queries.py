@@ -412,6 +412,33 @@ def q_encode_roundtrip(sf_dir: str):
     return run_verify(factory, out)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """FileConvert conformance (R13): csv->parquet->csv->parquet over a
+    deterministic fixture; returns one row with the bit-identity verdict.
+    Rows-only check (conversion fidelity is not SQL-expressible)."""
+    import glob
+
+    from ..sources.csvio import CsvOptions, csv_to_parquet, parquet_to_csv, write_fixture_csv
+
+    base = _job_dir(sf_dir, "csvrt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src = os.path.join(base, "fixture.csv")
+    write_fixture_csv(src)
+    pq1, csv2, pq2 = (os.path.join(base, d) for d in ("pq1", "csv2", "pq2"))
+    csv_to_parquet(src, pq1)
+    parquet_to_csv(sorted(glob.glob(pq1 + "/*.parquet")), csv2)
+    t1 = pa.concat_tables([pq.read_table(p) for p in sorted(glob.glob(pq1 + "/*.parquet"))])
+    csv_to_parquet(sorted(glob.glob(csv2 + "/*.csv")), pq2, schema=t1.schema,
+                   opts=CsvOptions(sanitize=False))
+    t2 = pa.concat_tables([pq.read_table(p) for p in sorted(glob.glob(pq2 + "/*.parquet"))])
+    a, b = t1.sort_by("id").combine_chunks(), t2.sort_by("id").combine_chunks()
+    ok = a.schema.equals(b.schema) and all(
+        a.column(c).equals(b.column(c)) for c in a.column_names
+    )
+    return pa.Table.from_pydict({"n_rows": [a.num_rows], "bit_identical": [ok]})
+
+
 def q_encode_metrics(sf_dir: str):
     from ..pipelines.encode_job import EncodeConfig, run_encode
 
@@ -445,6 +472,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "encode_roundtrip": q_encode_roundtrip,
     "encode_metrics": q_encode_metrics,
+    "csv_roundtrip": q_csv_roundtrip,
 }
 
 _VOCAB_CTE = """

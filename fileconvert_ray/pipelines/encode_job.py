@@ -38,15 +38,19 @@ class EncodeConfig:
         default_factory=lambda: {"doc_id": "plain", "source": "dict", "n_tok": "plain", "tokens": "plain"}
     )
     compact_tokens: int | None = None  # None = always compact on reduce
+    write_concurrency: tuple | int = (1, 16)
 
 
-def run_encode(ds_factory, cfg: EncodeConfig):
+def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
     """ds_factory() -> tokseq Dataset (called twice: stats pass + encode;
     Ray datasets are consumed by execution, and re-reading beats
-    materializing the whole input).  Returns the metrics Dataset."""
+    materializing the whole input).  ``stats_factory`` optionally
+    provides a column-pruned (source, n_tok) dataset for the stats pass
+    — for parquet inputs that read is ~10x cheaper than the full scan.
+    Returns the metrics Dataset."""
     JobDirs(cfg.out_dir).create()
 
-    stats = source_stats(ds_factory())
+    stats = source_stats((stats_factory or ds_factory)())
     plan = bucket_plan(stats, cfg.target_partition_tokens)
     write_plan(
         cfg.out_dir,
@@ -90,7 +94,7 @@ def run_encode(ds_factory, cfg: EncodeConfig):
             "zstd": cfg.zstd,
             "compact_tokens": cfg.compact_tokens,
         },
-        concurrency=(1, 16),
+        concurrency=cfg.write_concurrency,
         num_cpus=1.0,
     )
     return metrics

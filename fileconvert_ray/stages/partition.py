@@ -30,11 +30,13 @@ def sanitize_id(name: str) -> str:
 
 
 def source_stats(ds) -> dict[str, int]:
-    """Per-source token totals via per-batch partials + a tiny groupby
-    (pre-aggregation pattern — the shuffle moves one row per source per
-    batch, not one per input row)."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    """Per-source token totals via per-batch partials, merged on the
+    driver.  No groupby shuffle: the partial stream is O(tasks x
+    sources) tiny rows, and a Ray sort-based groupby costs seconds of
+    fixed barrier latency — pure overhead for a k<=thousands-row
+    aggregate.  (At 10^12-sequence scale this driver merge is still
+    O(read-tasks x sources); if sources explode, swap the tail for one
+    groupby over the partials.)"""
 
     def partial(batch: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(batch.select(["source", "n_tok"]), "source").aggregate(
@@ -43,9 +45,11 @@ def source_stats(ds) -> dict[str, int]:
         return g.rename_columns(["source", "tok"])
 
     small = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = small.groupby("source").aggregate(Sum("tok", alias_name="tokens"))
-    out = agg.to_pandas()  # O(sources) rows — safe to materialize
-    return dict(zip(out["source"], out["tokens"].astype(int)))
+    totals: dict[str, int] = {}
+    for b in small.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for src, tok in zip(b.column("source").to_pylist(), b.column("tok").to_pylist()):
+            totals[src] = totals.get(src, 0) + int(tok)
+    return totals
 
 
 def bucket_plan(
