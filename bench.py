@@ -105,6 +105,16 @@ def run_bench() -> dict:
     extra["encode_tokens"] = n_tokens
     extra["tokens_per_sec"] = round(n_tokens / t_encode)
     extra["bytes_per_token"] = round(float(metrics["encoded_bytes"].sum()) / n_tokens, 4)
+    # Reference proxy (north rule "<= reference compressed size"): the input
+    # corpus is itself parquet+zstd with dictionary encoding — FileConvert's
+    # best-codec Parquet sink output on identical data (SURVEY.md §6).
+    ref_bytes = sum(
+        os.path.getsize(os.path.join(CORPUS_DIR, f))
+        for f in os.listdir(CORPUS_DIR)
+        if f.endswith(".parquet")
+    )
+    extra["ref_parquet_zstd_bytes_per_token"] = round(ref_bytes / n_tokens, 4)
+    extra["size_vs_ref"] = round(float(metrics["encoded_bytes"].sum()) / ref_bytes, 4)
 
     # ---- decode-verify of the same output
     t0 = time.perf_counter()

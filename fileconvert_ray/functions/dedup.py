@@ -314,6 +314,58 @@ def simhash_dedup(ds, *, h_max: int = 3, chunks: int = 4, seed: int = 2):
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True), pairs
 
 
+def _ngram_pairs_group(group: pa.Table, k: int, threshold: float, seed: int) -> pa.Table:
+    """Exact pairwise word-k-gram Jaccard within one co-partitioned group.
+
+    Shingle sets are 64-bit hashes (vectorized rolling combine); Jaccard
+    over hash sets equals Jaccard over the gram-string sets w.h.p.
+    (collision probability ~n^2/2^64 per pair)."""
+    ids = [str(x) for x in group.column("doc_id").to_pylist()]
+    texts = group.column("text").combine_chunks()
+    sh, n_sh = _word_kgram_hashes(texts, k, seed)
+    offs = np.concatenate(([0], np.cumsum(n_sh)))
+    sets = [np.unique(sh[offs[i] : offs[i + 1]]) for i in range(len(ids))]
+    out_a: list[str] = []
+    out_b: list[str] = []
+    out_j: list[float] = []
+    for i in range(len(ids)):
+        if len(sets[i]) == 0:
+            continue
+        for j in range(i + 1, len(ids)):
+            if len(sets[j]) == 0 or ids[i] == ids[j]:
+                continue
+            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            union = len(sets[i]) + len(sets[j]) - inter
+            # half-AWAY rounding (like DuckDB round()): jaccard ratios of
+            # small ints are often dyadic, landing exactly on .5 ties
+            # where np.round's half-even would disagree with the oracle
+            jac = float(np.floor(inter / union * 1e6 + 0.5) / 1e6)
+            if jac >= threshold:
+                a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+    return pa.Table.from_pydict(
+        {"a": pa.array(out_a, type=pa.string()), "b": pa.array(out_b, type=pa.string()),
+         "jaccard": pa.array(out_j, type=pa.float64())}
+    )
+
+
+def ngram_dup_pairs(ds, *, k: int = 2, threshold: float = 0.05, group_col: str = "source",
+                    seed: int = 1):
+    """Within-group exact n-gram-Jaccard near-dup pairs (a<b, jac>=t).
+
+    The groupby key bounds the O(n^2) pairwise work per group; at scale
+    the key is a coarse pre-cluster (source, LSH band, length bucket)
+    rather than all-pairs.  Columns (a, b, jaccard) match the DuckDB
+    ``list_intersect`` oracle exactly."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        return _ngram_pairs_group(group, k, threshold, seed)
+
+    return ds.groupby(group_col).map_groups(pairs, batch_format="pyarrow")
+
+
 def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 3, seed: int = 1) -> np.ndarray:
     """Exact word-k-gram Jaccard for verification of candidate pairs."""
     out = np.zeros(len(texts_a))

@@ -28,9 +28,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..sources.tokseq import tokseq_dataset
-from .dedup import exact_dedup, minhash_dedup, simhash_dedup
+from .dedup import exact_dedup, minhash_dedup, ngram_dup_pairs, simhash_dedup
 from .multimodal import BlobStats, blobs_from_documents
-from .similarity import embedding_dup_pairs, knn_search, lsh_dup_pairs
+from .similarity import build_ivf_probes, embedding_dup_pairs, ivf_knn, knn_search, lsh_dup_pairs
 from .textstats import TOKEN_RE, LangId, TokenCounter, fingerprint_batch, quality_batch
 
 COSINE_T = 0.3
@@ -38,6 +38,9 @@ PRICE_T = 400_000.0
 TOP_K = 10
 KNN_K = 5
 KNN_QIDS = (0, 1, 2)
+NGRAM_T = 0.05
+IVF_NLIST = 16
+SAMPLE_HEX = "1a"  # md5-prefix sample: ~ int('1a',16)/256 = 10.2% of rows
 
 
 def _sum_groupby(ds, keys: list[str], int_cols: list[str]):
@@ -229,6 +232,38 @@ def q_simhash_dedup_docs(sf_dir: str):
     )
 
 
+def q_ngram_dup_pairs(sf_dir: str):
+    """Exact within-source word-bigram Jaccard pairs (E-dedup scale
+    pattern: co-partition by a coarse key, pairwise only inside)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    return ngram_dup_pairs(ds, k=2, threshold=NGRAM_T, group_col="source")
+
+
+def q_seeded_sample(sf_dir: str):
+    """Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix
+    sorts below a cut.  Content-hash sampling is reproducible across
+    runs/cluster sizes and SQL-expressible (unlike RNG sampling)."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        keep = pa.array(
+            [hashlib.md5(s.encode()).hexdigest()[:2] < SAMPLE_HEX for s in ids.to_pylist()]
+        )
+        return pa.Table.from_arrays(
+            [ids.filter(keep), batch.column("source").filter(keep)],
+            names=["doc_id", "source"],
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------- embeddings / ANN
 
 
@@ -266,6 +301,23 @@ def q_knn_search(sf_dir: str):
     ref = ray.put((list(np.asarray(ids)[qsel]), m[qsel]))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_search(ds, ref, k=KNN_K)
+
+
+def q_ivf_knn_search(sf_dir: str):
+    """IVF ANN with nprobe == nlist (exhaustive probing) so the result
+    matches the exact brute-force oracle; smaller nprobe is the
+    recall/compute knob at scale (similarity.ivf_knn docstring)."""
+    import ray
+    import ray.data as rd
+
+    ids, m = _load_embeddings(sf_dir)
+    order = np.argsort(ids)
+    cent = m[order[: min(IVF_NLIST, len(ids))]]
+    qsel = np.isin(ids, KNN_QIDS)
+    probes = build_ivf_probes(m[qsel], cent, nprobe=len(cent))
+    ref = ray.put((list(np.asarray(ids)[qsel]), m[qsel], cent, probes))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_knn(ds, ref, k=KNN_K)
 
 
 def q_lsh_dup_pairs(sf_dir: str):
@@ -464,7 +516,10 @@ QUERIES = {
     "simhash_dedup_docs": q_simhash_dedup_docs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "knn_search": q_knn_search,
+    "ivf_knn_search": q_ivf_knn_search,
     "lsh_dup_pairs": q_lsh_dup_pairs,
+    "ngram_dup_pairs": q_ngram_dup_pairs,
+    "seeded_sample": q_seeded_sample,
     "blob_stats": q_blob_stats,
     "pricing_summary": q_pricing_summary,
     "orders_per_nation": q_orders_per_nation,
@@ -535,6 +590,36 @@ ORACLE_SQL = {
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as score
         from embeddings a join embeddings b on a.vec_id < b.vec_id
         where round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COSINE_T}
+    """,
+    "ngram_dup_pairs": f"""
+        with g as (
+          select cast(doc_id as varchar) as doc_id, source,
+                 list_distinct([ws[i] || ' ' || ws[i+1]
+                                for i in generate_series(1, len(ws)-1)]) as grams
+          from (select doc_id, source, string_split(text, ' ') as ws from documents)
+        )
+        select a.doc_id as a, b.doc_id as b,
+               round(len(list_intersect(a.grams, b.grams))::double
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) as jaccard
+        from g a join g b on a.source = b.source and a.doc_id < b.doc_id
+        where len(a.grams) > 0 and len(b.grams) > 0
+          and round(len(list_intersect(a.grams, b.grams))::double
+                    / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= {NGRAM_T}
+    """,
+    "seeded_sample": f"""
+        select cast(doc_id as varchar) as doc_id, source from documents
+        where substr(md5(cast(doc_id as varchar)), 1, 2) < '{SAMPLE_HEX}'
+    """,
+    "ivf_knn_search": f"""
+        select q.vec_id as qid, e.vec_id as nid,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) as score
+        from embeddings q join embeddings e on e.vec_id != q.vec_id
+        where q.vec_id in {tuple(KNN_QIDS)}
+        qualify row_number() over (
+            partition by q.vec_id
+            order by round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) desc,
+                     e.vec_id asc
+        ) <= {KNN_K}
     """,
     "knn_search": f"""
         select q.vec_id as qid, e.vec_id as nid,
