@@ -19,6 +19,13 @@ import subprocess
 import sys
 import time
 
+# Keep glibc from returning large freed buffers to the kernel: codec
+# temporaries are MiB-scale and re-faulting fresh zero pages across 32
+# concurrent workers dominates decode CPU otherwise (measured 20x).
+# Must be set before ray.init so worker processes inherit it.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "500000"))
@@ -91,12 +98,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     metrics = run_encode(
         factory,
-        EncodeConfig(
-            out_dir=OUT_DIR,
-            target_partition_tokens=8_000_000,
-            encode_concurrency=(1, max(2, NUM_CPUS - 4)),
-            write_concurrency=(1, max(2, NUM_CPUS - 8)),
-        ),
+        EncodeConfig(out_dir=OUT_DIR, target_partition_tokens=8_000_000),
         stats_factory=stats_factory,
     ).to_pandas()
     t_encode = time.perf_counter() - t0
@@ -116,9 +118,9 @@ def run_bench() -> dict:
     extra["ref_parquet_zstd_bytes_per_token"] = round(ref_bytes / n_tokens, 4)
     extra["size_vs_ref"] = round(float(metrics["encoded_bytes"].sum()) / ref_bytes, 4)
 
-    # ---- decode-verify of the same output
+    # ---- decode-verify of the same output (hash mode: shuffle-free scale path)
     t0 = time.perf_counter()
-    v = run_verify(factory, OUT_DIR).to_pandas()
+    v = run_verify(factory, OUT_DIR, mode="hash").to_pandas()
     queries["verify_synth"] = round(time.perf_counter() - t0, 3)
     extra["verify_ok"] = bool(v["ok"].all())
 

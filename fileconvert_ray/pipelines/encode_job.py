@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..stages.encoder import ChunkEncoder, PartitionWriter
+from ..stages.encoder import ChunkEncoder, PartitionWriter, encode_chunks_task
 from ..stages.partition import bucket_plan, make_assigner, make_resume_filter, source_stats
 from ..state.manifest import JobDirs, completed_partitions, write_plan
 
@@ -27,7 +27,13 @@ class EncodeConfig:
     codec_overrides: dict = field(default_factory=dict)
     zstd: bool = True
     resume: bool = True
-    encode_concurrency: tuple | int = (1, 16)
+    # None = derive from cluster CPUs at run time.  The map-side encode
+    # runs as STATELESS TASKS when every map codec is fixed (the
+    # default): tasks start instantly and scale with the cluster, where
+    # an autoscaling actor pool spends seconds ramping up.  An actor
+    # pool is used only when map-side codecs are 'auto' (FSST/dict
+    # caches then pay off across batches).
+    encode_concurrency: tuple | int | None = None
     encode_num_cpus: float = 1.0
     chunk_rows: int = 4096  # map-side encode batch size (rows)
     # Map-side codecs are a cheap transport compression (shrink the
@@ -38,7 +44,11 @@ class EncodeConfig:
         default_factory=lambda: {"doc_id": "plain", "source": "dict", "n_tok": "plain", "tokens": "plain"}
     )
     compact_tokens: int | None = None  # None = always compact on reduce
-    write_concurrency: tuple | int = (1, 16)
+    compact_chunk_tokens: int = 4_000_000  # decode-friendly chunk size bound
+    # None = fixed pool sized to min(partitions, 3/4 of cluster CPUs).
+    # Fixed (not autoscaling) because the reduce phase is short and an
+    # autoscaling pool never reaches full width before the job ends.
+    write_concurrency: tuple | int | None = None
 
 
 def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
@@ -63,6 +73,18 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
 
     done = frozenset(completed_partitions(cfg.out_dir)) if cfg.resume else frozenset()
 
+    import ray
+
+    n_parts = int(sum(plan.values()))
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    write_conc = cfg.write_concurrency
+    if write_conc is None:
+        # autoscaling (1, ncpu-2): a FIXED pool reserves its CPUs for the
+        # whole job and starves the map phase before the shuffle barrier
+        # (measured 1.5x slower); min=1 keeps one slot warm, the pool
+        # fills only once sorted groups start arriving
+        write_conc = (1, max(2, min(n_parts, ncpu - 2)))
+
     ds = ds_factory().map_batches(
         make_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -72,20 +94,35 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
         )
     # Phase 1 (map-side combine): encode chunks BEFORE the shuffle so the
     # all-to-all moves codec output, not raw tokens.
-    chunks = ds.map_batches(
-        ChunkEncoder,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=cfg.chunk_rows,
-        fn_constructor_kwargs={
-            "codec_overrides": {**cfg.map_codec_overrides, **cfg.codec_overrides},
-            "zstd": cfg.zstd,
-        },
-        concurrency=cfg.encode_concurrency,
-        num_cpus=cfg.encode_num_cpus,
+    map_codecs = {**cfg.map_codec_overrides, **cfg.codec_overrides}
+    map_is_stateless = all(
+        map_codecs.get(c, "auto") != "auto" for c in ("doc_id", "source", "n_tok", "tokens")
     )
+    enc_kwargs = {"codec_overrides": map_codecs, "zstd": cfg.zstd}
+    if map_is_stateless and cfg.encode_concurrency is None:
+        chunks = ds.map_batches(
+            encode_chunks_task,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.chunk_rows,
+            fn_kwargs=enc_kwargs,
+            num_cpus=cfg.encode_num_cpus,
+        )
+    else:
+        chunks = ds.map_batches(
+            ChunkEncoder,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.chunk_rows,
+            fn_constructor_kwargs=enc_kwargs,
+            concurrency=cfg.encode_concurrency or (1, max(2, ncpu - 4)),
+            num_cpus=cfg.encode_num_cpus,
+        )
     # Phase 2: co-locate chunk rows per partition, write containers.
-    metrics = chunks.groupby("part_id").map_groups(
+    # num_partitions ~ writer width: more reduce partitions than writers
+    # only adds shuffle tasks and transfers; fewer starves the pool.
+    n_reduce = max(2, min(n_parts, write_conc if isinstance(write_conc, int) else write_conc[-1]))
+    metrics = chunks.groupby("part_id", num_partitions=n_reduce).map_groups(
         PartitionWriter,
         batch_format="pyarrow",
         fn_constructor_kwargs={
@@ -93,8 +130,9 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
             "codec_overrides": cfg.codec_overrides,
             "zstd": cfg.zstd,
             "compact_tokens": cfg.compact_tokens,
+            "compact_chunk_tokens": cfg.compact_chunk_tokens,
         },
-        concurrency=cfg.write_concurrency,
+        concurrency=write_conc,
         num_cpus=1.0,
     )
     return metrics

@@ -1,11 +1,21 @@
 """Decode-verify job (SURVEY.md §3.2b) — the engine's R13 round-trip contract.
 
-Re-derives the same partitions from the original input (plan.json makes
-bucket assignment deterministic), then per partition: read container ->
-decode -> align on doc_id -> assert token-array equality bit-identical
-(values, n_tok, source, doc_id).  Emits one (part_id, n_rows, ok,
-n_mismatch) row per partition; zip-by-partition, so no join shuffle
-beyond the part_id groupby (SURVEY §2.2 E10).
+Two modes:
+
+- ``mode="exact"``: re-derive the partitions from the original input
+  (plan.json makes bucket assignment deterministic), groupby(part_id),
+  and per partition align decoded vs original rows on doc_id and assert
+  token-array equality bit-identical (values, n_tok, source, doc_id) —
+  the literal per-row invariant.  Costs a full shuffle of the raw
+  input; right for tests and spot checks.
+- ``mode="hash"`` (the scale path): NO shuffle.  Two streaming passes —
+  originals: map_batches computes a per-row 64-bit content hash
+  (order-sensitive within the token array) and per-partition
+  (count, hash-sum) partials; containers: one task per partition
+  decodes and computes the same aggregate.  Equal (count, sum) pairs
+  certify multiset row equality up to hash collisions (~n^2/2^64),
+  with payload CRC32s still checked inside decode.  Per-partition
+  verdict rows are identical in shape to exact mode.
 """
 
 from __future__ import annotations
@@ -19,6 +29,60 @@ from ..stages.decoder import read_partition
 from ..stages.encoder import flat_tokens
 from ..stages.partition import make_assigner
 from ..state.manifest import JobDirs, read_plan
+from ..util.hashing import hash_strings_u64, splitmix64
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_GOLD2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _row_hashes_block(t: pa.Table) -> np.ndarray:
+    h = hash_strings_u64(t.column("doc_id"), seed=1)
+    with np.errstate(over="ignore"):
+        h ^= splitmix64(hash_strings_u64(t.column("source"), seed=2) + _GOLD)
+        n_tok = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        h ^= splitmix64(n_tok.astype(np.uint64) * _GOLD2)
+        flat = flat_tokens(t).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n_tok)))
+        pos = np.arange(len(flat), dtype=np.uint64) - np.repeat(
+            starts[:-1].astype(np.uint64), n_tok
+        )
+        th = splitmix64(flat.astype(np.uint64) * _GOLD + pos * _GOLD2)
+        seg = np.zeros(t.num_rows, dtype=np.uint64)
+        nonempty = n_tok > 0
+        if nonempty.any():
+            # starts of nonempty rows are strictly increasing, and empty
+            # rows contribute zero length, so reduceat segments cover
+            # exactly each nonempty row's tokens
+            seg_ne = np.add.reduceat(th, starts[:-1][nonempty])
+            seg[nonempty] = seg_ne
+        h = splitmix64(h ^ seg)
+    return h
+
+
+def row_hashes(t: pa.Table, stride_tokens: int = 2_000_000) -> np.ndarray:
+    """One uint64 content hash per tokseq row, identical for identical
+    (doc_id, source, n_tok, tokens) regardless of row order or chunking.
+    Token position is mixed in, so within-row reorder changes the hash;
+    summing row hashes per partition is then order-free across rows.
+
+    Processed in ~stride_tokens row-strides: each stride's temporaries
+    are a few MiB and get reused by the allocator, where one whole-table
+    pass would fault in hundreds of MiB of fresh pages per task."""
+    n = t.num_rows
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(lens)
+    if int(cum[-1]) <= stride_tokens:
+        return _row_hashes_block(t)
+    n_slices = -(-int(cum[-1]) // stride_tokens)
+    row_bounds = np.searchsorted(cum, np.arange(1, n_slices) * stride_tokens) + 1
+    bounds = np.concatenate(([0], row_bounds, [n]))
+    out = np.empty(n, dtype=np.uint64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e > s:
+            out[int(s) : int(e)] = _row_hashes_block(t.slice(int(s), int(e - s)))
+    return out
 
 VERIFY_SCHEMA = pa.schema(
     [
@@ -88,12 +152,121 @@ def make_verifier(out_dir: str):
     return verify_group
 
 
-def run_verify(ds_factory, out_dir: str):
-    """Returns the per-partition verify Dataset; any ok=False is a failure."""
+def _hash_partial(batch: pa.Table, plan: dict) -> pa.Table:
+    """(part_id, n_rows, hsum) partial for one batch of originals."""
+    batch = make_assigner(plan)(batch)
+    h = row_hashes(batch)
+    pid = batch.column("part_id")
+    if isinstance(pid, pa.ChunkedArray):
+        pid = pid.combine_chunks()
+    denc = pid.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    k = len(denc.dictionary)
+    sums = np.zeros(k, dtype=np.uint64)
+    np.add.at(sums, idx, h)
+    counts = np.bincount(idx, minlength=k)
+    return pa.Table.from_pydict(
+        {
+            "part_id": denc.dictionary,
+            "n_rows": pa.array(counts.astype(np.int64)),
+            "hsum": pa.array(sums.view(np.int64)),
+        }
+    )
+
+
+def _container_digest(batch: pa.Table, out_dir: str) -> pa.Table:
+    """Decode each listed container and compute its (count, hash-sum)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decoder import iter_container_chunks
+
+    dirs = JobDirs(out_dir)
+    rows = {"part_id": [], "n_rows": [], "hsum": [], "readable": []}
+    for part_id in batch.column("part_id").to_pylist():
+        path = dirs.container_path(part_id)
+        try:
+            n_rows, hsum = 0, np.uint64(0)
+            # chunk-streamed: decode + hash one bounded chunk at a time
+            for chunk in iter_container_chunks(pq.read_table(path)):
+                h = row_hashes(chunk)
+                n_rows += chunk.num_rows
+                with np.errstate(over="ignore"):
+                    hsum += h.sum(dtype=np.uint64)
+            rows["part_id"].append(part_id)
+            rows["n_rows"].append(n_rows)
+            rows["hsum"].append(int(hsum.view(np.int64)))
+            rows["readable"].append(True)
+        except Exception:
+            rows["part_id"].append(part_id)
+            rows["n_rows"].append(0)
+            rows["hsum"].append(0)
+            rows["readable"].append(False)
+    return pa.Table.from_pydict(rows)
+
+
+def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
+    """Returns the per-partition verify Dataset; any ok=False is a failure.
+
+    mode="exact": per-row alignment via a part_id shuffle (tests).
+    mode="hash": shuffle-free streaming digest comparison (scale path).
+    """
     plan = read_plan(out_dir)["buckets"]
-    ds = ds_factory().map_batches(
-        make_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
+    if mode == "exact":
+        ds = ds_factory().map_batches(
+            make_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return ds.groupby("part_id").map_groups(
+            make_verifier(out_dir), batch_format="pyarrow"
+        )
+
+    import ray.data as rd
+
+    # pass A: originals -> per-partition (count, hash-sum), merged driver-side
+    partials = ds_factory().map_batches(
+        _hash_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, fn_kwargs={"plan": plan},
     )
-    return ds.groupby("part_id").map_groups(
-        make_verifier(out_dir), batch_format="pyarrow"
+    expected: dict[str, list] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for p, n, s in zip(
+            b.column("part_id").to_pylist(),
+            b.column("n_rows").to_pylist(),
+            b.column("hsum").to_pylist(),
+        ):
+            e = expected.setdefault(p, [0, 0])
+            e[0] += int(n)
+            e[1] = (e[1] + int(s)) % (1 << 64)  # int64 view of a uint64; mod wraps negatives
+
+    # pass B: one decode task per container (no shuffle; parallel tasks)
+    part_ids = sorted(expected)
+    # one block per partition: from_items defaults to a single block,
+    # which would serialize all container decodes into one task
+    parts_ds = rd.from_items(
+        [{"part_id": p} for p in part_ids], override_num_blocks=max(1, len(part_ids))
     )
+    digests = parts_ds.map_batches(
+        _container_digest, batch_format="pyarrow", batch_size=1,
+        fn_kwargs={"out_dir": out_dir}, num_cpus=1.0,
+    )
+    got = {}
+    for b in digests.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for p, n, s, r in zip(
+            b.column("part_id").to_pylist(),
+            b.column("n_rows").to_pylist(),
+            b.column("hsum").to_pylist(),
+            b.column("readable").to_pylist(),
+        ):
+            got[p] = (int(n), int(s) % (1 << 64), r)
+
+    out = {"part_id": [], "n_rows": [], "ok": [], "n_mismatch": []}
+    for p in part_ids:
+        n_exp, h_exp = expected[p]
+        n_got, h_got, readable = got.get(p, (0, 0, False))
+        ok = readable and n_got == n_exp and h_got == h_exp
+        out["part_id"].append(p)
+        out["n_rows"].append(n_exp)
+        out["ok"].append(ok)
+        out["n_mismatch"].append(0 if ok else max(n_exp, n_got))
+    return rd.from_arrow(pa.Table.from_pydict(out, schema=VERIFY_SCHEMA))

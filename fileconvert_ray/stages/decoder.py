@@ -42,8 +42,14 @@ def _decode_chunk(rows: dict[str, list]) -> pa.Table:
     )
 
 
-def decode_container_table(cont: pa.Table) -> pa.Table:
-    """Container chunk rows -> the original tokseq rows (order: by chunk)."""
+def iter_container_chunks(cont: pa.Table):
+    """Yield one decoded tokseq sub-table per encoded chunk.
+
+    Streaming granularity = chunk size (bounded at encode time), so a
+    consumer's transient allocations stay small no matter how large the
+    partition is — large short-lived buffers are returned to the kernel
+    by glibc and re-faulting them across 32 concurrent workers is the
+    dominant decode cost, not the codec math."""
     cont = cont.combine_chunks()
     uids = cont.column("chunk_uid").to_pylist()
     data = {
@@ -55,7 +61,13 @@ def decode_container_table(cont: pa.Table) -> pa.Table:
         rows = by_chunk.setdefault(uid, {k: [] for k in data})
         for k in data:
             rows[k].append(data[k][i])
-    parts = [_decode_chunk(rows) for rows in by_chunk.values()]
+    for rows in by_chunk.values():
+        yield _decode_chunk(rows)
+
+
+def decode_container_table(cont: pa.Table) -> pa.Table:
+    """Container chunk rows -> the original tokseq rows (order: by chunk)."""
+    parts = list(iter_container_chunks(cont))
     if not parts:
         return pa.Table.from_pydict({k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA)
     return pa.concat_tables(parts).combine_chunks()

@@ -158,6 +158,15 @@ class ChunkEncoder:
         return pa.Table.from_pydict(cols, schema=CONTAINER_SCHEMA)
 
 
+def encode_chunks_task(
+    batch: pa.Table, codec_overrides: dict | None = None, zstd: bool = True
+) -> pa.Table:
+    """Stateless task variant of ChunkEncoder for fixed (non-auto) map
+    codecs: no cross-batch state to keep, so plain tasks beat an actor
+    pool on startup latency and elasticity."""
+    return ChunkEncoder(codec_overrides=codec_overrides, zstd=zstd)(batch)
+
+
 class PartitionWriter:
     """Reduce-side actor: one partition's chunk rows -> atomic container
     + manifest line (LAST) + one metrics row."""
@@ -182,46 +191,62 @@ class PartitionWriter:
         codec_overrides: dict | None = None,
         zstd: bool = True,
         compact_tokens: int | None = None,
+        compact_chunk_tokens: int = 4_000_000,
     ):
         self.dirs = JobDirs(out_dir).create()
         self.codec_overrides = codec_overrides or {}
         self.zstd = zstd
         self.compact_tokens = compact_tokens
+        # Compacted chunks are re-split to ~this many tokens: decode-side
+        # working set stays bounded (~8 MiB buffers) while codec quality
+        # is preserved because dict/FSST state is shared across the
+        # slices via the actor caches and FOR/RLE are miniblock-local.
+        self.compact_chunk_tokens = compact_chunk_tokens
         self.fsst_cache: dict = {}
         self.choice_cache: dict = {}
 
     def _compact(self, group: pa.Table) -> pa.Table:
-        """Small partition: decode its chunks and re-encode as ONE chunk,
-        shedding per-chunk dictionary/params overhead (the chunked map
-        phase optimizes shuffle volume; compaction restores single-shot
-        compression quality where the partition is small anyway)."""
+        """Decode the transport chunks and re-encode as a few bounded
+        chunks, shedding per-map-chunk overhead (the chunked map phase
+        optimizes shuffle volume; compaction restores partition-level
+        compression quality with decode-friendly chunk sizes)."""
         from .decoder import decode_container_table
 
         decoded = decode_container_table(group)
         part_id = group.column("part_id")[0].as_py()
         source = group.column("source")[0].as_py()
-        encoded, _info = encode_partition_table(
-            decoded,
-            codec_overrides=self.codec_overrides,
-            zstd=self.zstd,
-            fsst_cache=self.fsst_cache,
-            choice_cache=self.choice_cache,
-            source_key=source,
-        )
-        chunk_uid = uuid.uuid4().hex
+        lens = decoded.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(lens)
+        total = int(cum[-1]) if len(cum) else 0
+        n_slices = max(1, -(-total // self.compact_chunk_tokens))
+        row_bounds = np.searchsorted(cum, np.arange(1, n_slices) * self.compact_chunk_tokens) + 1
+        bounds = np.concatenate(([0], row_bounds, [decoded.num_rows]))
         cols: dict[str, list] = {k: [] for k in CONTAINER_SCHEMA.names}
-        for ec in encoded:
-            cols["part_id"].append(part_id)
-            cols["source"].append(source)
-            cols["chunk_uid"].append(chunk_uid)
-            cols["column"].append(ec.column)
-            cols["codec"].append(ec.codec)
-            cols["params"].append(json.dumps(ec.params))
-            cols["payload"].append(ec.payload)
-            cols["n_values"].append(ec.n_values)
-            cols["n_rows"].append(decoded.num_rows)
-            cols["plain_bytes"].append(ec.plain_bytes)
-            cols["crc32"].append(ec.crc32)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e <= s:
+                continue
+            sub = decoded.slice(int(s), int(e - s))
+            encoded, _info = encode_partition_table(
+                sub,
+                codec_overrides=self.codec_overrides,
+                zstd=self.zstd,
+                fsst_cache=self.fsst_cache,
+                choice_cache=self.choice_cache,
+                source_key=source,
+            )
+            chunk_uid = uuid.uuid4().hex
+            for ec in encoded:
+                cols["part_id"].append(part_id)
+                cols["source"].append(source)
+                cols["chunk_uid"].append(chunk_uid)
+                cols["column"].append(ec.column)
+                cols["codec"].append(ec.codec)
+                cols["params"].append(json.dumps(ec.params))
+                cols["payload"].append(ec.payload)
+                cols["n_values"].append(ec.n_values)
+                cols["n_rows"].append(sub.num_rows)
+                cols["plain_bytes"].append(ec.plain_bytes)
+                cols["crc32"].append(ec.crc32)
         return pa.Table.from_pydict(cols, schema=CONTAINER_SCHEMA)
 
     def __call__(self, group: pa.Table) -> pa.Table:

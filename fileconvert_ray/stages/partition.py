@@ -44,7 +44,10 @@ def source_stats(ds) -> dict[str, int]:
         )
         return g.rename_columns(["source", "tok"])
 
-    small = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: aggregate whole blocks — the default (1024-row
+    # re-slicing) multiplies task/slice overhead ~6x on a pass whose
+    # per-batch work is microseconds
+    small = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     totals: dict[str, int] = {}
     for b in small.iter_batches(batch_size=None, batch_format="pyarrow"):
         for src, tok in zip(b.column("source").to_pylist(), b.column("tok").to_pylist()):
