@@ -15,7 +15,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..stages.encoder import ChunkEncoder, PartitionWriter, encode_chunks_task
+from ..stages.encoder import (
+    ChunkEncoder,
+    PartitionWriter,
+    encode_chunks_task,
+    stage_raw_task,
+    write_partition_task,
+)
 from ..stages.partition import bucket_plan, make_assigner, make_resume_filter, source_stats
 from ..state.manifest import JobDirs, completed_partitions, write_plan
 
@@ -45,6 +51,15 @@ class EncodeConfig:
     )
     compact_tokens: int | None = None  # None = always compact on reduce
     compact_chunk_tokens: int = 4_000_000  # decode-friendly chunk size bound
+    # Staged external shuffle (default): map tasks write encoded chunk
+    # payloads to out_dir/staged (one row group per partition per file)
+    # and only (part_id, path, row_group) metadata crosses the groupby.
+    # Ray's sort shuffle moves ~35 MB/s on payload-bearing rows; the
+    # staged path moves kilobytes and lets the reduce side read each
+    # payload exactly once.  On a multi-node cluster staged/ lives on
+    # shared storage (the classic map-output-file shuffle).  False =
+    # payloads ride the object-store shuffle (no shared FS required).
+    staged_shuffle: bool = True
     # None = fixed pool sized to min(partitions, 3/4 of cluster CPUs).
     # Fixed (not autoscaling) because the reduce phase is short and an
     # autoscaling pool never reaches full width before the job ends.
@@ -98,14 +113,35 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
     map_is_stateless = all(
         map_codecs.get(c, "auto") != "auto" for c in ("doc_id", "source", "n_tok", "tokens")
     )
-    enc_kwargs = {"codec_overrides": map_codecs, "zstd": cfg.zstd}
-    if map_is_stateless and cfg.encode_concurrency is None:
+    staged_dir = None
+    if cfg.staged_shuffle:
+        import shutil as _shutil
+
+        staged_dir = JobDirs(cfg.out_dir).staged
+        # staged files are this run's shuffle scratch; stale ones from a
+        # crashed run are never referenced (metadata rows die with it)
+        _shutil.rmtree(staged_dir, ignore_errors=True)
+    if staged_dir is not None:
+        # staged external shuffle: spill raw rows partition-sorted with
+        # parquet-zstd as transport (C++ columnar encode — the Python
+        # codecs run exactly once, reduce-side, per partition).  Whole-
+        # block batches -> one staged file per input block, so each
+        # partition is read back in O(blocks) row-group reads.
+        chunks = ds.map_batches(
+            stage_raw_task,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            fn_kwargs={"staged_dir": staged_dir},
+            num_cpus=cfg.encode_num_cpus,
+        )
+    elif map_is_stateless and cfg.encode_concurrency is None:
         chunks = ds.map_batches(
             encode_chunks_task,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.chunk_rows,
-            fn_kwargs=enc_kwargs,
+            fn_kwargs={"codec_overrides": map_codecs, "zstd": cfg.zstd},
             num_cpus=cfg.encode_num_cpus,
         )
     else:
@@ -114,13 +150,52 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.chunk_rows,
-            fn_constructor_kwargs=enc_kwargs,
+            fn_constructor_kwargs={"codec_overrides": map_codecs, "zstd": cfg.zstd},
             concurrency=cfg.encode_concurrency or (1, max(2, ncpu - 4)),
             num_cpus=cfg.encode_num_cpus,
         )
-    # Phase 2: co-locate chunk rows per partition, write containers.
-    # num_partitions ~ writer width: more reduce partitions than writers
-    # only adds shuffle tasks and transfers; fewer starves the pool.
+    # Phase 2: co-locate per partition, write containers.
+    if staged_dir is not None:
+        # Metadata rows are O(blocks x partitions-per-block) and tiny:
+        # merge them on the driver (streaming) and dispatch one reduce
+        # TASK per partition — no sort op, no actor pool rampup, and the
+        # scheduler load-balances 1-per-partition tasks across all CPUs.
+        import ray.data as rd
+
+        groups: dict[str, dict] = {}
+        for b in chunks.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for pid, src, path, rg in zip(
+                b.column("part_id").to_pylist(),
+                b.column("source").to_pylist(),
+                b.column("staged_path").to_pylist(),
+                b.column("row_group").to_pylist(),
+            ):
+                g = groups.setdefault(
+                    pid, {"part_id": pid, "source": src, "staged_path": [], "row_group": []}
+                )
+                g["staged_path"].append(path)
+                g["row_group"].append(rg)
+        items = [groups[p] for p in sorted(groups)]
+        if not items:
+            return rd.from_items([]).map_batches(lambda b: b)
+        reduce_ds = rd.from_items(items, override_num_blocks=len(items))
+        metrics = reduce_ds.map_batches(
+            write_partition_task,
+            batch_format="pyarrow",
+            batch_size=1,
+            fn_kwargs={
+                "out_dir": cfg.out_dir,
+                "codec_overrides": cfg.codec_overrides,
+                "zstd": cfg.zstd,
+                "compact_chunk_tokens": cfg.compact_chunk_tokens,
+            },
+            num_cpus=1.0,
+        )
+        return metrics
+
+    # object-store shuffle path: num_partitions ~ writer width — more
+    # reduce partitions than writers only adds shuffle tasks; fewer
+    # starves the pool.
     n_reduce = max(2, min(n_parts, write_conc if isinstance(write_conc, int) else write_conc[-1]))
     metrics = chunks.groupby("part_id", num_partitions=n_reduce).map_groups(
         PartitionWriter,

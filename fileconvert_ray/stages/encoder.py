@@ -59,6 +59,18 @@ CONTAINER_SCHEMA = pa.schema(
 
 COLUMNS = ("doc_id", "source", "n_tok", "tokens")
 
+# metadata rows that replace payload-bearing chunk rows in the shuffle
+# when the staged external shuffle is on: the groupby moves O(chunks)
+# tiny rows while payloads wait on disk for exactly one read
+STAGED_META_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.string()),
+        ("source", pa.string()),
+        ("staged_path", pa.string()),
+        ("row_group", pa.int32()),
+    ]
+)
+
 
 def flat_tokens(batch: pa.Table) -> pa.Array:
     """tokens list<int32> -> contiguous int32 values array (zero-copy)."""
@@ -110,17 +122,53 @@ def encode_partition_table(
 
 
 class ChunkEncoder:
-    """Map-side actor: batch -> encoded chunk rows, split by part_id."""
+    """Map-side encode: batch -> encoded chunk rows, split by part_id.
 
-    def __init__(self, codec_overrides: dict[str, str] | None = None, zstd: bool = True):
+    With ``staged_dir`` set, payloads are written to one staged parquet
+    per call (one ROW GROUP per part_id, atomic tmp+rename) and only
+    (part_id, staged_path, row_group) metadata rows enter the shuffle —
+    the all-to-all then moves kilobytes regardless of data size."""
+
+    def __init__(
+        self,
+        codec_overrides: dict[str, str] | None = None,
+        zstd: bool = True,
+        staged_dir: str | None = None,
+    ):
         self.codec_overrides = codec_overrides or {}
         self.zstd = zstd
+        self.staged_dir = staged_dir
         self.fsst_cache: dict = {}  # (source, column) -> SymbolTable
         self.choice_cache: dict = {}  # (source, column) -> codec name
 
+    def _stage(self, table: pa.Table) -> pa.Table:
+        os.makedirs(self.staged_dir, exist_ok=True)
+        fname = f"{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.staged_dir, f".tmp-{fname}")
+        final = os.path.join(self.staged_dir, fname)
+        pids = table.column("part_id").to_pylist()
+        srcs = table.column("source").to_pylist()
+        meta: dict[str, list] = {"part_id": [], "source": [], "staged_path": [], "row_group": []}
+        writer = pq.ParquetWriter(tmp, CONTAINER_SCHEMA, compression="none")
+        i, rg = 0, 0
+        while i < len(pids):
+            j = i
+            while j < len(pids) and pids[j] == pids[i]:
+                j += 1
+            writer.write_table(table.slice(i, j - i))
+            meta["part_id"].append(pids[i])
+            meta["source"].append(srcs[i])
+            meta["staged_path"].append(final)
+            meta["row_group"].append(rg)
+            rg, i = rg + 1, j
+        writer.close()
+        os.replace(tmp, final)
+        return pa.Table.from_pydict(meta, schema=STAGED_META_SCHEMA)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.Table.from_pydict({k: [] for k in CONTAINER_SCHEMA.names}, schema=CONTAINER_SCHEMA)
+            out_schema = STAGED_META_SCHEMA if self.staged_dir else CONTAINER_SCHEMA
+            return pa.Table.from_pydict({k: [] for k in out_schema.names}, schema=out_schema)
         batch = batch.combine_chunks().sort_by("part_id")
         pids = batch.column("part_id")
         # boundaries of equal-part_id runs (batch is sorted)
@@ -155,16 +203,104 @@ class ChunkEncoder:
                 cols["n_rows"].append(sub.num_rows)
                 cols["plain_bytes"].append(ec.plain_bytes)
                 cols["crc32"].append(ec.crc32)
-        return pa.Table.from_pydict(cols, schema=CONTAINER_SCHEMA)
+        table = pa.Table.from_pydict(cols, schema=CONTAINER_SCHEMA)
+        if self.staged_dir is not None:
+            return self._stage(table)
+        return table
 
 
 def encode_chunks_task(
-    batch: pa.Table, codec_overrides: dict | None = None, zstd: bool = True
+    batch: pa.Table,
+    codec_overrides: dict | None = None,
+    zstd: bool = True,
+    staged_dir: str | None = None,
 ) -> pa.Table:
     """Stateless task variant of ChunkEncoder for fixed (non-auto) map
     codecs: no cross-batch state to keep, so plain tasks beat an actor
     pool on startup latency and elasticity."""
-    return ChunkEncoder(codec_overrides=codec_overrides, zstd=zstd)(batch)
+    return ChunkEncoder(codec_overrides=codec_overrides, zstd=zstd, staged_dir=staged_dir)(batch)
+
+
+def stage_raw_task(batch: pa.Table, staged_dir: str) -> pa.Table:
+    """Map side of the staged external shuffle: spill this batch's RAW
+    rows partition-sorted into one parquet file (one ROW GROUP per
+    part_id, parquet-zstd as transport compression — vectorized C++, no
+    Python codec pass) and emit only (part_id, path, row_group) rows.
+
+    The final per-column codecs run exactly once, on the reduce side
+    over whole partitions — a Python transport encode here would cost
+    two extra full passes over every token for bytes parquet already
+    saves."""
+    if batch.num_rows == 0:
+        return pa.Table.from_pydict({k: [] for k in STAGED_META_SCHEMA.names}, schema=STAGED_META_SCHEMA)
+    batch = batch.combine_chunks().sort_by("part_id")
+    pids = batch.column("part_id").to_pylist()
+    srcs = batch.column("source").to_pylist()
+    data = batch.drop_columns(["part_id"])
+    os.makedirs(staged_dir, exist_ok=True)
+    fname = f"{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(staged_dir, f".tmp-{fname}")
+    final = os.path.join(staged_dir, fname)
+    meta: dict[str, list] = {"part_id": [], "source": [], "staged_path": [], "row_group": []}
+    writer = pq.ParquetWriter(tmp, data.schema, compression="zstd")
+    i, rg = 0, 0
+    while i < len(pids):
+        j = i
+        while j < len(pids) and pids[j] == pids[i]:
+            j += 1
+        writer.write_table(data.slice(i, j - i))
+        meta["part_id"].append(pids[i])
+        meta["source"].append(srcs[i])
+        meta["staged_path"].append(final)
+        meta["row_group"].append(rg)
+        rg, i = rg + 1, j
+    writer.close()
+    os.replace(tmp, final)
+    return pa.Table.from_pydict(meta, schema=STAGED_META_SCHEMA)
+
+
+# worker-process-global caches for the stateless reduce tasks: Ray
+# reuses worker processes, so open staged files and the PartitionWriter
+# (with its FSST/dict caches) persist across tasks without actor rampup
+_WRITER_CACHE: dict = {}
+
+
+def write_partition_task(
+    batch: pa.Table,
+    out_dir: str,
+    codec_overrides: dict | None = None,
+    zstd: bool = True,
+    compact_chunk_tokens: int = 4_000_000,
+) -> pa.Table:
+    """Reduce side of the staged shuffle as a stateless task: each input
+    row carries one partition's staged (path, row_group) list; expand it
+    back to metadata rows and run the cached PartitionWriter."""
+    w = _WRITER_CACHE.get(out_dir)
+    if w is None:
+        if len(_WRITER_CACHE) > 8:
+            _WRITER_CACHE.clear()
+        w = _WRITER_CACHE[out_dir] = PartitionWriter(
+            out_dir,
+            codec_overrides=codec_overrides,
+            zstd=zstd,
+            compact_tokens=None,
+            compact_chunk_tokens=compact_chunk_tokens,
+        )
+    out = []
+    for row in batch.to_pylist():
+        k = len(row["staged_path"])
+        meta = pa.Table.from_pydict(
+            {
+                "part_id": [row["part_id"]] * k,
+                "source": [row["source"]] * k,
+                "staged_path": row["staged_path"],
+                "row_group": row["row_group"],
+            },
+            schema=STAGED_META_SCHEMA,
+        )
+        out.append(w(meta))
+    return pa.concat_tables(out) if out else w(pa.Table.from_pydict(
+        {k: [] for k in STAGED_META_SCHEMA.names}, schema=STAGED_META_SCHEMA))
 
 
 class PartitionWriter:
@@ -212,9 +348,12 @@ class PartitionWriter:
         compression quality with decode-friendly chunk sizes)."""
         from .decoder import decode_container_table
 
-        decoded = decode_container_table(group)
         part_id = group.column("part_id")[0].as_py()
         source = group.column("source")[0].as_py()
+        return self._encode_decoded(decode_container_table(group), part_id, source)
+
+    def _encode_decoded(self, decoded: pa.Table, part_id: str, source: str) -> pa.Table:
+        """Raw tokseq rows of one partition -> final container chunk rows."""
         lens = decoded.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
         cum = np.cumsum(lens)
         total = int(cum[-1]) if len(cum) else 0
@@ -249,14 +388,46 @@ class PartitionWriter:
                 cols["crc32"].append(ec.crc32)
         return pa.Table.from_pydict(cols, schema=CONTAINER_SCHEMA)
 
+    def _load_staged(self, meta: pa.Table) -> pa.Table:
+        """Fetch this partition's chunk rows from the staged map-output
+        files (one targeted row-group read each; parquet footer prunes
+        everything else).  Open files are cached per actor — each staged
+        file serves every partition it contains."""
+        if not hasattr(self, "_pf_cache"):
+            self._pf_cache: dict = {}
+        tables = []
+        for path, rg in zip(
+            meta.column("staged_path").to_pylist(), meta.column("row_group").to_pylist()
+        ):
+            pf = self._pf_cache.get(path)
+            if pf is None:
+                if len(self._pf_cache) > 512:
+                    for old in self._pf_cache.values():
+                        old.close()
+                    self._pf_cache.clear()
+                pf = self._pf_cache[path] = pq.ParquetFile(path)
+            tables.append(pf.read_row_group(int(rg)))
+        return pa.concat_tables(tables).combine_chunks()
+
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         if group.num_rows == 0:
             return pa.Table.from_pydict({k: [] for k in self.METRICS_SCHEMA.names}, schema=self.METRICS_SCHEMA)
+        encoded_final = False
+        if "staged_path" in group.column_names:
+            part_id = group.column("part_id")[0].as_py()
+            source = group.column("source")[0].as_py()
+            loaded = self._load_staged(group)
+            if "payload" in loaded.column_names:
+                group = loaded  # transport-encoded chunk rows
+            else:
+                # raw staged rows: encode exactly once, right here
+                group = self._encode_decoded(loaded, part_id, source)
+                encoded_final = True
         group = group.combine_chunks()
         is_tok = pc.equal(group.column("column"), "tokens")
         tok_total = int(pc.sum(pc.if_else(is_tok, group.column("n_values"), 0)).as_py() or 0)
-        if self.compact_tokens is None or tok_total <= self.compact_tokens:
+        if not encoded_final and (self.compact_tokens is None or tok_total <= self.compact_tokens):
             group = self._compact(group)
         part_id = group.column("part_id")[0].as_py()
         tmp = os.path.join(self.dirs.tmp, f"{part_id}-{uuid.uuid4().hex}.parquet")

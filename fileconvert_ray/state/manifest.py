@@ -40,9 +40,13 @@ class JobDirs:
         self.parts = os.path.join(out_dir, "parts")
         self.manifest = os.path.join(out_dir, "manifest")
         self.tmp = os.path.join(out_dir, "tmp")
+        # map-side shuffle output: one file per map task, one row group
+        # per partition inside — the reduce side fetches only its row
+        # groups (external shuffle; shared storage on a real cluster)
+        self.staged = os.path.join(out_dir, "staged")
 
     def create(self) -> "JobDirs":
-        for d in (self.parts, self.manifest, self.tmp):
+        for d in (self.parts, self.manifest, self.tmp, self.staged):
             os.makedirs(d, exist_ok=True)
         return self
 
