@@ -29,7 +29,7 @@ from .base import (
     parts_to_str,
     str_to_parts,
 )
-from .intcodecs import DictInt, DictZ, ForBitpack, PlainInt, Rle
+from .intcodecs import DictInt, DictZ, EscBytes, ForBitpack, PlainInt, Rle
 from .strcodecs import DictStr, FsstStr, PlainStr
 
 INT_CODECS: dict[str, object] = {}
@@ -41,7 +41,7 @@ def register(codec) -> None:
     table[codec.name] = codec
 
 
-for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ()):
+for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ(), EscBytes()):
     register(_c)
 for _c in (PlainStr(), DictStr(), FsstStr()):
     register(_c)

@@ -99,6 +99,74 @@ class ForBitpack:
         return out
 
 
+# --------------------------------------------------------- escape-bytes
+
+
+class EscBytes:
+    """Byte-aligned escape coding for entropy-skewed ids.
+
+    One uint8 per value (255 = escape marker), escaped values in
+    byte-PLANE order appended after.  Bit-packing hides symbol
+    boundaries from the zstd topper's FSE entropy stage; byte-aligned
+    streams let it model the actual id distribution — measured 17%
+    smaller than dict+bitpack+zstd on zipf-distributed token ids
+    (BASELINE.md).  Exact for any int64 (frame-of-reference shift,
+    two's-complement wrap like ForBitpack)."""
+
+    name = "esc"
+    kind = "int"
+
+    def estimate(self, sample: np.ndarray) -> float:
+        if len(sample) == 0:
+            return 0.0
+        s = sample.astype(np.int64, copy=False)
+        with np.errstate(over="ignore"):
+            d = (s - np.int64(int(s.min()))).view(np.uint64)
+        mx = int(d.max())
+        w = 2 if mx < (1 << 16) else (4 if mx < (1 << 32) else 8)
+        return float(len(s) + int((d >= 255).sum()) * w)
+
+    def encode(self, values: np.ndarray):
+        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        n = len(v)
+        if n == 0:
+            return {"ref": 0, "w": 2, "ne": 0}, b""
+        mn = int(v.min())
+        with np.errstate(over="ignore"):
+            d = (v - np.int64(mn)).view(np.uint64)
+        mx = int(d.max())
+        if mx < (1 << 16):
+            w, dt = 2, np.uint16
+        elif mx < (1 << 32):
+            w, dt = 4, np.uint32
+        else:
+            w, dt = 8, np.uint64
+        small = d < 255
+        b1 = np.where(small, d, 255).astype(np.uint8)
+        esc = d[~small].astype(dt)
+        if len(esc):
+            eb = np.ascontiguousarray(esc).view(np.uint8).reshape(-1, w)
+            planes = b"".join(np.ascontiguousarray(eb[:, j]).tobytes() for j in range(w))
+        else:
+            planes = b""
+        return {"ref": mn, "w": w, "ne": int(len(esc))}, b1.tobytes() + planes
+
+    def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
+        ref, w, ne = int(params["ref"]), int(params["w"]), int(params["ne"])
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        b1 = np.frombuffer(payload, dtype=np.uint8, count=n)
+        d = b1.astype(np.uint64)
+        if ne:
+            planes = np.frombuffer(payload, dtype=np.uint8, offset=n, count=ne * w).reshape(w, ne)
+            esc = np.zeros(ne, dtype=np.uint64)
+            for j in range(w):
+                esc |= planes[j].astype(np.uint64) << np.uint64(8 * j)
+            d[b1 == 255] = esc
+        with np.errstate(over="ignore"):
+            return (d + np.int64(ref).astype(np.uint64)).view(np.int64)
+
+
 # ------------------------------------------------------------------ RLE
 
 

@@ -40,15 +40,21 @@ def _sample_str(arr: pa.Array) -> pa.Array:
 
 
 def select(values, kind: str, candidates: list[str] | None = None, zstd: bool = True) -> str:
-    """Return the codec name with the smallest estimated encoded size.
+    """Return the codec name with the smallest MEASURED encoded size on
+    the sample: each candidate really encodes the <=4096-value sample
+    and, when the zstd topper is on, the payload is really compressed —
+    analytic estimates can't rank byte-aligned codecs (esc, dictz)
+    against bit-packed ones because only the former gain from the
+    topper's entropy stage.  Cost is microseconds and is amortized by
+    the per-(source, column) choice cache in the encode actors."""
+    import json
 
-    ``zstd=False`` excludes codecs whose estimate assumes the zstd
-    topper (dictz's byte-aligned indices only pay off under entropy
-    coding)."""
     from .codecs import INT_CODECS, STR_CODECS
 
     if not zstd:
-        candidates = [c for c in (candidates or ["plain", "for_bitpack", "rle", "dict", "fsst"])]
+        candidates = [
+            c for c in (candidates or ["plain", "for_bitpack", "rle", "dict", "fsst", "esc"])
+        ]
     if kind == "int":
         sample = _sample_int(np.ascontiguousarray(values, dtype=np.int64))
         table = INT_CODECS
@@ -62,9 +68,13 @@ def select(values, kind: str, candidates: list[str] | None = None, zstd: bool = 
         if candidates is not None and name not in candidates:
             continue
         try:
-            est = float(codec.estimate(sample))
+            cparams, payload = codec.encode(sample)
+            size = float(len(payload) + len(json.dumps(cparams)))
+            if zstd and len(payload) > 64:
+                z = pa.compress(payload, codec="zstd", asbytes=True)
+                size = min(size, float(len(z) + len(json.dumps(cparams))))
         except Exception:
             continue
-        if est < best_size:
-            best, best_size = name, est
+        if size < best_size:
+            best, best_size = name, size
     return best
