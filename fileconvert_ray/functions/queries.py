@@ -491,6 +491,23 @@ def q_csv_roundtrip(sf_dir: str):
     return pa.Table.from_pydict({"n_rows": [a.num_rows], "bit_identical": [ok]})
 
 
+def q_orc_scan(sf_dir: str):
+    """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
+    read -> projected columns.  Values oracle-checked against the
+    original parquet (lossless conversion)."""
+    from ..sources.csvio import CsvOptions
+    from ..sources.orcio import read_orc_dataset, write_orc
+
+    base = _job_dir(sf_dir, "orc")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    t = t.set_column(0, "doc_id", pc.cast(t.column("doc_id"), pa.string()))
+    path = os.path.join(base, "documents.orc")
+    write_orc(t, path)
+    return read_orc_dataset(path, CsvOptions(sanitize=False))
+
+
 def q_encode_metrics(sf_dir: str):
     from ..pipelines.encode_job import EncodeConfig, run_encode
 
@@ -528,6 +545,7 @@ QUERIES = {
     "encode_roundtrip": q_encode_roundtrip,
     "encode_metrics": q_encode_metrics,
     "csv_roundtrip": q_csv_roundtrip,
+    "orc_scan": q_orc_scan,
 }
 
 _VOCAB_CTE = """
@@ -609,6 +627,9 @@ ORACLE_SQL = {
     "seeded_sample": f"""
         select cast(doc_id as varchar) as doc_id, source from documents
         where substr(md5(cast(doc_id as varchar)), 1, 2) < '{SAMPLE_HEX}'
+    """,
+    "orc_scan": """
+        select cast(doc_id as varchar) as doc_id, source, n_chars from documents
     """,
     "ivf_knn_search": f"""
         select q.vec_id as qid, e.vec_id as nid,
