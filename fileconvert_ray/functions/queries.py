@@ -491,6 +491,34 @@ def q_csv_roundtrip(sf_dir: str):
     return pa.Table.from_pydict({"n_rows": [a.num_rows], "bit_identical": [ok]})
 
 
+def q_decode_stats(sf_dir: str):
+    """E9 as a streaming consumer: encode the tokseq table, then read
+    the encoded containers back as a Dataset (decode_dataset) and
+    aggregate per-source stats — oracle-checked against the ORIGINAL
+    documents, so any decode corruption breaks value parity."""
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..stages.decoder import decode_dataset
+
+    out = _job_dir(sf_dir, "decstats")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir), EncodeConfig(out_dir=out, target_partition_tokens=200_000)
+    ).materialize()
+    ds = decode_dataset(out)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("source"),
+                pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                pc.cast(batch.column("n_tok"), pa.int64()),
+            ],
+            names=["source", "n_docs", "sum_tok"],
+        )
+
+    return _sum_groupby(ds.map_batches(widen, batch_format="pyarrow"), ["source"], ["n_docs", "sum_tok"])
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -546,6 +574,7 @@ QUERIES = {
     "encode_metrics": q_encode_metrics,
     "csv_roundtrip": q_csv_roundtrip,
     "orc_scan": q_orc_scan,
+    "decode_stats": q_decode_stats,
 }
 
 _VOCAB_CTE = """
@@ -630,6 +659,12 @@ ORACLE_SQL = {
     """,
     "orc_scan": """
         select cast(doc_id as varchar) as doc_id, source, n_chars from documents
+    """,
+    "decode_stats": """
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(len(string_split(text, ' '))) as bigint) as sum_tok
+        from documents group by source
     """,
     "ivf_knn_search": f"""
         select q.vec_id as qid, e.vec_id as nid,
