@@ -107,3 +107,34 @@ def test_synth_corpus_roundtrip(ray_session, out_dir):
     assert metrics["n_rows"].sum() == 2000
     # compression actually happened (zipf vocab 50257 -> ~2B/token worst case)
     assert metrics["encoded_bytes"].sum() < metrics["plain_bytes"].sum()
+
+
+def test_hash_verify_modes_and_corruption(ray_session, sf_dir, out_dir):
+    """mode='hash' (the shuffle-free scale path): agrees with exact mode
+    on good data; flags a tampered payload and a missing container as
+    per-partition failures without crashing the job."""
+    factory = lambda: tokseq_dataset(sf_dir)
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=5_000)
+    run_encode(factory, cfg).materialize()
+
+    v = run_verify(factory, out_dir, mode="hash").to_pandas()
+    assert v["ok"].all() and len(v) > 2
+    assert v["n_rows"].sum() == 500
+
+    parts = sorted(v["part_id"])
+    # tamper: flip one byte inside the first partition's payload column
+    victim = os.path.join(out_dir, "parts", f"{parts[0]}.parquet")
+    cont = pq.read_table(victim)
+    pay = cont.column("payload").to_pylist()
+    pay[0] = pay[0][:-1] + bytes([pay[0][-1] ^ 0xFF])
+    cont = cont.set_column(
+        cont.column_names.index("payload"), "payload", pa.array(pay, type=pa.binary())
+    )
+    pq.write_table(cont, victim, compression="none")
+    # delete: remove another partition's container entirely
+    os.remove(os.path.join(out_dir, "parts", f"{parts[1]}.parquet"))
+
+    v2 = run_verify(factory, out_dir, mode="hash").to_pandas().set_index("part_id")
+    assert not v2.loc[parts[0], "ok"]
+    assert not v2.loc[parts[1], "ok"]
+    assert v2.drop(index=[parts[0], parts[1]])["ok"].all()
