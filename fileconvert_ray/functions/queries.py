@@ -443,6 +443,34 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    """Windowed aggregate: trailing-24h event count per (type, hour).
+    Distributed part = the hourly pre-aggregation (O(rows) -> O(types x
+    hours) tiny rows); the range-frame window then runs vectorized on
+    the small result — the scale-correct split for sliding windows over
+    pre-bucketed time series."""
+    hourly = q_events_hourly(sf_dir).to_pandas()
+    out = {"event_type": [], "hour": [], "n_24h": []}
+    for etype, g in hourly.groupby("event_type"):
+        g = g.sort_values("hour")
+        hours = g["hour"].to_numpy()
+        n = g["n"].to_numpy()
+        csum = np.concatenate(([0], np.cumsum(n)))
+        # range frame [hour-23, hour]: leftmost bucket within the window
+        lo = np.searchsorted(hours, hours - 23, side="left")
+        n24 = csum[np.arange(1, len(n) + 1)] - csum[lo]
+        out["event_type"].extend([etype] * len(hours))
+        out["hour"].extend(hours.tolist())
+        out["n_24h"].extend(n24.astype(np.int64).tolist())
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "hour": pa.array(out["hour"], type=pa.int64()),
+            "n_24h": pa.array(out["n_24h"], type=pa.int64()),
+        }
+    )
+
+
 # -------------------------------------------- flagship (rows-only)
 
 
@@ -570,6 +598,7 @@ QUERIES = {
     "orders_per_nation": q_orders_per_nation,
     "high_value_orders": q_high_value_orders,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "encode_roundtrip": q_encode_roundtrip,
     "encode_metrics": q_encode_metrics,
     "csv_roundtrip": q_csv_roundtrip,
@@ -717,6 +746,19 @@ ORACLE_SQL = {
                cast(floor(epoch(ts) / 3600) as bigint) as hour,
                cast(count(*) as bigint) as n
         from events group by event_type, hour
+    """,
+    "events_sliding": """
+        with h as (
+          select event_type,
+                 cast(floor(epoch(ts) / 3600) as bigint) as hour,
+                 cast(count(*) as bigint) as n
+          from events group by event_type, hour
+        )
+        select event_type, hour,
+               cast(sum(n) over (
+                    partition by event_type order by hour
+                    range between 23 preceding and current row) as bigint) as n_24h
+        from h
     """,
     # lang_id, minhash/simhash/lsh dedup, encode_* are not
     # SQL-expressible -> rows-only checks (driver records which).
