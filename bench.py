@@ -113,13 +113,19 @@ def run_bench() -> dict:
     ).to_pandas()
     shutil.rmtree(wdir, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    metrics = run_encode(
-        factory,
-        EncodeConfig(out_dir=OUT_DIR, target_partition_tokens=8_000_000),
-        stats_factory=stats_factory,
-    ).to_pandas()
-    t_encode = time.perf_counter() - t0
+    # best-of-N timing (min): one number per run would let unrelated VM
+    # noise (writeback, driver wakeups) swing the scaling ratio
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
+    t_encode = float("inf")
+    for _ in range(max(1, repeats)):
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+        t0 = time.perf_counter()
+        metrics = run_encode(
+            factory,
+            EncodeConfig(out_dir=OUT_DIR, target_partition_tokens=8_000_000),
+            stats_factory=stats_factory,
+        ).to_pandas()
+        t_encode = min(t_encode, time.perf_counter() - t0)
     queries["encode_synth"] = round(t_encode, 3)
     n_tokens = int(metrics["n_tokens"].sum())
     extra["encode_tokens"] = n_tokens
@@ -181,7 +187,12 @@ def run_scaling() -> dict:
     """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_ENCODE_ONLY="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_ENCODE_ONLY="1",
+            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "2"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
