@@ -210,7 +210,11 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
     """Returns the per-partition verify Dataset; any ok=False is a failure.
 
     mode="exact": per-row alignment via a part_id shuffle (tests).
-    mode="hash": shuffle-free streaming digest comparison (scale path).
+    mode="hash": shuffle-free streaming digest comparison vs the
+    original input (scale path).
+    mode="manifest": container decode vs the digests recorded in the
+    encode manifests — no input re-read (audit/resume checks;
+    ``ds_factory`` may be None).
     """
     plan = read_plan(out_dir)["buckets"]
     if mode == "exact":
@@ -222,6 +226,51 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
         )
 
     import ray.data as rd
+
+    if mode == "manifest":
+        # compare container decodes against the digests the encode job
+        # recorded in its manifests — no input re-read at all.  Audits
+        # codec fidelity + container integrity; mode="hash" additionally
+        # audits the staging transport against the original input.
+        from ..state.manifest import read_manifest_entries
+
+        entries = read_manifest_entries(out_dir)
+        expected = {
+            p: [int(e["digest"]["n_rows"]), int(e["digest"]["hsum"]) % (1 << 64)]
+            for p, e in entries.items()
+            if "digest" in e
+        }
+        part_ids = sorted(expected)
+        if not part_ids:
+            return rd.from_arrow(
+                pa.Table.from_pydict({k: [] for k in VERIFY_SCHEMA.names}, schema=VERIFY_SCHEMA)
+            )
+        parts_ds = rd.from_items(
+            [{"part_id": p} for p in part_ids], override_num_blocks=len(part_ids)
+        )
+        digests = parts_ds.map_batches(
+            _container_digest, batch_format="pyarrow", batch_size=1,
+            fn_kwargs={"out_dir": out_dir}, num_cpus=1.0,
+        )
+        got = {}
+        for b in digests.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for p, n, s, r in zip(
+                b.column("part_id").to_pylist(),
+                b.column("n_rows").to_pylist(),
+                b.column("hsum").to_pylist(),
+                b.column("readable").to_pylist(),
+            ):
+                got[p] = (int(n), int(s) % (1 << 64), r)
+        out = {"part_id": [], "n_rows": [], "ok": [], "n_mismatch": []}
+        for p in part_ids:
+            n_exp, h_exp = expected[p]
+            n_got, h_got, readable = got.get(p, (0, 0, False))
+            ok = readable and n_got == n_exp and h_got == h_exp
+            out["part_id"].append(p)
+            out["n_rows"].append(n_exp)
+            out["ok"].append(ok)
+            out["n_mismatch"].append(0 if ok else max(n_exp, n_got))
+        return rd.from_arrow(pa.Table.from_pydict(out, schema=VERIFY_SCHEMA))
 
     # pass A: originals -> per-partition (count, hash-sum), merged driver-side
     partials = ds_factory().map_batches(

@@ -409,11 +409,23 @@ class PartitionWriter:
             tables.append(pf.read_row_group(int(rg)))
         return pa.concat_tables(tables).combine_chunks()
 
+    def _digest(self, decoded: pa.Table) -> dict:
+        """Content digest of the partition's rows as seen at encode time
+        — recorded in the manifest so a later verify (mode="manifest")
+        can audit decode fidelity without re-reading the input."""
+        from ..pipelines.verify_job import row_hashes
+
+        h = row_hashes(decoded)
+        with np.errstate(over="ignore"):
+            s = int(h.sum(dtype=np.uint64))
+        return {"n_rows": decoded.num_rows, "hsum": s}
+
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         if group.num_rows == 0:
             return pa.Table.from_pydict({k: [] for k in self.METRICS_SCHEMA.names}, schema=self.METRICS_SCHEMA)
         encoded_final = False
+        digest = None
         if "staged_path" in group.column_names:
             part_id = group.column("part_id")[0].as_py()
             source = group.column("source")[0].as_py()
@@ -422,13 +434,20 @@ class PartitionWriter:
                 group = loaded  # transport-encoded chunk rows
             else:
                 # raw staged rows: encode exactly once, right here
+                digest = self._digest(loaded)
                 group = self._encode_decoded(loaded, part_id, source)
                 encoded_final = True
         group = group.combine_chunks()
         is_tok = pc.equal(group.column("column"), "tokens")
         tok_total = int(pc.sum(pc.if_else(is_tok, group.column("n_values"), 0)).as_py() or 0)
         if not encoded_final and (self.compact_tokens is None or tok_total <= self.compact_tokens):
-            group = self._compact(group)
+            from .decoder import decode_container_table
+
+            part_id = group.column("part_id")[0].as_py()
+            source = group.column("source")[0].as_py()
+            decoded = decode_container_table(group)
+            digest = self._digest(decoded)
+            group = self._encode_decoded(decoded, part_id, source)
         part_id = group.column("part_id")[0].as_py()
         tmp = os.path.join(self.dirs.tmp, f"{part_id}-{uuid.uuid4().hex}.parquet")
         # payloads are codec-compressed already; container stays raw
@@ -460,6 +479,8 @@ class PartitionWriter:
             "container_bytes": int(os.path.getsize(self.dirs.container_path(part_id))),
             "wall_s": round(time.perf_counter() - t0, 6),
         }
+        if digest is not None:
+            record["digest"] = digest
         write_manifest_entry(self.dirs, part_id, record)  # LAST: marks completion
         return pa.Table.from_pydict(
             {

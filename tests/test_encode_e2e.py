@@ -138,3 +138,10 @@ def test_hash_verify_modes_and_corruption(ray_session, sf_dir, out_dir):
     assert not v2.loc[parts[0], "ok"]
     assert not v2.loc[parts[1], "ok"]
     assert v2.drop(index=[parts[0], parts[1]])["ok"].all()
+
+    # manifest mode: same verdicts, zero input re-read (factory unused)
+    v3 = run_verify(None, out_dir, mode="manifest").to_pandas().set_index("part_id")
+    assert len(v3) == len(v2)
+    assert not v3.loc[parts[0], "ok"]
+    assert not v3.loc[parts[1], "ok"]
+    assert v3.drop(index=[parts[0], parts[1]])["ok"].all()
