@@ -163,6 +163,10 @@ def run_bench() -> dict:
         queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
+    # leave only the cached corpus behind: 3 GB of encode output per
+    # (rows, cpus) combination fills the disk over repeated runs, and a
+    # 74%-full ext4 slows every write in the pipeline (measured 2x)
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
     return {
         "metric": "encode throughput (tokens/sec) + pipeline wall times",
         "value": round(t_encode, 3),
