@@ -115,7 +115,7 @@ def run_bench() -> dict:
 
     # best-of-N timing (min): one number per run would let unrelated VM
     # noise (writeback, driver wakeups) swing the scaling ratio
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     t_encode = float("inf")
     for _ in range(max(1, repeats)):
         shutil.rmtree(OUT_DIR, ignore_errors=True)
