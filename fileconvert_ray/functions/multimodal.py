@@ -91,6 +91,42 @@ class ImageDecodeStage:
         )
 
 
+class ImageResizeStage:
+    """Actor-pool resize stage: FIMG payload -> FIMG payload at
+    (target_w, target_h) via nearest-neighbor index gather.  The fake
+    format carries real u8 pixel grids, so the resample math is REAL
+    numpy; only the container parse would change with a production
+    image library (same stub discipline as ImageDecodeStage)."""
+
+    def __init__(self, target_w: int, target_h: int, fake: bool = True):
+        self.tw, self.th = int(target_w), int(target_h)
+        if not fake:
+            raise NotImplementedError(
+                "real image resize requires PIL/opencv — not available in this environment"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+            if p[:4] != FAKE_MAGIC or len(p) < 8:
+                raise ValueError(f"not a FIMG payload: {bid}")
+            w, h = struct.unpack("<HH", p[4:8])
+            body = np.frombuffer(p, dtype=np.uint8, offset=8, count=w * h).reshape(h, w)
+            yi = (np.arange(self.th) * h // self.th).astype(np.int64)
+            xi = (np.arange(self.tw) * w // self.tw).astype(np.int64)
+            out = body[yi][:, xi]
+            ids.append(bid)
+            payloads.append(FAKE_MAGIC + struct.pack("<HH", self.tw, self.th) + out.tobytes())
+        return pa.Table.from_pydict(
+            {
+                "blob_id": pa.array(ids, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["image/fimg"] * len(ids), type=pa.string()),
+            },
+            schema=BLOB_SCHEMA,
+        )
+
+
 class AudioFrameStage:
     """Actor-pool audio frame-sampling stage — same stub discipline."""
 

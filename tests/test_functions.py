@@ -156,6 +156,41 @@ def test_multimodal_fake_image(ray_session):
         ImageDecodeStage(fake=False)
 
 
+def test_multimodal_resize_chain(ray_session):
+    """resize -> decode chain: the resized FIMG payloads parse and carry
+    the target dimensions (decode stage consumes resize stage output)."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.multimodal import (
+        ImageDecodeStage,
+        ImageResizeStage,
+        make_fake_image,
+    )
+
+    blobs = pa.Table.from_pydict(
+        {
+            "blob_id": ["a", "b"],
+            "payload": pa.array(
+                [make_fake_image(16, 12, 1), make_fake_image(6, 9, 2)], type=pa.binary()
+            ),
+            "media_type": ["image/fimg", "image/fimg"],
+        }
+    )
+    out = (
+        rd.from_arrow(blobs)
+        .map_batches(ImageResizeStage, fn_constructor_kwargs={"target_w": 4, "target_h": 4},
+                     batch_format="pyarrow", concurrency=1, batch_size=1)
+        .map_batches(ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+                     batch_format="pyarrow", concurrency=1, batch_size=1)
+        .to_pandas()
+        .sort_values("blob_id")
+    )
+    assert out["width"].tolist() == [4, 4]
+    assert out["height"].tolist() == [4, 4]
+    # nearest-neighbor on a constant-seed image is deterministic
+    assert out["mean_pixel"].notna().all()
+
+
 def test_quality_empty_word_edge():
     from fileconvert_ray.functions.textstats import quality_batch
 
