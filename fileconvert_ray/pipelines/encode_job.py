@@ -33,12 +33,13 @@ class EncodeConfig:
     codec_overrides: dict = field(default_factory=dict)
     zstd: bool = True
     resume: bool = True
-    # None = derive from cluster CPUs at run time.  The map-side encode
-    # runs as STATELESS TASKS when every map codec is fixed (the
-    # default): tasks start instantly and scale with the cluster, where
-    # an autoscaling actor pool spends seconds ramping up.  An actor
-    # pool is used only when map-side codecs are 'auto' (FSST/dict
-    # caches then pay off across batches).
+    # None = derive from cluster CPUs at run time.  Only consulted on
+    # the object-store shuffle path (staged_shuffle=False): the staged
+    # path's map side is stateless raw staging and always runs as plain
+    # tasks.  On the object-store path, stateless tasks are used when
+    # every map codec is fixed (instant start, cluster-elastic); an
+    # actor pool only when map-side codecs are 'auto' (FSST/dict caches
+    # then pay off across batches).
     encode_concurrency: tuple | int | None = None
     encode_num_cpus: float = 1.0
     chunk_rows: int = 4096  # map-side encode batch size (rows)
