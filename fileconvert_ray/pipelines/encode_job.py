@@ -1,14 +1,19 @@
-"""Encode job — the flagship pipeline (SURVEY.md §3.2a).
+"""Encode job — the flagship pipeline (SURVEY.md §3.2a, revised §8).
 
-    E7 resume filter -> E1 read -> E3 stats pass + bucket plan
-    -> E3 assign part_id (stateless map_batches)
-    -> groupby(part_id)               [the only big shuffle]
-    -> E5 EncoderActor pool (map_groups) -> E8/E6 atomic container+manifest
+    E3 stats pass + bucket plan -> E7 resume filter
+    -> E1 read -> E3 assign part_id (stateless map_batches)
+    -> STAGED EXTERNAL SHUFFLE: map tasks spill raw rows
+       partition-sorted to staged/ parquet (one row group per
+       partition); only (part_id, path, row_group) metadata moves
+    -> one reduce task per partition: read its row groups, run the
+       codec auto-selector + encode ONCE, E8/E6 atomic
+       container+manifest (+ content digest)
     -> returns a small metrics Dataset (one row per partition)
 
-Never calls ray.init(); the caller owns the session.  All heavy stages
-are Arrow-zero-copy; the stats pass reads only (source, n_tok) via
-parquet column pruning.
+The object-store payload shuffle (groupby + writer actor pool) is the
+`staged_shuffle=False` variant.  Never calls ray.init(); the caller
+owns the session.  All heavy stages are Arrow-zero-copy; the stats
+pass reads only (source, n_tok) via parquet column pruning.
 """
 
 from __future__ import annotations
@@ -61,9 +66,9 @@ class EncodeConfig:
     # shared storage (the classic map-output-file shuffle).  False =
     # payloads ride the object-store shuffle (no shared FS required).
     staged_shuffle: bool = True
-    # None = fixed pool sized to min(partitions, 3/4 of cluster CPUs).
-    # Fixed (not autoscaling) because the reduce phase is short and an
-    # autoscaling pool never reaches full width before the job ends.
+    # Object-store shuffle path only.  None = autoscaling (1, ncpu-2):
+    # a fixed pool would reserve its CPUs for the whole job and starve
+    # the map phase ahead of the shuffle barrier.
     write_concurrency: tuple | int | None = None
 
 
