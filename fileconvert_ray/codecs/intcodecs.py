@@ -251,7 +251,12 @@ class DictZ:
         dt = self._index_dtype(max(1, nd_probe * 4))
         uniq, inv = DictInt._unique_inverse(values, index_dtype=dt)
         real_dt = self._index_dtype(max(1, len(uniq)))
-        if real_dt != dt:
+        if np.dtype(real_dt).itemsize > np.dtype(dt).itemsize:
+            # probe under-estimated distinct count: codes built at the
+            # narrow width have wrapped — rebuild at the correct width
+            # (narrowing astype would keep the wrapped values)
+            uniq, inv = DictInt._unique_inverse(values, index_dtype=real_dt)
+        elif real_dt != dt:
             inv = inv.astype(real_dt)
         pd_, bd = self._for.encode(uniq)
         params = {"nd": len(uniq), "d": pd_, "dlen": len(bd)}

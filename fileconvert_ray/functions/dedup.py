@@ -108,9 +108,15 @@ class MinHasher:
                 # (S, P) permuted values; reduceat-min per doc segment
                 vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) & np.uint64(_MASK)
             nonempty = n_sh > 0
-            idx = np.minimum(offsets[:-1], len(sh) - 1)
-            mins = np.minimum.reduceat(vals, idx, axis=0)
-            sig[nonempty] = mins[nonempty]
+            # reduceat only at starts of NON-EMPTY docs: empty docs add no
+            # shingles, so those starts are strictly increasing and each
+            # segment covers exactly one non-empty doc (clamping every
+            # offset would truncate the last non-empty doc's segment when
+            # the batch ends with empty docs — signature would then depend
+            # on batch composition)
+            starts_ne = offsets[:-1][nonempty]
+            mins = np.minimum.reduceat(vals, starts_ne, axis=0)
+            sig[nonempty] = mins
         return sig
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:
@@ -242,9 +248,11 @@ class SimHasher:
             bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
             bits = bits * 2 - 1  # ±1
             starts = np.concatenate(([0], np.cumsum(lens)))
-            idx = np.minimum(starts[:-1], len(wh) - 1)
-            sums = np.add.reduceat(bits, idx, axis=0)
-            sums[lens == 0] = 0
+            nonempty = lens > 0
+            # reduceat at non-empty starts only (same trailing-empty-doc
+            # truncation hazard as MinHasher.signatures)
+            sums = np.zeros((n, 64), dtype=np.int64)
+            sums[nonempty] = np.add.reduceat(bits, starts[:-1][nonempty], axis=0)
             sign = (sums > 0).astype(np.uint64)
             out = (sign << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
         return out

@@ -240,27 +240,34 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
             for p, e in entries.items()
             if "digest" in e
         }
+        # completed partitions whose manifest carries NO digest (e.g.
+        # object-store shuffle with compact_tokens keeping transport
+        # chunks) cannot be audited in this mode — report them ok=False
+        # explicitly instead of silently dropping them, so an empty
+        # result can never read as all-ok
+        no_digest = sorted(set(entries) - set(expected))
         part_ids = sorted(expected)
-        if not part_ids:
+        if not part_ids and not no_digest:
             return rd.from_arrow(
                 pa.Table.from_pydict({k: [] for k in VERIFY_SCHEMA.names}, schema=VERIFY_SCHEMA)
             )
-        parts_ds = rd.from_items(
-            [{"part_id": p} for p in part_ids], override_num_blocks=len(part_ids)
-        )
-        digests = parts_ds.map_batches(
-            _container_digest, batch_format="pyarrow", batch_size=1,
-            fn_kwargs={"out_dir": out_dir}, num_cpus=1.0,
-        )
         got = {}
-        for b in digests.iter_batches(batch_size=None, batch_format="pyarrow"):
-            for p, n, s, r in zip(
-                b.column("part_id").to_pylist(),
-                b.column("n_rows").to_pylist(),
-                b.column("hsum").to_pylist(),
-                b.column("readable").to_pylist(),
-            ):
-                got[p] = (int(n), int(s) % (1 << 64), r)
+        if part_ids:
+            parts_ds = rd.from_items(
+                [{"part_id": p} for p in part_ids], override_num_blocks=len(part_ids)
+            )
+            digests = parts_ds.map_batches(
+                _container_digest, batch_format="pyarrow", batch_size=1,
+                fn_kwargs={"out_dir": out_dir}, num_cpus=1.0,
+            )
+            for b in digests.iter_batches(batch_size=None, batch_format="pyarrow"):
+                for p, n, s, r in zip(
+                    b.column("part_id").to_pylist(),
+                    b.column("n_rows").to_pylist(),
+                    b.column("hsum").to_pylist(),
+                    b.column("readable").to_pylist(),
+                ):
+                    got[p] = (int(n), int(s) % (1 << 64), r)
         out = {"part_id": [], "n_rows": [], "ok": [], "n_mismatch": []}
         for p in part_ids:
             n_exp, h_exp = expected[p]
@@ -270,6 +277,12 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
             out["n_rows"].append(n_exp)
             out["ok"].append(ok)
             out["n_mismatch"].append(0 if ok else max(n_exp, n_got))
+        for p in no_digest:
+            n = int(entries[p].get("n_rows", 0))
+            out["part_id"].append(p)
+            out["n_rows"].append(n)
+            out["ok"].append(False)  # 'no digest recorded' — unauditable
+            out["n_mismatch"].append(n)
         return rd.from_arrow(pa.Table.from_pydict(out, schema=VERIFY_SCHEMA))
 
     # pass A: originals -> per-partition (count, hash-sum), merged driver-side

@@ -275,11 +275,19 @@ def write_partition_task(
     """Reduce side of the staged shuffle as a stateless task: each input
     row carries one partition's staged (path, row_group) list; expand it
     back to metadata rows and run the cached PartitionWriter."""
-    w = _WRITER_CACHE.get(out_dir)
+    # cache key covers every config knob: a later run to the same out_dir
+    # with different codecs/zstd must not reuse the first run's writer
+    cache_key = (
+        out_dir,
+        tuple(sorted((codec_overrides or {}).items())),
+        zstd,
+        compact_chunk_tokens,
+    )
+    w = _WRITER_CACHE.get(cache_key)
     if w is None:
         if len(_WRITER_CACHE) > 8:
             _WRITER_CACHE.clear()
-        w = _WRITER_CACHE[out_dir] = PartitionWriter(
+        w = _WRITER_CACHE[cache_key] = PartitionWriter(
             out_dir,
             codec_overrides=codec_overrides,
             zstd=zstd,

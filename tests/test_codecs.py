@@ -139,3 +139,19 @@ def test_compression_wins_on_fixture_shapes():
     enc = encode_array(src, "source", zstd=False)
     assert enc.codec == "dict"
     assert len(enc.payload) < 50_000 * 0.65  # ~5-bit indices vs ~5 bytes/value
+
+
+def test_dictz_probe_underestimate_roundtrip():
+    """Regression: distinct count in the first 64Ki slice is tiny but the
+    full column crosses the index byte-width boundary — codes must not
+    wrap (ADVICE r1: uint8 overflow made partitions undecodable)."""
+    vals = np.concatenate(
+        [np.zeros(1 << 16, dtype=np.int64), np.arange(1000, dtype=np.int64)]
+    )
+    c = INT_CODECS["dictz"]
+    params, payload = c.encode(vals)
+    out = c.decode(params, payload, len(vals))
+    np.testing.assert_array_equal(out, vals)
+    # and through the wrapper with CRC check
+    enc = encode_array(pa.array(vals, type=pa.int64()), "col", codec="dictz")
+    np.testing.assert_array_equal(decode_array(enc).to_numpy(), vals)

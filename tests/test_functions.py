@@ -198,3 +198,31 @@ def test_quality_empty_word_edge():
     out = quality_batch(t).to_pandas()
     assert out["n_words"].tolist() == [3, 1]
     assert out["stop_ratio"].tolist()[0] == pytest.approx(1 / 3)
+
+
+def test_minhash_signature_batch_composition_invariance():
+    """Regression (ADVICE r1): a doc's signature must not depend on
+    whether the batch ends with shorter-than-k docs."""
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.dedup import MinHasher
+
+    h = MinHasher(num_perm=16, bands=4, shingle_k=3, seed=7)
+    doc = "the quick brown fox jumps over the lazy dog again and again"
+    alone = h.signatures(pa.array([doc]))
+    trailing_short = h.signatures(pa.array([doc, "too short", ""]))
+    leading_short = h.signatures(pa.array(["x y", doc]))
+    np.testing.assert_array_equal(alone[0], trailing_short[0])
+    np.testing.assert_array_equal(alone[0], leading_short[1])
+
+
+def test_simhash_batch_composition_invariance():
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.dedup import SimHasher
+
+    s = SimHasher(chunks=4, seed=3)
+    doc = "alpha beta gamma delta epsilon zeta eta theta"
+    alone = s.simhash(pa.array([doc]))
+    mixed = s.simhash(pa.array([doc, "", "solo"]))
+    assert alone[0] == mixed[0]
