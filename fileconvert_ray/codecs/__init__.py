@@ -29,11 +29,16 @@ from .base import (
     parts_to_str,
     str_to_parts,
 )
-from .intcodecs import DictInt, DictZ, EscBytes, ForBitpack, PlainInt, Rle
+from .intcodecs import DictInt, DictZ, EscBytes, ForBitpack, PlainInt, Rle, RunEsc
+from .rans import Rans, RunRans
 from .strcodecs import DictStr, FsstStr, PlainStr
 
 INT_CODECS: dict[str, object] = {}
 STR_CODECS: dict[str, object] = {}
+
+# chunks at least this long participate in the cross-chunk A/B codec
+# trial (below this, fixed codec overheads distort the comparison)
+TRIAL_MIN_N = 1 << 20
 
 
 def register(codec) -> None:
@@ -41,7 +46,7 @@ def register(codec) -> None:
     table[codec.name] = codec
 
 
-for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ(), EscBytes()):
+for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ(), EscBytes(), RunEsc(), Rans(), RunRans()):
     register(_c)
 for _c in (PlainStr(), DictStr(), FsstStr()):
     register(_c)
@@ -58,12 +63,24 @@ def _as_array(arr) -> pa.Array:
 
 
 def encode_array(
-    arr, column: str, codec: str = "auto", zstd: bool = True, fsst_table=None
+    arr, column: str, codec: str = "auto", zstd: bool = True, fsst_table=None,
+    trial: bool = False,
 ) -> EncodedColumn:
     """Encode one column chunk.  `codec="auto"` runs the selector (E4).
 
     `fsst_table`: optional pre-trained FSST SymbolTable (actor-pool
     state shared across batches of the same source — SURVEY §2.2 E5).
+
+    `trial=True` (big int chunks only): the selector's sample projection
+    is blind to sublinear codec costs (the rANS freq table saturates at
+    the alphabet size far beyond any affordable sample), so REALLY
+    encode every close candidate (projection within 25%, max 3) on THIS
+    chunk and keep the winner — smallest size, with the fastest encoder
+    taking ties within 0.2% (below run noise).  Same-data comparison is
+    the only statistically valid one: per-chunk size variance across
+    different chunks exceeds the codec deltas.  Callers cache/lock the
+    winning codec per (source, column) so the extra encodes happen once
+    per key per job (see stages/choices.py).
     """
     arr = _as_array(arr)
     params: dict = {}
@@ -96,25 +113,61 @@ def encode_array(
     else:
         raise CodecError(f"unsupported column type {arr.type} for {column}")
 
-    if codec == "auto":
-        from ..selector import select  # late import: selector depends on registry
+    def run_codec(name: str, data=None):
+        """Encode with one codec + the zstd topper; returns the final
+        (name, cparams, payload, zlen, total_bytes) candidate tuple."""
+        data = payload_input if data is None else data
+        c = table[name]
+        if name == "fsst" and kind == "str" and fsst_table is not None:
+            cparams, payload = c.encode(data, table=fsst_table)
+        else:
+            cparams, payload = c.encode(data)
+        zlen = None
+        if zstd and len(payload) > 64:
+            z = pa.compress(payload, codec="zstd", asbytes=True)
+            if len(z) < len(payload):
+                zlen = len(payload)
+                payload = z
+        return name, cparams, payload, zlen, len(payload) + len(json.dumps(cparams))
 
-        codec = select(payload_input, kind, zstd=zstd)
-    c = table[codec]
-    if codec == "fsst" and kind == "str" and fsst_table is not None:
-        cparams, payload = c.encode(payload_input, table=fsst_table)
+    if codec == "auto":
+        import time as _time
+
+        from ..selector import select_ranked  # late import: selector needs registry
+
+        ranked = select_ranked(payload_input, kind, zstd=zstd, target_n=n)
+        names = [ranked[0][0]]
+        if trial and kind == "int" and n >= TRIAL_MIN_N:
+            # every candidate within 25% of the projected best: projection
+            # noise across sample windows is larger than the real codec
+            # deltas, and with the lead-election registry this whole trial
+            # runs once per (source, column) per JOB — capping it would
+            # save milliseconds and risk dropping the true winner
+            names += [nm for nm, s in ranked[1:] if s <= 1.25 * ranked[0][1]]
+        cands = []
+        for nm in names:
+            try:
+                t0 = _time.perf_counter()
+                out = run_codec(nm)
+                cands.append((out, _time.perf_counter() - t0))
+            except Exception:
+                continue
+        if not cands:
+            cands = [(run_codec("plain"), 0.0)]
+        best_total = min(c[0][4] for c in cands)
+        # smallest, with the fastest encoder taking <=0.2% ties
+        best = min(
+            (c for c in cands if c[0][4] <= 1.002 * best_total), key=lambda c: c[1]
+        )[0]
     else:
-        cparams, payload = c.encode(payload_input)
+        best = run_codec(codec)
+    codec, cparams, payload, zlen, total = best
     # plain-fallback guarantee: selected real size must not exceed plain.
     # plain's size is known analytically — only materialize it on fallback.
-    if codec != "plain" and len(payload) + len(json.dumps(cparams)) > plain_bytes + 8:
-        codec = "plain"
-        cparams, payload = table["plain"].encode(payload_input)
-    if zstd and len(payload) > 64:
-        z = pa.compress(payload, codec="zstd", asbytes=True)
-        if len(z) < len(payload):
-            params["z"] = len(payload)
-            payload = z
+    if codec != "plain" and total > plain_bytes + 8:
+        codec, cparams, payload, zlen, total = run_codec("plain")
+    if zlen is not None:
+        params["z"] = zlen
     params["c"] = cparams
     return EncodedColumn(
         column=column,

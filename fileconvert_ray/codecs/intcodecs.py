@@ -167,6 +167,82 @@ class EscBytes:
             return (d + np.int64(ref).astype(np.uint64)).view(np.int64)
 
 
+# --------------------------------------------------- run-extracted esc
+
+
+class RunEsc:
+    """Run extraction in front of EscBytes (`resc`).
+
+    The zstd topper's LZ stage codes a length-136 run as a match at
+    ~2 bits/token; extracting runs >= MINRUN first and coding the
+    residue as an esc stream lets the FSE entropy stage model the
+    residue's i.i.d. distribution without match interference — measured
+    0.9056 vs 0.9113 B/token for esc alone on the F1b bench corpus,
+    within 1% of that corpus's order-0+runs entropy floor (0.896,
+    BASELINE.md round 2).  Runs are (start-delta, length, value)
+    streams, each esc-coded; the residue is everything else in order.
+    """
+
+    name = "resc"
+    kind = "int"
+    MINRUN = 8
+
+    def __init__(self):
+        self._esc = EscBytes()
+
+    @staticmethod
+    def _find_runs(values: np.ndarray, minrun: int):
+        n = len(values)
+        change = np.flatnonzero(values[1:] != values[:-1])
+        starts = np.concatenate(([0], change + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        is_long = lens >= minrun
+        return starts[is_long], lens[is_long], np.repeat(~is_long, lens)
+
+    def estimate(self, sample: np.ndarray) -> float:
+        if len(sample) == 0:
+            return 0.0
+        _, rlens, keep = self._find_runs(sample, self.MINRUN)
+        return self._esc.estimate(sample[keep]) + 6.0 * len(rlens) + 24.0
+
+    def encode(self, values: np.ndarray):
+        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        rstarts, rlens, keep = self._find_runs(v, self.MINRUN)
+        resid = v[keep]
+        pr, br = self._esc.encode(resid)
+        # run starts are increasing: delta-code before esc
+        pp, bp = self._esc.encode(np.diff(np.concatenate(([0], rstarts))))
+        pl, bl = self._esc.encode(rlens.astype(np.int64))
+        pv, bv = self._esc.encode(v[rstarts] if len(rstarts) else np.zeros(0, dtype=np.int64))
+        params = {
+            "nr": int(len(rstarts)),
+            "nres": int(len(resid)),
+            "r": pr, "p": pp, "l": pl, "v": pv,
+            "sz": [len(br), len(bp), len(bl)],
+        }
+        return params, br + bp + bl + bv
+
+    def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
+        nr, nres = params["nr"], params["nres"]
+        s0, s1, s2 = params["sz"]
+        o1, o2, o3 = s0, s0 + s1, s0 + s1 + s2
+        resid = self._esc.decode(params["r"], payload[:o1], nres)
+        if nr == 0:
+            return resid
+        rstarts = np.cumsum(self._esc.decode(params["p"], payload[o1:o2], nr))
+        rlens = self._esc.decode(params["l"], payload[o2:o3], nr)
+        rvals = self._esc.decode(params["v"], payload[o3:], nr)
+        out = np.empty(n, dtype=np.int64)
+        keep = np.ones(n, dtype=bool)
+        total_run = int(rlens.sum())
+        offs = np.repeat(np.cumsum(rlens) - rlens, rlens)
+        run_idx = np.arange(total_run, dtype=np.int64) - offs + np.repeat(rstarts, rlens)
+        keep[run_idx] = False
+        out[~keep] = np.repeat(rvals, rlens)
+        out[keep] = resid
+        return out
+
+
 # ------------------------------------------------------------------ RLE
 
 

@@ -1,0 +1,257 @@
+"""Static order-0 rANS over the full (dict-mapped) value alphabet.
+
+Why: the `esc` byte decomposition costs ~1% of entropy (splitting a
+token id into escape-byte + plane bytes and coding each stream order-0
+loses the cross-stream correlation), and zstd's FSE stage quantizes
+probabilities per 128 KiB block.  Coding the ids DIRECTLY against one
+exact order-0 table closes both gaps — on the F1b bench corpus the
+order-0+runs floor is 0.896 B/token (BASELINE.md round 2) and this
+codec (wrapped in run extraction, `rrans`) lands within ~1% of it.
+
+Public-knowledge algorithm (Duda 2013, arXiv:1311.2540; layout follows
+the widely-published 64-bit/32-bit-renorm "rans64" construction):
+
+  encode symbol s:  x' = (x // f_s) << P | (x % f_s) + c_s
+  decode:           slot = x & (2^P-1); s = sym[slot]
+                    x = f_s * (x >> P) + slot - c_s
+  states live in [2^32, 2^64); renormalization moves 32-bit words, and
+  b = 2^32 >= 2^P guarantees at most one renorm per symbol.
+
+Vectorization: L interleaved lanes (lane l owns the l-th contiguous
+slice of the id array), all lanes stepped together with numpy — the
+per-symbol serial dependence is per-lane, so each of the m = ceil(n/L)
+steps is a handful of kernels over L-element arrays.  Per-lane word
+streams are stored lane-major with per-lane counts, so decode pops
+each lane's words with an independent pointer — no cross-lane ordering
+subtleties.  Tail lanes are padded with symbol 0 (cost: <= L-1 extra
+symbols, microscopic) so every lane runs exactly m steps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import bit_width
+from .intcodecs import DictInt, ForBitpack
+
+_B32 = np.uint64(32)
+_LOW32 = np.uint64(0xFFFFFFFF)
+_STATE_MIN = 1 << 32
+MAX_DISTINCT = 1 << 18
+
+
+def quantize_freqs(counts: np.ndarray, P: int) -> np.ndarray:
+    """Scale counts to sum exactly 2^P with every present symbol >= 1."""
+    total = int(counts.sum())
+    target = 1 << P
+    scaled = np.maximum(1, (counts.astype(np.float64) * target / total).astype(np.int64))
+    excess = int(scaled.sum()) - target
+    if excess > 0:
+        # shave from the largest entries (most slack, least KL damage)
+        order = np.argsort(-scaled)
+        for i in order:
+            if excess <= 0:
+                break
+            take = min(excess, int(scaled[i]) - max(1, int(scaled[i]) // 2))
+            scaled[i] -= take
+            excess -= take
+        if excess > 0:  # pathological: shave all the way down to 1
+            for i in order:
+                if excess <= 0:
+                    break
+                take = min(excess, int(scaled[i]) - 1)
+                scaled[i] -= take
+                excess -= take
+    elif excess < 0:
+        scaled[int(np.argmax(scaled))] += -excess
+    assert int(scaled.sum()) == target and int(scaled.min()) >= 1
+    return scaled.astype(np.uint64)
+
+
+class Rans:
+    """Registry codec: int64 values -> dict map -> interleaved rANS."""
+
+    name = "rans"
+    kind = "int"
+    LANES = 4096
+
+    def __init__(self):
+        from .intcodecs import RunEsc
+
+        self._for = ForBitpack()
+        self._resc = RunEsc()  # compacts the dict-diff and freq streams
+
+    def estimate(self, sample: np.ndarray) -> float:
+        if len(sample) == 0:
+            return 0.0
+        uniq, counts = np.unique(sample, return_counts=True)
+        if len(uniq) > MAX_DISTINCT:
+            return float("inf")
+        p = counts / counts.sum()
+        entropy = float(-(p * np.log2(p)).sum())
+        # entropy + freq table + dict + per-lane state overhead
+        return len(sample) * entropy / 8.0 + 2.5 * len(uniq) + 64.0
+
+    def encode(self, values: np.ndarray):
+        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        n = len(v)
+        if n == 0:
+            return {"n": 0, "D": 0}, b""
+        uniq, ids = DictInt._unique_inverse(v, index_dtype=np.int64)
+        D = len(uniq)
+        # sorted uniq -> delta-code (diffs are overwhelmingly 1 for dense
+        # id alphabets; RunEsc turns those runs into a few bytes)
+        pd_, bd = self._resc.encode(np.diff(np.concatenate(([0], uniq))))
+        if D > MAX_DISTINCT:
+            raise ValueError(f"rans: {D} distinct values exceeds {MAX_DISTINCT}")
+        if D == 1:
+            return {"n": n, "D": 1, "d": pd_, "dlen": len(bd)}, bd
+        P = min(20, max(12, bit_width(D - 1) + 4))
+        counts = np.bincount(ids, minlength=D)
+        freq = quantize_freqs(counts, P)
+        cum = np.zeros(D, dtype=np.uint64)
+        np.cumsum(freq[:-1], out=cum[1:])
+
+        # cap lanes so m >= 64: per-lane state/count overhead then stays
+        # <=0.2 B/value even on selector-sized samples, and the fixed
+        # cost the selector's linear projection sees is honest
+        L = max(1, min(self.LANES, n // 64))
+        m = -(-n // L)
+        ids_pad = np.zeros(L * m, dtype=np.int64)
+        ids_pad[:n] = ids
+        steps = np.ascontiguousarray(ids_pad.reshape(L, m).T)  # (m, L) rows
+
+        x = np.full(L, _STATE_MIN, dtype=np.uint64)
+        words = np.empty((m, L), dtype=np.uint32)
+        emitted = np.empty((m, L), dtype=bool)
+        shift = np.uint64(64 - P)
+        Pu = np.uint64(P)
+        with np.errstate(over="ignore"):
+            for j in range(m - 1, -1, -1):
+                s = steps[j]
+                f = freq[s]
+                c = cum[s]
+                renorm = x >= (f << shift)
+                words[j] = (x & _LOW32).astype(np.uint32)
+                emitted[j] = renorm
+                x = np.where(renorm, x >> _B32, x)
+                x = ((x // f) << Pu) + (x % f) + c
+        # lane-major assembly: lane l's words at increasing j — exactly
+        # the order decode's per-lane pointer consumes them
+        stream = words.T[emitted.T]
+        lane_counts = emitted.T.sum(axis=1)
+        pf, freq_b = self._resc.encode(freq.astype(np.int64))
+        states_b = x.tobytes()
+        cdt = "<u2" if m < (1 << 16) else "<u4"
+        counts_b = lane_counts.astype(np.dtype(cdt)).tobytes()
+        stream_b = stream.tobytes()
+        params = {
+            "n": n, "D": D, "P": P, "L": L, "m": m,
+            "d": pd_, "dlen": len(bd), "f": pf, "cdt": cdt,
+            "sz": [len(freq_b), len(states_b), len(counts_b)],
+        }
+        return params, bd + freq_b + states_b + counts_b + stream_b
+
+    def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
+        if params.get("n", 0) == 0 or n == 0:
+            return np.zeros(0, dtype=np.int64)
+        D = params["D"]
+        uniq = np.cumsum(self._resc.decode(params["d"], payload[: params["dlen"]], D))
+        if D == 1:
+            return np.full(n, uniq[0], dtype=np.int64)
+        P, L, m = params["P"], params["L"], params["m"]
+        fsz, ssz, csz = params["sz"]
+        off = params["dlen"]
+        freq = self._resc.decode(params["f"], payload[off : off + fsz], D).astype(np.uint64)
+        off += fsz
+        x = np.frombuffer(payload, dtype=np.uint64, count=L, offset=off).copy()
+        off += ssz
+        lane_counts = np.frombuffer(
+            payload, dtype=np.dtype(params["cdt"]), count=L, offset=off
+        ).astype(np.int64)
+        off += csz
+        stream = np.frombuffer(payload, dtype=np.uint32, offset=off)
+
+        cum = np.zeros(D, dtype=np.uint64)
+        np.cumsum(freq[:-1], out=cum[1:])
+        slot2sym = np.repeat(np.arange(D, dtype=np.int64), freq.astype(np.int64))
+        ptr = np.zeros(L, dtype=np.int64)
+        ptr[1:] = np.cumsum(lane_counts)[:-1]
+
+        out = np.empty((m, L), dtype=np.int64)
+        mask = np.uint64((1 << P) - 1)
+        Pu = np.uint64(P)
+        state_min = np.uint64(_STATE_MIN)
+        with np.errstate(over="ignore"):
+            for j in range(m):
+                slot = x & mask
+                s = slot2sym[slot]
+                out[j] = s
+                x = freq[s] * (x >> Pu) + slot - cum[s]
+                renorm = x < state_min
+                if renorm.any():
+                    w = stream[ptr[renorm]]
+                    x[renorm] = (x[renorm] << _B32) | w.astype(np.uint64)
+                    ptr[renorm] += 1
+        ids = out.T.ravel()[:n]
+        return uniq[ids]
+
+
+class RunRans:
+    """`rrans` — run extraction (RunEsc's splitter) + rANS residue.
+
+    The homes-in-on-the-floor combination for token streams: runs cost
+    ~5 bytes each, the i.i.d. residue is coded against its exact
+    order-0 table."""
+
+    name = "rrans"
+    kind = "int"
+
+    def __init__(self):
+        from .intcodecs import EscBytes, RunEsc
+
+        self._runesc = RunEsc()
+        self._rans = Rans()
+        self._esc = EscBytes()
+
+    def estimate(self, sample: np.ndarray) -> float:
+        if len(sample) == 0:
+            return 0.0
+        _, rlens, keep = self._runesc._find_runs(sample, self._runesc.MINRUN)
+        return self._rans.estimate(sample[keep]) + 6.0 * len(rlens) + 24.0
+
+    def encode(self, values: np.ndarray):
+        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        rstarts, rlens, keep = self._runesc._find_runs(v, self._runesc.MINRUN)
+        resid = v[keep]
+        pr, br = self._rans.encode(resid)
+        pp, bp = self._esc.encode(np.diff(np.concatenate(([0], rstarts))))
+        pl, bl = self._esc.encode(rlens.astype(np.int64))
+        pv, bv = self._esc.encode(v[rstarts] if len(rstarts) else np.zeros(0, dtype=np.int64))
+        params = {
+            "nr": int(len(rstarts)),
+            "nres": int(len(resid)),
+            "r": pr, "p": pp, "l": pl, "v": pv,
+            "sz": [len(br), len(bp), len(bl)],
+        }
+        return params, br + bp + bl + bv
+
+    def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
+        nr, nres = params["nr"], params["nres"]
+        s0, s1, s2 = params["sz"]
+        o1, o2, o3 = s0, s0 + s1, s0 + s1 + s2
+        resid = self._rans.decode(params["r"], payload[:o1], nres)
+        if nr == 0:
+            return resid
+        rstarts = np.cumsum(self._esc.decode(params["p"], payload[o1:o2], nr))
+        rlens = self._esc.decode(params["l"], payload[o2:o3], nr)
+        rvals = self._esc.decode(params["v"], payload[o3:], nr)
+        out = np.empty(n, dtype=np.int64)
+        keep = np.ones(n, dtype=bool)
+        total_run = int(rlens.sum())
+        offs = np.repeat(np.cumsum(rlens) - rlens, rlens)
+        run_idx = np.arange(total_run, dtype=np.int64) - offs + np.repeat(rstarts, rlens)
+        keep[run_idx] = False
+        out[~keep] = np.repeat(rvals, rlens)
+        out[keep] = resid
+        return out

@@ -72,6 +72,21 @@ class EncodeConfig:
     write_concurrency: tuple | int | None = None
 
 
+def _make_choice_registry(cfg: EncodeConfig):
+    """Job-global codec A/B trial state (one trial per (source, column)
+    across ALL workers — see stages/choices.py).  Only needed when some
+    final codec is 'auto'; a fully-overridden job skips the actor."""
+    final_auto = any(
+        cfg.codec_overrides.get(c, "auto") == "auto"
+        for c in ("doc_id", "source", "n_tok", "tokens")
+    )
+    if not final_auto:
+        return None
+    from ..stages.choices import CodecChoiceRegistry
+
+    return CodecChoiceRegistry.remote()
+
+
 def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
     """ds_factory() -> tokseq Dataset (called twice: stats pass + encode;
     Ray datasets are consumed by execution, and re-reading beats
@@ -194,6 +209,7 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
                 "codec_overrides": cfg.codec_overrides,
                 "zstd": cfg.zstd,
                 "compact_chunk_tokens": cfg.compact_chunk_tokens,
+                "choice_registry": _make_choice_registry(cfg),
             },
             num_cpus=1.0,
         )
@@ -212,6 +228,7 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
             "zstd": cfg.zstd,
             "compact_tokens": cfg.compact_tokens,
             "compact_chunk_tokens": cfg.compact_chunk_tokens,
+            "choice_registry": _make_choice_registry(cfg),
         },
         concurrency=write_conc,
         num_cpus=1.0,

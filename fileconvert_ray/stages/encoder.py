@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..codecs import EncodedColumn, encode_array
+from ..codecs import TRIAL_MIN_N, EncodedColumn, encode_array
 from ..codecs.base import b64d
 from ..codecs.fsst import SymbolTable
 from ..state.manifest import JobDirs, write_manifest_entry
@@ -92,21 +92,56 @@ def encode_partition_table(
     fsst_cache: dict | None = None,
     choice_cache: dict | None = None,
     source_key: str = "",
+    choice_registry=None,
 ) -> tuple[list[EncodedColumn], dict]:
-    """Encode one chunk's columns; returns encoded rows + per-column info."""
+    """Encode one chunk's columns; returns encoded rows + per-column info.
+
+    Codec choice for big chunks is a SAME-CHUNK trial (every close
+    candidate really encoded once on one chunk, winner kept — see
+    ``encode_array(trial=True)``); the winner locks per (source,
+    column).  With ``choice_registry`` (a CodecChoiceRegistry actor
+    handle) one elected lead runs the trial for the whole job; without
+    it, the first big chunk per key in this process runs it."""
     overrides = codec_overrides or {}
     encoded: list[EncodedColumn] = []
     info: dict[str, dict] = {}
 
     def enc(name: str, arr) -> None:
         codec = overrides.get(name, "auto")
+        is_auto = codec == "auto"
         key = (source_key, name)
-        if codec == "auto" and choice_cache is not None and key in choice_cache:
-            codec = choice_cache[key]
+        big = len(arr) >= TRIAL_MIN_N
+        trial = False
+        report = False
+        if is_auto and choice_cache is not None:
+            ent = choice_cache.get(key)
+            if isinstance(ent, str):
+                codec = ent  # locked (locally, or a cached registry winner)
+            elif big and choice_registry is not None:
+                import ray as _ray
+
+                got = _ray.get(choice_registry.ask.remote(key))
+                if got["winner"]:
+                    codec = choice_cache[key] = got["winner"]
+                elif got["lead"]:
+                    trial = report = True
+                # else: trial pending elsewhere — encode projected best
+            else:
+                trial = big  # no registry: first big chunk here trials
         table = fsst_cache.get(key) if fsst_cache is not None else None
-        e = encode_array(arr, name, codec=codec, zstd=zstd, fsst_table=table)
-        if choice_cache is not None and key not in choice_cache and overrides.get(name, "auto") == "auto":
-            choice_cache[key] = e.codec
+        e = encode_array(arr, name, codec=codec, zstd=zstd, fsst_table=table, trial=trial)
+        if is_auto and choice_cache is not None and not isinstance(choice_cache.get(key), str):
+            if report:
+                import ray as _ray
+
+                choice_registry.set_winner.remote(key, e.codec)
+                choice_cache[key] = e.codec
+            elif trial or (not big and choice_registry is None):
+                # lock locally: trialed here, or a small-chunk key with no
+                # registry (re-running the selector per chunk buys nothing);
+                # with a registry, small chunks stay unlocked so a later
+                # big chunk can still run the real trial
+                choice_cache[key] = e.codec
         if fsst_cache is not None and e.codec == "fsst" and key not in fsst_cache:
             t = e.params.get("c", {}).get("t")
             if t:
@@ -134,10 +169,12 @@ class ChunkEncoder:
         codec_overrides: dict[str, str] | None = None,
         zstd: bool = True,
         staged_dir: str | None = None,
+        choice_registry=None,
     ):
         self.codec_overrides = codec_overrides or {}
         self.zstd = zstd
         self.staged_dir = staged_dir
+        self.choice_registry = choice_registry
         self.fsst_cache: dict = {}  # (source, column) -> SymbolTable
         self.choice_cache: dict = {}  # (source, column) -> codec name
 
@@ -190,6 +227,7 @@ class ChunkEncoder:
                 fsst_cache=self.fsst_cache,
                 choice_cache=self.choice_cache,
                 source_key=source,
+                choice_registry=self.choice_registry,
             )
             for ec in encoded:
                 cols["part_id"].append(part_id)
@@ -271,17 +309,21 @@ def write_partition_task(
     codec_overrides: dict | None = None,
     zstd: bool = True,
     compact_chunk_tokens: int = 4_000_000,
+    choice_registry=None,
 ) -> pa.Table:
     """Reduce side of the staged shuffle as a stateless task: each input
     row carries one partition's staged (path, row_group) list; expand it
     back to metadata rows and run the cached PartitionWriter."""
     # cache key covers every config knob: a later run to the same out_dir
     # with different codecs/zstd must not reuse the first run's writer
+    # (the registry handle identifies the RUN — a fresh job's registry
+    # must not inherit a cached writer holding the dead one)
     cache_key = (
         out_dir,
         tuple(sorted((codec_overrides or {}).items())),
         zstd,
         compact_chunk_tokens,
+        choice_registry._actor_id.hex() if choice_registry is not None else None,
     )
     w = _WRITER_CACHE.get(cache_key)
     if w is None:
@@ -293,6 +335,7 @@ def write_partition_task(
             zstd=zstd,
             compact_tokens=None,
             compact_chunk_tokens=compact_chunk_tokens,
+            choice_registry=choice_registry,
         )
     out = []
     for row in batch.to_pylist():
@@ -336,11 +379,13 @@ class PartitionWriter:
         zstd: bool = True,
         compact_tokens: int | None = None,
         compact_chunk_tokens: int = 4_000_000,
+        choice_registry=None,
     ):
         self.dirs = JobDirs(out_dir).create()
         self.codec_overrides = codec_overrides or {}
         self.zstd = zstd
         self.compact_tokens = compact_tokens
+        self.choice_registry = choice_registry
         # Compacted chunks are re-split to ~this many tokens: decode-side
         # working set stays bounded (~8 MiB buffers) while codec quality
         # is preserved because dict/FSST state is shared across the
@@ -380,6 +425,7 @@ class PartitionWriter:
                 fsst_cache=self.fsst_cache,
                 choice_cache=self.choice_cache,
                 source_key=source,
+                choice_registry=self.choice_registry,
             )
             chunk_uid = uuid.uuid4().hex
             for ec in encoded:
