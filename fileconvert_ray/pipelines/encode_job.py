@@ -25,7 +25,7 @@ from ..stages.encoder import (
     PartitionWriter,
     encode_chunks_task,
     stage_raw_task,
-    write_partition_task,
+    write_bucket_task,
 )
 from ..stages.partition import bucket_plan, make_assigner, make_resume_filter, source_stats
 from ..state.manifest import JobDirs, completed_partitions, write_plan
@@ -70,6 +70,14 @@ class EncodeConfig:
     # a fixed pool would reserve its CPUs for the whole job and starve
     # the map phase ahead of the shuffle barrier.
     write_concurrency: tuple | int | None = None
+    # Staged path: number of reduce buckets.  None = min(n_partitions,
+    # max(64, 4 x cluster CPUs)).  Staged row groups + exchanged
+    # metadata are O(blocks x buckets), independent of partition count.
+    reduce_buckets: int | None = None
+    # A bucket whose staged bytes exceed this is re-staged locally to
+    # per-partition row groups before finalizing (memory then bounded by
+    # the largest partition, not the bucket).
+    bucket_restage_bytes: int = 256 << 20
 
 
 def _make_choice_registry(cfg: EncodeConfig):
@@ -143,17 +151,21 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
         # crashed run are never referenced (metadata rows die with it)
         _shutil.rmtree(staged_dir, ignore_errors=True)
     if staged_dir is not None:
-        # staged external shuffle: spill raw rows partition-sorted with
-        # parquet-zstd as transport (C++ columnar encode — the Python
-        # codecs run exactly once, reduce-side, per partition).  Whole-
-        # block batches -> one staged file per input block, so each
-        # partition is read back in O(blocks) row-group reads.
+        # staged external shuffle: spill raw rows bucket-then-part_id
+        # sorted with parquet-zstd as transport (C++ columnar encode —
+        # the Python codecs run exactly once, reduce-side, per
+        # partition).  Whole-block batches -> one staged file per input
+        # block with ONE ROW GROUP PER REDUCE BUCKET, so staged row
+        # groups and metadata rows are O(blocks x n_buckets) with
+        # n_buckets fixed — independent of the partition count (the
+        # round-1 M x R verdict fix).
+        n_buckets = cfg.reduce_buckets or min(n_parts, max(64, 4 * ncpu))
         chunks = ds.map_batches(
             stage_raw_task,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
-            fn_kwargs={"staged_dir": staged_dir},
+            fn_kwargs={"staged_dir": staged_dir, "n_buckets": n_buckets},
             num_cpus=cfg.encode_num_cpus,
         )
     elif map_is_stateless and cfg.encode_concurrency is None:
@@ -177,31 +189,44 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
         )
     # Phase 2: co-locate per partition, write containers.
     if staged_dir is not None:
-        # Metadata rows are O(blocks x partitions-per-block) and tiny:
-        # merge them on the driver (streaming) and dispatch one reduce
-        # TASK per partition — no sort op, no actor pool rampup, and the
-        # scheduler load-balances 1-per-partition tasks across all CPUs.
+        # Metadata rows are O(blocks x n_buckets) and tiny: concat them
+        # on the driver and group by bucket with one vectorized argsort
+        # (no per-row Python), then dispatch one reduce TASK per bucket —
+        # no sort op, no actor pool rampup, and the scheduler
+        # load-balances bucket tasks across all CPUs.  (If blocks x
+        # n_buckets ever outgrows the driver, this concat+argsort drops
+        # into a Ray groupby over the same tiny rows unchanged.)
+        import numpy as _np
         import ray.data as rd
 
-        groups: dict[str, dict] = {}
-        for b in chunks.iter_batches(batch_size=None, batch_format="pyarrow"):
-            for pid, src, path, rg in zip(
-                b.column("part_id").to_pylist(),
-                b.column("source").to_pylist(),
-                b.column("staged_path").to_pylist(),
-                b.column("row_group").to_pylist(),
-            ):
-                g = groups.setdefault(
-                    pid, {"part_id": pid, "source": src, "staged_path": [], "row_group": []}
-                )
-                g["staged_path"].append(path)
-                g["row_group"].append(rg)
-        items = [groups[p] for p in sorted(groups)]
-        if not items:
+        metas = [b for b in chunks.iter_batches(batch_size=None, batch_format="pyarrow")]
+        metas = [b for b in metas if b.num_rows]
+        if not metas:
             return rd.from_items([]).map_batches(lambda b: b)
+        import pyarrow as _pa
+
+        meta = _pa.concat_tables(metas).combine_chunks()
+        bk = meta.column("bucket").to_numpy(zero_copy_only=False)
+        order = _np.argsort(bk, kind="stable")
+        sorted_bk = bk[order]
+        bounds = _np.concatenate(
+            ([0], _np.flatnonzero(_np.diff(sorted_bk)) + 1, [len(sorted_bk)])
+        )
+        paths = meta.column("staged_path")
+        rgs = meta.column("row_group")
+        items = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[int(s) : int(e)]
+            items.append(
+                {
+                    "bucket": int(sorted_bk[s]),
+                    "staged_path": paths.take(_pa.array(sel)).to_pylist(),
+                    "row_group": rgs.take(_pa.array(sel)).to_pylist(),
+                }
+            )
         reduce_ds = rd.from_items(items, override_num_blocks=len(items))
         metrics = reduce_ds.map_batches(
-            write_partition_task,
+            write_bucket_task,
             batch_format="pyarrow",
             batch_size=1,
             fn_kwargs={
@@ -210,6 +235,7 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
                 "zstd": cfg.zstd,
                 "compact_chunk_tokens": cfg.compact_chunk_tokens,
                 "choice_registry": _make_choice_registry(cfg),
+                "restage_bytes": cfg.bucket_restage_bytes,
             },
             num_cpus=1.0,
         )

@@ -71,6 +71,17 @@ STAGED_META_SCHEMA = pa.schema(
     ]
 )
 
+# the raw staged path exchanges BUCKET-granular metadata (M x B rows,
+# B fixed by config) instead of partition-granular (M x R) — see
+# stage_raw_task
+BUCKET_META_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("staged_path", pa.string()),
+        ("row_group", pa.int32()),
+    ]
+)
+
 
 def flat_tokens(batch: pa.Table) -> pa.Array:
     """tokens list<int32> -> contiguous int32 values array (zero-copy)."""
@@ -259,42 +270,72 @@ def encode_chunks_task(
     return ChunkEncoder(codec_overrides=codec_overrides, zstd=zstd, staged_dir=staged_dir)(batch)
 
 
-def stage_raw_task(batch: pa.Table, staged_dir: str) -> pa.Table:
-    """Map side of the staged external shuffle: spill this batch's RAW
-    rows partition-sorted into one parquet file (one ROW GROUP per
-    part_id, parquet-zstd as transport compression — vectorized C++, no
-    Python codec pass) and emit only (part_id, path, row_group) rows.
+def bucket_of_part_ids(pids: pa.Array, n_buckets: int) -> np.ndarray:
+    """Deterministic part_id -> reduce-bucket hash (int32)."""
+    from ..util.hashing import hash_strings_u64
 
-    The final per-column codecs run exactly once, on the reduce side
-    over whole partitions — a Python transport encode here would cost
-    two extra full passes over every token for bytes parquet already
-    saves."""
+    return (hash_strings_u64(pids) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def stage_raw_task(batch: pa.Table, staged_dir: str, n_buckets: int) -> pa.Table:
+    """Map side of the staged external shuffle: spill this batch's RAW
+    rows into one parquet file with one ROW GROUP per reduce BUCKET
+    (parquet-zstd as transport compression — vectorized C++, no Python
+    codec pass) and emit only (bucket, path, row_group) rows.
+
+    Bucketing is the M x R fix (round-1 verdict): with one row group
+    per PARTITION, hash-scattered doc_ids made every block touch ~every
+    partition, so staged files carried blocks x partitions tiny row
+    groups and the metadata exchange grew the same way — the classic
+    map-output-tracker blowup.  One row group per BUCKET caps both at
+    blocks x n_buckets with n_buckets fixed by config, independent of
+    the partition count; ``part_id`` stays in the staged rows and the
+    bucket reduce task re-splits (each row group is part_id-sorted, so
+    the split is a vectorized boundary scan, not a sort).
+
+    The final per-column codecs still run exactly once, reduce-side,
+    over whole partitions."""
     if batch.num_rows == 0:
-        return pa.Table.from_pydict({k: [] for k in STAGED_META_SCHEMA.names}, schema=STAGED_META_SCHEMA)
-    batch = batch.combine_chunks().sort_by("part_id")
-    pids = batch.column("part_id").to_pylist()
-    srcs = batch.column("source").to_pylist()
-    data = batch.drop_columns(["part_id"])
+        return pa.Table.from_pydict({k: [] for k in BUCKET_META_SCHEMA.names}, schema=BUCKET_META_SCHEMA)
+    batch = batch.combine_chunks()
+    bucket = bucket_of_part_ids(batch.column("part_id"), n_buckets)
+    batch = batch.append_column("bucket", pa.array(bucket))
+    # one sort: bucket-major, part_id within — every bucket row group
+    # comes out part_id-sorted for the reduce-side boundary scan
+    batch = batch.sort_by([("bucket", "ascending"), ("part_id", "ascending")])
+    bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(bk)) + 1, [len(bk)]))
+    data = batch.drop_columns(["bucket"])
     os.makedirs(staged_dir, exist_ok=True)
     fname = f"{uuid.uuid4().hex}.parquet"
     tmp = os.path.join(staged_dir, f".tmp-{fname}")
     final = os.path.join(staged_dir, fname)
-    meta: dict[str, list] = {"part_id": [], "source": [], "staged_path": [], "row_group": []}
+    meta: dict[str, list] = {"bucket": [], "staged_path": [], "row_group": []}
     writer = pq.ParquetWriter(tmp, data.schema, compression="zstd")
-    i, rg = 0, 0
-    while i < len(pids):
-        j = i
-        while j < len(pids) and pids[j] == pids[i]:
-            j += 1
-        writer.write_table(data.slice(i, j - i))
-        meta["part_id"].append(pids[i])
-        meta["source"].append(srcs[i])
+    for rg, (i, j) in enumerate(zip(bounds[:-1], bounds[1:])):
+        writer.write_table(data.slice(int(i), int(j - i)))
+        meta["bucket"].append(int(bk[i]))
         meta["staged_path"].append(final)
         meta["row_group"].append(rg)
-        rg, i = rg + 1, j
     writer.close()
     os.replace(tmp, final)
-    return pa.Table.from_pydict(meta, schema=STAGED_META_SCHEMA)
+    return pa.Table.from_pydict(meta, schema=BUCKET_META_SCHEMA)
+
+
+def _part_slices(t: pa.Table):
+    """Yield (part_id, slice) for a part_id-sorted table — vectorized
+    boundary detection (dictionary_encode + diff), no per-row Python."""
+    pids = t.column("part_id")
+    if isinstance(pids, pa.ChunkedArray):
+        pids = pids.combine_chunks()
+    denc = pids.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(idx)) + 1, [len(idx)]))
+    labels = denc.dictionary.to_pylist()
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        yield labels[int(idx[s])], t.slice(int(s), int(e - s))
 
 
 # worker-process-global caches for the stateless reduce tasks: Ray
@@ -303,17 +344,7 @@ def stage_raw_task(batch: pa.Table, staged_dir: str) -> pa.Table:
 _WRITER_CACHE: dict = {}
 
 
-def write_partition_task(
-    batch: pa.Table,
-    out_dir: str,
-    codec_overrides: dict | None = None,
-    zstd: bool = True,
-    compact_chunk_tokens: int = 4_000_000,
-    choice_registry=None,
-) -> pa.Table:
-    """Reduce side of the staged shuffle as a stateless task: each input
-    row carries one partition's staged (path, row_group) list; expand it
-    back to metadata rows and run the cached PartitionWriter."""
+def _cached_writer(out_dir, codec_overrides, zstd, compact_chunk_tokens, choice_registry):
     # cache key covers every config knob: a later run to the same out_dir
     # with different codecs/zstd must not reuse the first run's writer
     # (the registry handle identifies the RUN — a fresh job's registry
@@ -337,21 +368,95 @@ def write_partition_task(
             compact_chunk_tokens=compact_chunk_tokens,
             choice_registry=choice_registry,
         )
+    return w
+
+
+def write_bucket_task(
+    batch: pa.Table,
+    out_dir: str,
+    codec_overrides: dict | None = None,
+    zstd: bool = True,
+    compact_chunk_tokens: int = 4_000_000,
+    choice_registry=None,
+    restage_bytes: int = 256 << 20,
+) -> pa.Table:
+    """Reduce side of the bucketed staged shuffle: each input row is one
+    BUCKET with its staged (path, row_group) lists.  Small buckets are
+    loaded whole and split into partitions with a vectorized boundary
+    scan; buckets whose staged (compressed) size exceeds ``restage_bytes``
+    are first re-staged locally to one-row-group-per-partition (a
+    bucket-LOCAL second hop: streaming one row group at a time, no extra
+    metadata exchange) so memory stays bounded by the largest partition,
+    not the bucket.  Every partition still gets its own atomic container
+    + manifest line — resume granularity is unchanged."""
+    w = _cached_writer(out_dir, codec_overrides, zstd, compact_chunk_tokens, choice_registry)
+    if not hasattr(w, "_pf_cache"):
+        w._pf_cache = {}
     out = []
+
+    def open_pf(path):
+        pf = w._pf_cache.get(path)
+        if pf is None:
+            if len(w._pf_cache) > 512:
+                for old in w._pf_cache.values():
+                    old.close()
+                w._pf_cache.clear()
+            pf = w._pf_cache[path] = pq.ParquetFile(path)
+        return pf
+
     for row in batch.to_pylist():
-        k = len(row["staged_path"])
-        meta = pa.Table.from_pydict(
-            {
-                "part_id": [row["part_id"]] * k,
-                "source": [row["source"]] * k,
-                "staged_path": row["staged_path"],
-                "row_group": row["row_group"],
-            },
-            schema=STAGED_META_SCHEMA,
+        pairs = list(zip(row["staged_path"], row["row_group"]))
+        staged_bytes = sum(
+            open_pf(p).metadata.row_group(int(rg)).total_byte_size for p, rg in pairs
         )
-        out.append(w(meta))
-    return pa.concat_tables(out) if out else w(pa.Table.from_pydict(
-        {k: [] for k in STAGED_META_SCHEMA.names}, schema=STAGED_META_SCHEMA))
+        if staged_bytes <= restage_bytes:
+            # each row group is already part_id-sorted: boundary-scan each
+            # and merge slices per partition — no payload sort at all
+            parts: dict[str, list] = {}
+            for p, rg in pairs:
+                t = open_pf(p).read_row_group(int(rg))
+                for part_id, sl in _part_slices(t):
+                    parts.setdefault(part_id, []).append(sl)
+            for part_id in sorted(parts):
+                merged = pa.concat_tables(parts[part_id]).combine_chunks()
+                source = merged.column("source")[0].as_py()
+                out.append(w.finalize_raw(merged.drop_columns(["part_id"]), part_id, source))
+        else:
+            # bucket-local restage: one pass re-sorts the bucket on disk
+            # to per-partition row groups, then finalize partition-wise
+            spill = os.path.join(
+                os.path.dirname(row["staged_path"][0]), f".bucket-{uuid.uuid4().hex}.parquet"
+            )
+            writer = None
+            part_rgs: dict[str, list[int]] = {}
+            rg_no = 0
+            for p, rg in pairs:
+                t = open_pf(p).read_row_group(int(rg))
+                for part_id, sl in _part_slices(t):
+                    if writer is None:
+                        writer = pq.ParquetWriter(spill, t.schema, compression="zstd")
+                    writer.write_table(sl)
+                    part_rgs.setdefault(part_id, []).append(rg_no)
+                    rg_no += 1
+            if writer is not None:
+                writer.close()
+                spf = pq.ParquetFile(spill)
+                for part_id in sorted(part_rgs):
+                    merged = pa.concat_tables(
+                        [spf.read_row_group(i) for i in part_rgs[part_id]]
+                    ).combine_chunks()
+                    source = merged.column("source")[0].as_py()
+                    out.append(
+                        w.finalize_raw(merged.drop_columns(["part_id"]), part_id, source)
+                    )
+                spf.close()
+                os.remove(spill)
+    if not out:
+        return pa.Table.from_pydict(
+            {k: [] for k in PartitionWriter.METRICS_SCHEMA.names},
+            schema=PartitionWriter.METRICS_SCHEMA,
+        )
+    return pa.concat_tables(out)
 
 
 class PartitionWriter:
@@ -474,6 +579,14 @@ class PartitionWriter:
             s = int(h.sum(dtype=np.uint64))
         return {"n_rows": decoded.num_rows, "hsum": s}
 
+    def finalize_raw(self, decoded: pa.Table, part_id: str, source: str) -> pa.Table:
+        """One partition's raw tokseq rows -> digest, final encode,
+        atomic container + manifest; returns the metrics row."""
+        t0 = time.perf_counter()
+        digest = self._digest(decoded)
+        group = self._encode_decoded(decoded, part_id, source)
+        return self._write_container(group, digest, t0)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         if group.num_rows == 0:
@@ -502,6 +615,9 @@ class PartitionWriter:
             decoded = decode_container_table(group)
             digest = self._digest(decoded)
             group = self._encode_decoded(decoded, part_id, source)
+        return self._write_container(group, digest, t0)
+
+    def _write_container(self, group: pa.Table, digest, t0: float) -> pa.Table:
         part_id = group.column("part_id")[0].as_py()
         tmp = os.path.join(self.dirs.tmp, f"{part_id}-{uuid.uuid4().hex}.parquet")
         # payloads are codec-compressed already; container stays raw

@@ -145,3 +145,47 @@ def test_hash_verify_modes_and_corruption(ray_session, sf_dir, out_dir):
     assert not v3.loc[parts[0], "ok"]
     assert not v3.loc[parts[1], "ok"]
     assert v3.drop(index=[parts[0], parts[1]])["ok"].all()
+
+
+def test_staged_rowgroups_bounded_by_buckets(ray_session, sf_dir, out_dir):
+    """Round-1 verdict fix: staged row groups must be O(blocks x buckets),
+    independent of partition count — NOT O(blocks x partitions)."""
+    import pyarrow.parquet as _pq
+
+    from fileconvert_ray.pipelines.encode_job import run_encode as _run
+
+    factory = lambda: tokseq_dataset(sf_dir)
+    # tiny partitions: ~500+ partitions from 28k tokens
+    cfg = EncodeConfig(
+        out_dir=out_dir, target_partition_tokens=50, reduce_buckets=16, resume=False
+    )
+    # keep staged files around by monkey... simpler: count row groups as
+    # metadata flows — run encode, then count from manifests+staged dir.
+    # staged/ survives until the next run's rmtree, so inspect directly.
+    metrics = _run(factory, cfg).to_pandas()
+    n_parts = len(metrics)
+    assert n_parts >= 200, n_parts
+    staged = glob.glob(os.path.join(out_dir, "staged", "*.parquet"))
+    assert staged, "staged files should still exist after the run"
+    n_blocks = len(staged)
+    total_rgs = sum(_pq.ParquetFile(p).metadata.num_row_groups for p in staged)
+    assert total_rgs <= n_blocks * 16, (total_rgs, n_blocks, n_parts)
+    assert total_rgs < n_blocks * n_parts / 4
+    v = run_verify(factory, out_dir, mode="hash").to_pandas()
+    assert v["ok"].all()
+    assert len(v) == n_parts
+
+
+def test_bucket_restage_path_roundtrip(ray_session, sf_dir, out_dir):
+    """Oversized buckets re-stage locally to per-partition row groups;
+    the result must be bit-identical to the in-memory path."""
+    factory = lambda: tokseq_dataset(sf_dir)
+    cfg = EncodeConfig(
+        out_dir=out_dir,
+        target_partition_tokens=5_000,
+        bucket_restage_bytes=1,  # force the restage branch for every bucket
+    )
+    metrics = run_encode(factory, cfg).to_pandas()
+    assert metrics["n_rows"].sum() == 500
+    v = run_verify(factory, out_dir).to_pandas()
+    assert v["ok"].all(), v[~v["ok"]]
