@@ -114,12 +114,14 @@ class Rans:
 
         # cap lanes so m >= 64: per-lane state/count overhead then stays
         # <=0.2 B/value even on selector-sized samples, and the fixed
-        # cost the selector's linear projection sees is honest
+        # cost the selector's linear projection sees is honest.
+        # Lane l owns the STRIDED positions l, l+L, l+2L, ... — step j
+        # then reads/writes the contiguous slice [j*L, (j+1)*L), so
+        # neither encode nor decode pays a transpose copy.
         L = max(1, min(self.LANES, n // 64))
         m = -(-n // L)
         ids_pad = np.zeros(L * m, dtype=np.int64)
         ids_pad[:n] = ids
-        steps = np.ascontiguousarray(ids_pad.reshape(L, m).T)  # (m, L) rows
 
         x = np.full(L, _STATE_MIN, dtype=np.uint64)
         words = np.empty((m, L), dtype=np.uint32)
@@ -128,14 +130,15 @@ class Rans:
         Pu = np.uint64(P)
         with np.errstate(over="ignore"):
             for j in range(m - 1, -1, -1):
-                s = steps[j]
+                s = ids_pad[j * L : (j + 1) * L]
                 f = freq[s]
                 c = cum[s]
                 renorm = x >= (f << shift)
-                words[j] = (x & _LOW32).astype(np.uint32)
+                words[j] = x & _LOW32  # setitem narrows uint64 -> uint32
                 emitted[j] = renorm
                 x = np.where(renorm, x >> _B32, x)
-                x = ((x // f) << Pu) + (x % f) + c
+                q, r = np.divmod(x, f)
+                x = (q << Pu) + r + c
         # lane-major assembly: lane l's words at increasing j — exactly
         # the order decode's per-lane pointer consumes them
         stream = words.T[emitted.T]
@@ -178,7 +181,9 @@ class Rans:
         ptr = np.zeros(L, dtype=np.int64)
         ptr[1:] = np.cumsum(lane_counts)[:-1]
 
-        out = np.empty((m, L), dtype=np.int64)
+        # strided-lane layout (see encode): step j decodes the contiguous
+        # slice [j*L, (j+1)*L) directly into the output — no transpose
+        out = np.empty(m * L, dtype=np.int64)
         mask = np.uint64((1 << P) - 1)
         Pu = np.uint64(P)
         state_min = np.uint64(_STATE_MIN)
@@ -186,15 +191,14 @@ class Rans:
             for j in range(m):
                 slot = x & mask
                 s = slot2sym[slot]
-                out[j] = s
+                out[j * L : (j + 1) * L] = s
                 x = freq[s] * (x >> Pu) + slot - cum[s]
                 renorm = x < state_min
                 if renorm.any():
                     w = stream[ptr[renorm]]
                     x[renorm] = (x[renorm] << _B32) | w.astype(np.uint64)
                     ptr[renorm] += 1
-        ids = out.T.ravel()[:n]
-        return uniq[ids]
+        return uniq[out[:n]]
 
 
 class RunRans:

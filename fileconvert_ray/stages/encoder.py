@@ -270,6 +270,18 @@ def encode_chunks_task(
     return ChunkEncoder(codec_overrides=codec_overrides, zstd=zstd, staged_dir=staged_dir)(batch)
 
 
+# Staged-transport parquet options: BYTE_STREAM_SPLIT on the token
+# values (int32 planes compress better AND ~35% faster through zstd
+# than parquet's default dictionary/RLE attempt on high-cardinality
+# ids — measured round 2), dictionary off everywhere (the staged file
+# is written once and read once; dict encoding is pure overhead).
+_STAGE_PQ_OPTS = dict(
+    compression="zstd",
+    use_dictionary=False,
+    column_encoding={"tokens.list.element": "BYTE_STREAM_SPLIT"},
+)
+
+
 def bucket_of_part_ids(pids: pa.Array, n_buckets: int) -> np.ndarray:
     """Deterministic part_id -> reduce-bucket hash (int32)."""
     from ..util.hashing import hash_strings_u64
@@ -311,7 +323,7 @@ def stage_raw_task(batch: pa.Table, staged_dir: str, n_buckets: int) -> pa.Table
     tmp = os.path.join(staged_dir, f".tmp-{fname}")
     final = os.path.join(staged_dir, fname)
     meta: dict[str, list] = {"bucket": [], "staged_path": [], "row_group": []}
-    writer = pq.ParquetWriter(tmp, data.schema, compression="zstd")
+    writer = pq.ParquetWriter(tmp, data.schema, **_STAGE_PQ_OPTS)
     for rg, (i, j) in enumerate(zip(bounds[:-1], bounds[1:])):
         writer.write_table(data.slice(int(i), int(j - i)))
         meta["bucket"].append(int(bk[i]))
@@ -434,7 +446,7 @@ def write_bucket_task(
                 t = open_pf(p).read_row_group(int(rg))
                 for part_id, sl in _part_slices(t):
                     if writer is None:
-                        writer = pq.ParquetWriter(spill, t.schema, compression="zstd")
+                        writer = pq.ParquetWriter(spill, t.schema, **_STAGE_PQ_OPTS)
                     writer.write_table(sl)
                     part_rgs.setdefault(part_id, []).append(rg_no)
                     rg_no += 1

@@ -226,3 +226,67 @@ def test_simhash_batch_composition_invariance():
     alone = s.simhash(pa.array([doc]))
     mixed = s.simhash(pa.array([doc, "", "solo"]))
     assert alone[0] == mixed[0]
+
+
+def test_exact_dedup_shuffle_excludes_payload():
+    """Round-1 verdict fix: the corpus-wide dedup shuffle moves only
+    (content_hash, id) pairs — the payload column must not be there."""
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.dedup import PAIR_SCHEMA, content_hash_pairs
+
+    batch = pa.table(
+        {"doc_id": ["a", "b"], "text": ["x " * 1000, "y " * 1000], "other": [1, 2]}
+    )
+    pairs = content_hash_pairs(batch)
+    assert pairs.schema.equals(PAIR_SCHEMA)
+    assert "text" not in pairs.column_names and "other" not in pairs.column_names
+    # pair rows are ~24 B regardless of payload size
+    assert pairs.nbytes < 100
+
+
+def test_exact_dedup_collision_recheck_keeps_min_id(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import exact_dedup
+
+    rows = (
+        [{"doc_id": f"d{i:03d}", "text": f"unique text {i}"} for i in range(20)]
+        + [{"doc_id": "z900", "text": "unique text 3"}]   # dup of d003
+        + [{"doc_id": "a000", "text": "unique text 7"}]   # dup of d007, smaller id wins
+    )
+    ds = rd.from_items(rows, override_num_blocks=4)
+    out = exact_dedup(ds).to_pandas()
+    ids = set(out.doc_id)
+    assert "z900" not in ids
+    assert "a000" in ids and "d007" not in ids
+    assert len(out) == 20
+
+
+def test_labelprop_matches_union_find(ray_session):
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.dedup import (
+        labelprop_dropped,
+        union_find_survivors,
+    )
+
+    # chain, triangle, isolated pair, plus a long path (tests iteration)
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z"),
+             ("p1", "p2"), ("q1", "q2"), ("q2", "q3"), ("q3", "q4"), ("q4", "q5")]
+    t = pa.table({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    want, _ = union_find_survivors(pairs)
+    got = labelprop_dropped(t)
+    assert got == want
+
+
+def test_minhash_labelprop_same_survivors(ray_session):
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import minhash_dedup
+
+    t = _docs_with_dups()
+    a, _ = minhash_dedup(rd.from_arrow(t))
+    b, _ = minhash_dedup(rd.from_arrow(t), components="labelprop")
+    assert sorted(a.to_pandas().doc_id) == sorted(b.to_pandas().doc_id)
