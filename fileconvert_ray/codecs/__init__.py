@@ -35,14 +35,56 @@ from .strcodecs import DictStr, FsstStr, PlainStr
 
 INT_CODECS: dict[str, object] = {}
 STR_CODECS: dict[str, object] = {}
+FIXED_CODECS: dict[str, object] = {}
 
 # chunks at least this long participate in the cross-chunk A/B codec
 # trial (below this, fixed codec overheads distort the comparison)
 TRIAL_MIN_N = 1 << 20
 
 
+class PlainFixed:
+    """Raw little-endian bytes of fixed-width values (float/decimal)."""
+
+    name = "plain"
+    kind = "fixed"
+
+    def estimate(self, sample: np.ndarray) -> float:
+        return float(sample.nbytes)
+
+    def encode(self, values: np.ndarray):
+        v = np.ascontiguousarray(values)
+        return {"w": int(v.shape[1])}, v.tobytes()
+
+    def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
+        w = int(params["w"])
+        return np.frombuffer(payload, dtype=np.uint8, count=n * w).reshape(n, w)
+
+
+class Plane:
+    """Byte-plane split (BYTE_STREAM_SPLIT): plane j holds byte j of
+    every value.  Exponent/sign planes of floats and the high planes of
+    decimals are highly repetitive, so the zstd topper compresses them
+    far below the interleaved layout."""
+
+    name = "plane"
+    kind = "fixed"
+
+    def estimate(self, sample: np.ndarray) -> float:
+        return float(sample.nbytes)  # pre-topper size; topper does the work
+
+    def encode(self, values: np.ndarray):
+        v = np.ascontiguousarray(values)
+        n, w = v.shape
+        return {"w": int(w)}, np.ascontiguousarray(v.T).tobytes()
+
+    def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
+        w = int(params["w"])
+        planes = np.frombuffer(payload, dtype=np.uint8, count=n * w).reshape(w, n)
+        return np.ascontiguousarray(planes.T)
+
+
 def register(codec) -> None:
-    table = INT_CODECS if codec.kind == "int" else STR_CODECS
+    table = {"int": INT_CODECS, "str": STR_CODECS, "fixed": FIXED_CODECS}[codec.kind]
     table[codec.name] = codec
 
 
@@ -50,8 +92,64 @@ for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ(), EscBytes(), RunE
     register(_c)
 for _c in (PlainStr(), DictStr(), FsstStr()):
     register(_c)
+for _c in (PlainFixed(), Plane()):
+    register(_c)
 
 _INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(), pa.uint8(), pa.uint16(), pa.uint32()}
+
+
+def _type_spec(t: pa.DataType) -> dict:
+    """JSON-serializable reconstruction spec for the extended dtypes."""
+    if pa.types.is_timestamp(t):
+        return {"k": "ts", "u": t.unit, "tz": t.tz}
+    if pa.types.is_duration(t):
+        return {"k": "dur", "u": t.unit}
+    if pa.types.is_date32(t):
+        return {"k": "d32"}
+    if pa.types.is_date64(t):
+        return {"k": "d64"}
+    if pa.types.is_time32(t):
+        return {"k": "t32", "u": t.unit}
+    if pa.types.is_time64(t):
+        return {"k": "t64", "u": t.unit}
+    if pa.types.is_boolean(t):
+        return {"k": "bool"}
+    if t == pa.uint64():
+        return {"k": "u64"}
+    if pa.types.is_decimal(t):
+        return {"k": "dec", "p": t.precision, "s": t.scale}
+    if pa.types.is_floating(t):
+        return {"k": "f", "b": t.bit_width}
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return {"k": "bin"}
+    raise CodecError(f"no type spec for {t}")
+
+
+def _type_from_spec(spec: dict) -> pa.DataType:
+    k = spec["k"]
+    if k == "ts":
+        return pa.timestamp(spec["u"], tz=spec.get("tz"))
+    if k == "dur":
+        return pa.duration(spec["u"])
+    if k == "d32":
+        return pa.date32()
+    if k == "d64":
+        return pa.date64()
+    if k == "t32":
+        return pa.time32(spec["u"])
+    if k == "t64":
+        return pa.time64(spec["u"])
+    if k == "bool":
+        return pa.bool_()
+    if k == "u64":
+        return pa.uint64()
+    if k == "dec":
+        return pa.decimal128(spec["p"], spec["s"])
+    if k == "f":
+        return {16: pa.float16(), 32: pa.float32(), 64: pa.float64()}[spec["b"]]
+    if k == "bin":
+        return pa.binary()
+    raise CodecError(f"unknown type spec {spec}")
 
 
 def _as_array(arr) -> pa.Array:
@@ -84,10 +182,43 @@ def encode_array(
     """
     arr = _as_array(arr)
     params: dict = {}
+    t = arr.type
+    # normalize extended logical types to a canonical physical layout
+    # (bit-exact, reconstructed from params["atype"] on decode)
+    if (
+        pa.types.is_timestamp(t) or pa.types.is_duration(t)
+        or pa.types.is_date64(t) or pa.types.is_time64(t)
+    ):
+        params["atype"] = _type_spec(t)
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        params["atype"] = _type_spec(t)
+        arr = arr.cast(pa.int32())
+    elif pa.types.is_boolean(t):
+        params["atype"] = _type_spec(t)
+        arr = arr.cast(pa.int8())
+    elif t == pa.uint64():
+        # bit-pattern view: int codecs are exact under two's-complement
+        # wrap, so the round-trip is identity even past 2^63
+        params["atype"] = _type_spec(t)
+        arr = arr.view(pa.int64())
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        # str codecs are buffer-level (offsets + raw bytes, never utf8
+        # validation), so a zero-copy view is safe for arbitrary bytes
+        params["atype"] = _type_spec(t)
+        if pa.types.is_large_binary(t):
+            arr = arr.cast(pa.binary())
+        arr = arr.view(pa.string())
+    elif pa.types.is_floating(t) or pa.types.is_decimal(t):
+        params["atype"] = _type_spec(t)
+
     if arr.null_count:
         validity = np.asarray(arr.is_valid())
         params["valid"] = b64e(np.packbits(validity, bitorder="little").tobytes())
-        arr = arr.fill_null(0 if arr.type in _INT_TYPES else "")
+        if pa.types.is_string(arr.type):
+            arr = arr.fill_null("")
+        else:
+            arr = arr.fill_null(0)
 
     if arr.type in _INT_TYPES or arr.type == pa.int64():
         kind = "int"
@@ -110,6 +241,25 @@ def encode_array(
         n = len(arr)
         payload_input = arr
         table = STR_CODECS
+    elif pa.types.is_floating(arr.type) or pa.types.is_decimal(arr.type):
+        kind = "fixed"
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        n = len(arr)
+        if pa.types.is_decimal(arr.type):
+            w = 16
+            buf = arr.buffers()[1]
+            data = np.frombuffer(buf, dtype=np.uint8)[
+                arr.offset * w : (arr.offset + n) * w
+            ].reshape(n, w)
+        else:
+            npv = np.ascontiguousarray(arr.to_numpy(zero_copy_only=False))
+            w = npv.dtype.itemsize
+            data = npv.view(np.uint8).reshape(n, w)
+        data = np.ascontiguousarray(data)
+        plain_crc = zlib.crc32(memoryview(data))
+        plain_bytes = data.nbytes
+        payload_input = data
+        table = FIXED_CODECS
     else:
         raise CodecError(f"unsupported column type {arr.type} for {column}")
 
@@ -186,6 +336,7 @@ def decode_array(enc: EncodedColumn) -> pa.Array:
     payload = enc.payload
     if "z" in params:
         payload = pa.decompress(payload, decompressed_size=params["z"], codec="zstd", asbytes=True)
+    spec = params.get("atype")
     if "dtype" in params:
         c = INT_CODECS[enc.codec]
         values = c.decode(params["c"], payload, enc.n_values)
@@ -193,11 +344,28 @@ def decode_array(enc: EncodedColumn) -> pa.Array:
         if zlib.crc32(memoryview(native)) != enc.crc32:
             raise CodecError(f"crc mismatch decoding {enc.column} ({enc.codec})")
         out = pa.array(native)
+        if spec is not None:
+            target = _type_from_spec(spec)
+            out = out.view(target) if spec["k"] == "u64" else out.cast(target)
+    elif spec is not None and spec["k"] in ("f", "dec"):
+        c = FIXED_CODECS[enc.codec]
+        data = np.ascontiguousarray(c.decode(params["c"], payload, enc.n_values))
+        if zlib.crc32(memoryview(data)) != enc.crc32:
+            raise CodecError(f"crc mismatch decoding {enc.column} ({enc.codec})")
+        if spec["k"] == "f":
+            dt = {16: np.float16, 32: np.float32, 64: np.float64}[spec["b"]]
+            out = pa.array(data.reshape(-1).view(dt))
+        else:
+            out = pa.Array.from_buffers(
+                _type_from_spec(spec), enc.n_values, [None, pa.py_buffer(data.tobytes())]
+            )
     else:
         c = STR_CODECS[enc.codec]
         out = c.decode(params["c"], payload, enc.n_values)
         if zlib.crc32(canonical_str_bytes(out)) != enc.crc32:
             raise CodecError(f"crc mismatch decoding {enc.column} ({enc.codec})")
+        if spec is not None and spec["k"] == "bin":
+            out = out.view(pa.binary())
     if "valid" in params:
         validity = np.unpackbits(
             np.frombuffer(b64d(params["valid"]), dtype=np.uint8),

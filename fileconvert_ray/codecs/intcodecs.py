@@ -127,20 +127,34 @@ class EscBytes:
         return float(len(s) + int((d >= 255).sum()) * w)
 
     def encode(self, values: np.ndarray):
-        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        v = np.ascontiguousarray(values)
         n = len(v)
         if n == 0:
             return {"ref": 0, "w": 2, "ne": 0}, b""
-        mn = int(v.min())
-        with np.errstate(over="ignore"):
-            d = (v - np.int64(mn)).view(np.uint64)
-        mx = int(d.max())
-        if mx < (1 << 16):
-            w, dt = 2, np.uint16
-        elif mx < (1 << 32):
-            w, dt = 4, np.uint32
+        if v.dtype.kind in "iu" and v.dtype.itemsize <= 4:
+            # int32-native path: the reference shift is exact in uint32
+            # two's-complement (0 <= v-mn < 2^32), so no int64 upcast —
+            # this halves the hot path's memory traffic, which is what
+            # saturates DRAM at high worker counts
+            if v.dtype != np.int32 and v.dtype != np.uint32:
+                v = v.astype(np.int32)
+            mn = int(v.min())
+            with np.errstate(over="ignore"):
+                d = v.view(np.uint32) - np.uint32(mn & 0xFFFFFFFF)
+            mx = int(d.max())
+            w, dt = (2, np.uint16) if mx < (1 << 16) else (4, np.uint32)
         else:
-            w, dt = 8, np.uint64
+            v = v.astype(np.int64, copy=False)
+            mn = int(v.min())
+            with np.errstate(over="ignore"):
+                d = (v - np.int64(mn)).view(np.uint64)
+            mx = int(d.max())
+            if mx < (1 << 16):
+                w, dt = 2, np.uint16
+            elif mx < (1 << 32):
+                w, dt = 4, np.uint32
+            else:
+                w, dt = 8, np.uint64
         small = d < 255
         b1 = np.where(small, d, 255).astype(np.uint8)
         esc = d[~small].astype(dt)
@@ -206,7 +220,9 @@ class RunEsc:
         return self._esc.estimate(sample[keep]) + 6.0 * len(rlens) + 24.0
 
     def encode(self, values: np.ndarray):
-        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        # native dtype end-to-end: EscBytes and the run streams handle
+        # int32 without the int64 upcast pass
+        v = np.ascontiguousarray(values)
         rstarts, rlens, keep = self._find_runs(v, self.MINRUN)
         resid = v[keep]
         pr, br = self._esc.encode(resid)

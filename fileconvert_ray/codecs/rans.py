@@ -17,8 +17,9 @@ the widely-published 64-bit/32-bit-renorm "rans64" construction):
   states live in [2^32, 2^64); renormalization moves 32-bit words, and
   b = 2^32 >= 2^P guarantees at most one renorm per symbol.
 
-Vectorization: L interleaved lanes (lane l owns the l-th contiguous
-slice of the id array), all lanes stepped together with numpy — the
+Vectorization: L interleaved lanes (lane l owns the strided positions
+l, l+L, l+2L, ... so each step touches one contiguous slice — no
+transpose copies), all lanes stepped together with numpy — the
 per-symbol serial dependence is per-lane, so each of the m = ceil(n/L)
 steps is a handful of kernels over L-element arrays.  Per-lane word
 streams are stored lane-major with per-lane counts, so decode pops
@@ -93,11 +94,15 @@ class Rans:
         return len(sample) * entropy / 8.0 + 2.5 * len(uniq) + 64.0
 
     def encode(self, values: np.ndarray):
-        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        # native dtype in; ids in int32 (D <= 2^18 << 2^31) — halves the
+        # per-step gather traffic in the lane loop
+        v = np.ascontiguousarray(values)
+        if v.dtype.kind not in "iu":
+            v = v.astype(np.int64)
         n = len(v)
         if n == 0:
             return {"n": 0, "D": 0}, b""
-        uniq, ids = DictInt._unique_inverse(v, index_dtype=np.int64)
+        uniq, ids = DictInt._unique_inverse(v, index_dtype=np.int32)
         D = len(uniq)
         # sorted uniq -> delta-code (diffs are overwhelmingly 1 for dense
         # id alphabets; RunEsc turns those runs into a few bytes)
@@ -120,7 +125,7 @@ class Rans:
         # neither encode nor decode pays a transpose copy.
         L = max(1, min(self.LANES, n // 64))
         m = -(-n // L)
-        ids_pad = np.zeros(L * m, dtype=np.int64)
+        ids_pad = np.zeros(L * m, dtype=np.int32)
         ids_pad[:n] = ids
 
         x = np.full(L, _STATE_MIN, dtype=np.uint64)
@@ -177,13 +182,13 @@ class Rans:
 
         cum = np.zeros(D, dtype=np.uint64)
         np.cumsum(freq[:-1], out=cum[1:])
-        slot2sym = np.repeat(np.arange(D, dtype=np.int64), freq.astype(np.int64))
+        slot2sym = np.repeat(np.arange(D, dtype=np.int32), freq.astype(np.int64))
         ptr = np.zeros(L, dtype=np.int64)
         ptr[1:] = np.cumsum(lane_counts)[:-1]
 
         # strided-lane layout (see encode): step j decodes the contiguous
         # slice [j*L, (j+1)*L) directly into the output — no transpose
-        out = np.empty(m * L, dtype=np.int64)
+        out = np.empty(m * L, dtype=np.int32)
         mask = np.uint64((1 << P) - 1)
         Pu = np.uint64(P)
         state_min = np.uint64(_STATE_MIN)

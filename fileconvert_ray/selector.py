@@ -88,9 +88,14 @@ def select_ranked(
         candidates = [
             c for c in (candidates or ["plain", "for_bitpack", "rle", "dict", "fsst", "esc", "resc"])
         ]
+    from .codecs import FIXED_CODECS
+
     if kind == "int":
         sample = _sample_int(np.ascontiguousarray(values, dtype=np.int64))
         table = INT_CODECS
+    elif kind == "fixed":
+        sample = _sample_int(values)  # row-window sampling works on (n, w)
+        table = FIXED_CODECS
     else:
         sample = _sample_str(values if isinstance(values, pa.Array) else pa.array(values))
         table = STR_CODECS
@@ -106,7 +111,7 @@ def select_ranked(
         try:
             s2 = _measured_size(codec, sample, zstd)
             if project:
-                half = sample[:n1] if kind == "int" else sample.slice(0, n1)
+                half = sample[:n1] if kind in ("int", "fixed") else sample.slice(0, n1)
                 s1 = _measured_size(codec, half, zstd)
                 marginal = max(0.0, (s2 - s1) / (n2 - n1))
                 fixed = max(0.0, s2 - marginal * n2)

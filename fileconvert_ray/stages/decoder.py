@@ -37,9 +37,13 @@ def _decode_chunk(rows: dict[str, list]) -> pa.Table:
     lens = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens)))
     tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), cols["tokens"])
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [cols["doc_id"], tokens, n_tok, cols["source"]], schema=INPUT_SCHEMA
     )
+    for name, arr in cols.items():  # side columns, in container row order
+        if name not in INPUT_SCHEMA.names:
+            out = out.append_column(name, arr)
+    return out
 
 
 def iter_container_chunks(cont: pa.Table):

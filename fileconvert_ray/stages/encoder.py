@@ -164,6 +164,12 @@ def encode_partition_table(
     enc("source", group.column("source"))
     enc("n_tok", group.column("n_tok"))
     enc("tokens", flat_tokens(group))
+    # side columns beyond the core tokseq schema (float scores,
+    # timestamps, binary blobs, ...) ride along, each auto-encoded —
+    # the reference's R7 type matrix generalized to the container
+    for name in group.column_names:
+        if name not in COLUMNS:
+            enc(name, group.column(name))
     return encoded, info
 
 

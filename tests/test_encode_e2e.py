@@ -189,3 +189,37 @@ def test_bucket_restage_path_roundtrip(ray_session, sf_dir, out_dir):
     assert metrics["n_rows"].sum() == 500
     v = run_verify(factory, out_dir).to_pandas()
     assert v["ok"].all(), v[~v["ok"]]
+
+
+def test_side_columns_roundtrip(ray_session, out_dir):
+    """Float/timestamp/binary side columns beyond the core tokseq schema
+    ride the container end-to-end, bit-identical (round-1 verdict gap)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fileconvert_ray.stages.decoder import decode_dataset
+
+    t = synth_rows(0, 300)
+    rng = np.random.default_rng(7)
+    t = t.append_column("score", pa.array(rng.random(300), type=pa.float64()))
+    t = t.append_column(
+        "crawled_at", pa.array(np.arange(0, 300, dtype=np.int64).view("datetime64[ms]"))
+    )
+    t = t.append_column(
+        "blob", pa.array([bytes([i % 256, 255 - i % 256]) for i in range(300)], type=pa.binary())
+    )
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=30_000)
+    m = run_encode(lambda: rd.from_arrow(t), cfg).to_pandas()
+    assert m["n_rows"].sum() == 300
+    dec = (
+        decode_dataset(out_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    orig = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(dec.columns) == list(orig.columns)
+    assert (dec["score"] == orig["score"]).all()
+    assert (dec["crawled_at"] == orig["crawled_at"]).all()
+    assert (dec["blob"] == orig["blob"]).all()
+    assert dec["tokens"].map(list).equals(orig["tokens"].map(list))
