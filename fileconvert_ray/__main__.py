@@ -1,0 +1,153 @@
+"""CLI entry point — the reference's argv surface (SURVEY.md §2.1 R6,
+``fileconvert.py::get_args`` [P]) mapped onto the engine's configs.
+
+    python -m fileconvert_ray convert  IN... --out DIR [--to parquet|csv]
+        [--delimiter C] [--no-header] [--type col=TYPE[?]] [--rename a=b]
+        [--include a,b] [--exclude c] [--compression zstd]
+    python -m fileconvert_ray encode   IN_DIR --out DIR
+        [--target-partition-tokens N] [--codec col=NAME] [--no-resume]
+    python -m fileconvert_ray verify   IN_DIR --out DIR [--mode exact|hash|manifest]
+    python -m fileconvert_ray decode   OUT_DIR --to DIR
+
+The CLI owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _kv_pairs(values: list[str]) -> dict:
+    out = {}
+    for v in values or []:
+        k, _, val = v.partition("=")
+        if not _ or not k:
+            raise SystemExit(f"expected KEY=VALUE, got {v!r}")
+        out[k] = val
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fileconvert_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="CSV<->Parquet conversion (reference R1-R12)")
+    c.add_argument("inputs", nargs="+")
+    c.add_argument("--out", required=True)
+    c.add_argument("--to", choices=["parquet", "csv"], default="parquet")
+    c.add_argument("--delimiter", default=",")
+    c.add_argument("--no-header", action="store_true")
+    c.add_argument("--skip-rows", type=int, default=0)
+    c.add_argument("--type", action="append", default=[], metavar="COL=TYPE[?]")
+    c.add_argument("--rename", action="append", default=[], metavar="OLD=NEW")
+    c.add_argument("--include", default=None, help="comma-separated columns to keep")
+    c.add_argument("--exclude", default=None, help="comma-separated columns to drop")
+    c.add_argument("--no-sanitize", action="store_true")
+    c.add_argument("--compression", default="zstd")
+    c.add_argument("--row-group-size", type=int, default=128 * 1024)
+
+    e = sub.add_parser("encode", help="partitioned token-sequence encode (flagship)")
+    e.add_argument("input", help="directory/file of tokseq parquet shards")
+    e.add_argument("--out", required=True)
+    e.add_argument("--target-partition-tokens", type=int, default=4_000_000)
+    e.add_argument("--codec", action="append", default=[], metavar="COL=CODEC")
+    e.add_argument("--no-zstd", action="store_true")
+    e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--reduce-buckets", type=int, default=None)
+
+    v = sub.add_parser("verify", help="decode-verify an encode output")
+    v.add_argument("input", help="the encode job's input parquet")
+    v.add_argument("--out", required=True, help="the encode out dir")
+    v.add_argument("--mode", choices=["exact", "hash", "manifest"], default="hash")
+
+    d = sub.add_parser("decode", help="decode containers back to tokseq parquet")
+    d.add_argument("out_dir", help="the encode out dir")
+    d.add_argument("--to", required=True, help="directory for decoded parquet")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.cmd == "convert":
+            from fileconvert_ray.sources.csvio import (
+                CsvOptions,
+                csv_to_parquet,
+                parquet_to_csv,
+            )
+
+            opts = CsvOptions(
+                delimiter=args.delimiter,
+                header=not args.no_header,
+                skip_rows=args.skip_rows,
+                include=args.include.split(",") if args.include else None,
+                exclude=args.exclude.split(",") if args.exclude else None,
+                renames=_kv_pairs(args.rename),
+                types=_kv_pairs(args.type),
+                sanitize=not args.no_sanitize,
+            )
+            if args.to == "parquet":
+                csv_to_parquet(
+                    args.inputs, args.out, opts,
+                    compression=args.compression, row_group_size=args.row_group_size,
+                )
+            else:
+                parquet_to_csv(args.inputs, args.out, opts)
+            print(json.dumps({"ok": True, "out": args.out}))
+        elif args.cmd == "encode":
+            import ray.data as rd
+
+            from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
+
+            cfg = EncodeConfig(
+                out_dir=args.out,
+                target_partition_tokens=args.target_partition_tokens,
+                codec_overrides=_kv_pairs(args.codec),
+                zstd=not args.no_zstd,
+                resume=not args.no_resume,
+                reduce_buckets=args.reduce_buckets,
+            )
+            m = run_encode(lambda: rd.read_parquet(args.input), cfg).to_pandas()
+            print(json.dumps({
+                "ok": True,
+                "partitions": int(len(m)),
+                "n_rows": int(m["n_rows"].sum()),
+                "n_tokens": int(m["n_tokens"].sum()),
+                "encoded_bytes": int(m["encoded_bytes"].sum()),
+            }))
+        elif args.cmd == "verify":
+            import ray.data as rd
+
+            from fileconvert_ray.pipelines.verify_job import run_verify
+
+            v = run_verify(
+                (lambda: rd.read_parquet(args.input)) if args.mode != "manifest" else None,
+                args.out, mode=args.mode,
+            ).to_pandas()
+            ok = bool(v["ok"].all()) and len(v) > 0
+            print(json.dumps({
+                "ok": ok, "partitions": int(len(v)),
+                "n_mismatch": int(v["n_mismatch"].sum()),
+            }))
+            return 0 if ok else 1
+        elif args.cmd == "decode":
+            from fileconvert_ray.stages.decoder import decode_dataset
+
+            decode_dataset(args.out_dir).write_parquet(args.to)
+            print(json.dumps({"ok": True, "out": args.to}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

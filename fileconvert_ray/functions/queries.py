@@ -320,6 +320,37 @@ def q_ivf_knn_search(sf_dir: str):
     return ivf_knn(ds, ref, k=KNN_K)
 
 
+def q_ivf_partitioned_knn(sf_dir: str):
+    """IVF over the hash-partitioned-by-list-id layout (one directory
+    per IVF list; probes read ONLY their lists' files — the at-scale
+    ANN design, round-2).  Exhaustive probing here so the result matches
+    the exact brute-force oracle; the pruning path is pinned by
+    tests/test_functions.py::test_ivf_partitioned_prunes_and_matches_exact."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from .similarity import ivf_knn_partitioned, ivf_partition
+
+    ids, m = _load_embeddings(sf_dir)
+    order = np.argsort(ids)
+    cent = m[order[: min(IVF_NLIST, len(ids))]]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"fcray_ivf_{abs(hash((sf_dir, len(ids)))) % 10**9}"
+    )
+    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ivf_partition(ds, cent, idx_dir)
+        open(os.path.join(idx_dir, "_DONE"), "w").write("ok")
+    qsel = np.isin(ids, KNN_QIDS)
+    probes = build_ivf_probes(m[qsel], cent, nprobe=len(cent))
+    out, _ = ivf_knn_partitioned(
+        idx_dir, (list(np.asarray(ids)[qsel]), m[qsel], cent, probes), k=KNN_K
+    )
+    return out
+
+
 def q_lsh_dup_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -590,6 +621,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "knn_search": q_knn_search,
     "ivf_knn_search": q_ivf_knn_search,
+    "ivf_partitioned_knn": q_ivf_partitioned_knn,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "seeded_sample": q_seeded_sample,
@@ -696,6 +728,17 @@ ORACLE_SQL = {
         from documents group by source
     """,
     "ivf_knn_search": f"""
+        select q.vec_id as qid, e.vec_id as nid,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) as score
+        from embeddings q join embeddings e on e.vec_id != q.vec_id
+        where q.vec_id in {tuple(KNN_QIDS)}
+        qualify row_number() over (
+            partition by q.vec_id
+            order by round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) desc,
+                     e.vec_id asc
+        ) <= {KNN_K}
+    """,
+    "ivf_partitioned_knn": f"""
         select q.vec_id as qid, e.vec_id as nid,
                round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) as score
         from embeddings q join embeddings e on e.vec_id != q.vec_id

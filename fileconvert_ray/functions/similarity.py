@@ -155,6 +155,94 @@ def ivf_knn(ds, index_ref, k: int = 5, *, id_col: str = "vec_id", emb_col: str =
     )
 
 
+def ivf_partition(ds, centroids_ref, out_dir: str, *, emb_col: str = "embedding"):
+    """Write the dataset hash-partitioned BY IVF LIST ID (hive layout,
+    one directory per list) — the at-scale layout ``ivf_knn``'s
+    docstring describes: centroid assignment runs once at build time,
+    and a query's probes then READ only their lists' files instead of
+    scanning every block.  Returns out_dir."""
+    import ray
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = (
+            ray.get(centroids_ref)
+            if isinstance(centroids_ref, ray.ObjectRef)
+            else centroids_ref
+        )
+        cn = _normalize(np.asarray(cents, dtype=np.float64))
+        m = _normalize(_emb_matrix(batch, emb_col))
+        lid = np.argmax(m @ cn.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lid))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["list_id"]
+    )
+    return out_dir
+
+
+def ivf_knn_partitioned(index_dir: str, index_ref, k: int = 5, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """Top-k cosine over an ``ivf_partition`` layout: ONLY the probed
+    lists' partition directories are read — with nprobe < nlist whole
+    buckets never leave storage (column/partition pruning at the read,
+    the brief's 'prune at the read' rule applied to ANN).
+
+    Returns (Dataset of (qid, nid, score), n_lists_read)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    qids, qm, cents, probes = (
+        ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+    )
+    needed = sorted({int(l) for p in probes for l in np.asarray(p).tolist()})
+    paths, lists_read = [], 0
+    for l in needed:
+        d = os.path.join(index_dir, f"list_id={l}")
+        if os.path.isdir(d):
+            lists_read += 1
+            paths.extend(
+                sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+            )
+    ds = rd.read_parquet(paths)
+    qn = _normalize(np.asarray(qm, dtype=np.float64))
+    cn = _normalize(np.asarray(cents, dtype=np.float64))
+    probe_sets = [set(int(x) for x in np.asarray(p).tolist()) for p in probes]
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # hive partitioning keeps list_id out of the data files; the
+        # assignment is deterministic, so re-derive it (one tiny matmul)
+        lids = np.argmax(m @ cn.T, axis=1).astype(np.int64)
+        s = np.round(m @ qn.T, 6)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            keep = np.isin(lids, list(probe_sets[j])) & (ids != qids[j])
+            cand = np.flatnonzero(keep)
+            if len(cand) > k:
+                cand = cand[np.argpartition(-s[cand, j], k)[:k]]
+            out_q.extend([qids[j]] * len(cand))
+            out_n.extend(ids[cand].tolist())
+            out_s.extend(s[cand, j].tolist())
+        return pa.Table.from_pydict(
+            {"qid": pa.array(out_q, type=pa.int64()), "nid": pa.array(out_n, type=pa.int64()),
+             "score": pa.array(out_s, type=pa.float64())}
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["score", "nid"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+    return out, lists_read
+
+
 def build_ivf_probes(query_m: np.ndarray, centroids: np.ndarray, nprobe: int) -> list[np.ndarray]:
     """nprobe nearest centroid ids per query (driver-side, tiny)."""
     qn = _normalize(np.asarray(query_m, dtype=np.float64))

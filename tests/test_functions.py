@@ -290,3 +290,48 @@ def test_minhash_labelprop_same_survivors(ray_session):
     a, _ = minhash_dedup(rd.from_arrow(t))
     b, _ = minhash_dedup(rd.from_arrow(t), components="labelprop")
     assert sorted(a.to_pandas().doc_id) == sorted(b.to_pandas().doc_id)
+
+
+def test_ivf_partitioned_prunes_and_matches_exact(ray_session, tmp_path):
+    """Round-1 verdict #8: the IVF layout must let a probe read ONLY its
+    buckets; exhaustive probing must match brute force exactly."""
+    import ray
+    import ray.data as rd
+
+    from fileconvert_ray.functions.similarity import (
+        build_ivf_probes,
+        ivf_knn_partitioned,
+        ivf_partition,
+        knn_search,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, nlist = 400, 16, 8
+    m = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(m), type=pa.list_(pa.float64())),
+    })
+    cents = m[:nlist]
+    idx_dir = str(tmp_path / "ivf")
+    ivf_partition(rd.from_arrow(t), cents, idx_dir)
+
+    qm = m[:3]
+    qids = [0, 1, 2]
+    # exhaustive: nprobe = nlist -> exact match with brute force
+    probes = build_ivf_probes(qm, cents, nprobe=nlist)
+    res, nread = ivf_knn_partitioned(idx_dir, (qids, qm, cents, probes), k=5)
+    assert nread == nlist
+    exact = knn_search(rd.from_arrow(t), (qids, qm), k=5).to_pandas()
+    got = res.to_pandas().sort_values(["qid", "nid"]).reset_index(drop=True)
+    want = exact.sort_values(["qid", "nid"]).reset_index(drop=True)
+    assert got.equals(want)
+
+    # pruned: nprobe=2 -> only the probed lists' directories are read
+    probes2 = build_ivf_probes(qm, cents, nprobe=2)
+    needed = {int(x) for p in probes2 for x in p}
+    res2, nread2 = ivf_knn_partitioned(idx_dir, (qids, qm, cents, probes2), k=5)
+    assert nread2 == len(needed) < nlist
+    df2 = res2.to_pandas()
+    assert len(df2) > 0
