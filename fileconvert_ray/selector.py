@@ -108,6 +108,8 @@ def select_ranked(
     for name, codec in table.items():
         if candidates is not None and name not in candidates:
             continue
+        if candidates is None and not getattr(codec, "auto", True):
+            continue  # opt-out codecs (e.g. fsst) need an explicit request
         try:
             s2 = _measured_size(codec, sample, zstd)
             if project:
