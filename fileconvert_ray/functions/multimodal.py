@@ -147,6 +147,58 @@ class AudioFrameStage:
         return pa.Table.from_pydict({"blob_id": ids, "n_frames": n_frames})
 
 
+FAKE_VMAGIC = b"FVID"  # fake video: FVID + u16 w + u16 h + u32 n_frames + frames
+
+
+def make_fake_video(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    body = np.random.default_rng(seed).integers(
+        0, 256, width * height * n_frames, dtype=np.int64
+    )
+    return (
+        FAKE_VMAGIC
+        + struct.pack("<HHI", width, height, n_frames)
+        + body.astype(np.uint8).tobytes()
+    )
+
+
+class VideoFrameSampleStage:
+    """Actor-pool video frame-sampling stage: every ``stride``-th frame
+    of each payload is emitted as one FIMG image blob (feeding the
+    image stages downstream).  Same stub discipline: the fake FVID
+    container carries real pixel grids so the frame-slicing math is
+    REAL numpy; only the demux would change with ffmpeg present."""
+
+    def __init__(self, stride: int = 10, fake: bool = True):
+        self.stride = max(1, int(stride))
+        if not fake:
+            raise NotImplementedError(
+                "real video demux requires ffmpeg — not available in this environment"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+            if p[:4] != FAKE_VMAGIC or len(p) < 12:
+                raise ValueError(f"not an FVID payload: {bid}")
+            w, h, nf = struct.unpack("<HHI", p[4:12])
+            frames = np.frombuffer(p, dtype=np.uint8, offset=12, count=w * h * nf).reshape(
+                nf, h, w
+            )
+            for fi in range(0, nf, self.stride):
+                ids.append(f"{bid}#f{fi:06d}")
+                payloads.append(
+                    FAKE_MAGIC + struct.pack("<HH", w, h) + frames[fi].tobytes()
+                )
+        return pa.Table.from_pydict(
+            {
+                "blob_id": pa.array(ids, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["image/fimg"] * len(ids), type=pa.string()),
+            },
+            schema=BLOB_SCHEMA,
+        )
+
+
 def blobs_from_documents(sf_dir: str):
     """Deterministic binary-column dataset derived from documents.text
     (utf8 bytes as payload) — exercises the binary plumbing with an

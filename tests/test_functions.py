@@ -335,3 +335,31 @@ def test_ivf_partitioned_prunes_and_matches_exact(ray_session, tmp_path):
     assert nread2 == len(needed) < nlist
     df2 = res2.to_pandas()
     assert len(df2) > 0
+
+
+def test_video_frame_sample_chain(ray_session):
+    """FVID -> frame sample -> image decode chain over actor pools."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.multimodal import (
+        ImageDecodeStage,
+        VideoFrameSampleStage,
+        make_fake_video,
+    )
+
+    rows = [
+        {"blob_id": f"v{i}", "payload": make_fake_video(8, 6, 25, seed=i),
+         "media_type": "video/fvid"}
+        for i in range(4)
+    ]
+    ds = rd.from_items(rows, override_num_blocks=2)
+    frames = ds.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs=dict(stride=10),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2), batch_size=2,
+    )
+    decoded = frames.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2)
+    ).to_pandas()
+    # 25 frames, stride 10 -> frames 0, 10, 20 per video
+    assert len(decoded) == 4 * 3
+    assert (decoded.width == 8).all() and (decoded.height == 6).all()
