@@ -159,6 +159,13 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
         # groups and metadata rows are O(blocks x n_buckets) with
         # n_buckets fixed — independent of the partition count (the
         # round-1 M x R verdict fix).
+        # Bucket count trades reduce-task granularity against read
+        # amplification: every bucket task reads one row group from
+        # EVERY staged file, so total row-group reads are blocks x
+        # buckets — more buckets means smaller tasks but more fixed
+        # per-row-group read cost (measured: 167 buckets was ~30% slower
+        # than 64 at 8 cpus on this box).  Straggler tails are handled
+        # by LPT ordering below instead of by shrinking buckets.
         n_buckets = cfg.reduce_buckets or min(n_parts, max(64, 4 * ncpu))
         chunks = ds.map_batches(
             stage_raw_task,
@@ -224,6 +231,24 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
                     "row_group": rgs.take(_pa.array(sel)).to_pylist(),
                 }
             )
+        # LPT scheduling: dispatch the biggest buckets FIRST so the tail
+        # of the reduce stage is small tasks, not a lone fat straggler.
+        # Bucket sizes are estimated from the plan (source token totals
+        # spread evenly over each source's partitions, partitions hashed
+        # to buckets exactly as stage_raw_task does).
+        from ..stages.encoder import bucket_of_part_ids
+        from ..stages.partition import sanitized_names
+
+        san = sanitized_names(plan)
+        est = {}
+        for src, k in plan.items():
+            per_part = stats.get(src, 0) / max(1, k)
+            pids = [f"{san[src]}-b{i:04d}" for i in range(int(k))]
+            import pyarrow as _pa2
+
+            for b in bucket_of_part_ids(_pa2.array(pids, type=_pa2.string()), n_buckets):
+                est[int(b)] = est.get(int(b), 0.0) + per_part
+        items.sort(key=lambda it: -est.get(it["bucket"], 0.0))
         reduce_ds = rd.from_items(items, override_num_blocks=len(items))
         metrics = reduce_ds.map_batches(
             write_bucket_task,
