@@ -201,3 +201,37 @@ def test_float_plane_beats_plain_on_smooth_data():
     arr = pa.array(vals, type=pa.float64())
     enc = encode_array(arr, "col", codec="auto", zstd=True)
     assert len(enc.payload) < vals.nbytes * 0.7, (enc.codec, len(enc.payload))
+
+
+def test_rans_quantize_freqs_pathological():
+    from fileconvert_ray.codecs.rans import quantize_freqs
+
+    cases = [
+        np.array([1]),                                  # single symbol
+        np.ones(4096, dtype=np.int64),                  # uniform, D = 2^12
+        np.concatenate(([10**9], np.ones(5000))),       # extreme head skew
+        np.arange(1, 3000),                             # linear ramp
+    ]
+    for counts in cases:
+        for P in (12, 16, 20):
+            if len(counts) > (1 << P):
+                continue
+            f = quantize_freqs(counts.astype(np.int64), P)
+            assert int(f.sum()) == 1 << P
+            assert int(f.min()) >= 1
+
+
+def test_rans_roundtrip_extreme_shapes():
+    from fileconvert_ray.codecs.rans import Rans
+
+    r = Rans()
+    rng = np.random.default_rng(3)
+    cases = [
+        np.full(100_000, 7, dtype=np.int64),                      # single symbol
+        rng.integers(0, 2, 100_000).astype(np.int64),             # binary
+        np.concatenate([np.full(65_536, 0), np.arange(1000)]),    # head + tail
+        rng.integers(-(2**40), 2**40, 5000).astype(np.int64),     # wide sparse
+    ]
+    for v in cases:
+        p, b = r.encode(v)
+        np.testing.assert_array_equal(r.decode(p, b, len(v)), v)
