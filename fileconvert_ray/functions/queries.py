@@ -351,6 +351,25 @@ def q_ivf_partitioned_knn(sf_dir: str):
     return out
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each event matched to the user's LATEST PRIOR
+    purchase event (functions/joins.py — the custom-operator pattern
+    for joins Ray Data lacks; co-partition by key, searchsorted within
+    group).  Oracle: DuckDB ASOF JOIN."""
+    import ray.data as rd
+
+    from .joins import asof_join
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+
+    left = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    right = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type", "value"]
+    ).map_batches(purchases, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(left, right, by="user_id", on="ts", right_cols=["ts", "value"])
+
+
 def q_lsh_dup_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -630,6 +649,7 @@ QUERIES = {
     "orders_per_nation": q_orders_per_nation,
     "high_value_orders": q_high_value_orders,
     "events_hourly": q_events_hourly,
+    "events_asof": q_events_asof,
     "events_sliding": q_events_sliding,
     "encode_roundtrip": q_encode_roundtrip,
     "encode_metrics": q_encode_metrics,
@@ -737,6 +757,12 @@ ORACLE_SQL = {
             order by round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) desc,
                      e.vec_id asc
         ) <= {KNN_K}
+    """,
+    "events_asof": """
+        select e.event_id, e.ts, e.user_id, p.ts as r_ts, p.value as r_value
+        from events e asof join (
+            select * from events where event_type = 'purchase'
+        ) p on e.user_id = p.user_id and e.ts >= p.ts
     """,
     "ivf_partitioned_knn": f"""
         select q.vec_id as qid, e.vec_id as nid,

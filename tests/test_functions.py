@@ -363,3 +363,25 @@ def test_video_frame_sample_chain(ray_session):
     # 25 frames, stride 10 -> frames 0, 10, 20 per video
     assert len(decoded) == 4 * 3
     assert (decoded.width == 8).all() and (decoded.height == 6).all()
+
+
+def test_asof_join_matches_manual(ray_session):
+    """Backward as-of semantics on a hand-built fixture."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.joins import asof_join
+
+    left = pa.table({"id": [1, 2, 3, 4], "t": [5, 10, 3, 7], "k": ["a", "a", "b", "c"]})
+    right = pa.table({"t": [4, 9, 3], "k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    out = (
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), by="k", on="t", right_cols=["t", "v"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # id1: t=5,k=a -> right t=4 v=1; id2: t=10 -> t=9 v=2; id3: t=3,k=b -> t=3 v=3
+    # id4: k=c -> no match (inner)
+    assert out.id.tolist() == [1, 2, 3]
+    assert out.r_v.tolist() == [1.0, 2.0, 3.0]
+    assert out.r_t.tolist() == [4, 9, 3]
