@@ -1,13 +1,17 @@
-"""Encode job — the flagship pipeline (SURVEY.md §3.2a, revised §8).
+"""Encode job — the flagship pipeline (SURVEY.md §3.2a, revised §8/§9).
 
     E3 stats pass + bucket plan -> E7 resume filter
     -> E1 read -> E3 assign part_id (stateless map_batches)
-    -> STAGED EXTERNAL SHUFFLE: map tasks spill raw rows
-       partition-sorted to staged/ parquet (one row group per
-       partition); only (part_id, path, row_group) metadata moves
-    -> one reduce task per partition: read its row groups, run the
-       codec auto-selector + encode ONCE, E8/E6 atomic
-       container+manifest (+ content digest)
+    -> STAGED EXTERNAL SHUFFLE: map tasks spill raw rows sorted by
+       (reduce bucket, part_id) to staged/ parquet (one row group per
+       BUCKET, tokens BYTE_STREAM_SPLIT); only (bucket, path,
+       row_group) metadata moves — O(blocks x buckets), independent of
+       the partition count
+    -> one reduce task per bucket (largest-first): split rows back into
+       partitions (vectorized boundary scan; local restage if the
+       bucket outgrows memory), run the codec auto-selector + the
+       same-chunk codec trial (job-global lead election) + encode ONCE,
+       E8/E6 atomic container+manifest (+ content digest) per partition
     -> returns a small metrics Dataset (one row per partition)
 
 The object-store payload shuffle (groupby + writer actor pool) is the
