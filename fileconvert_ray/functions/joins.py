@@ -120,3 +120,138 @@ def asof_join(left_ds, right_ds, *, by: str, on: str, right_cols: list[str],
         )
 
     return merged.groupby(by).map_groups(join_group, batch_format="pyarrow")
+
+
+def interval_join(left_ds, right_ds, *, by: str, on: str, start: str, end: str,
+                  right_cols: list[str], bucket_width: int, right_prefix: str = "r_"):
+    """Range join: every left row paired with every right interval
+    [start, end) that contains left.on, within the same ``by`` key.
+
+    Scale shape (the classic time-bucket co-partition): the left row
+    goes to exactly ONE (key, on // bucket_width) bucket; each right
+    interval is replicated to every bucket it overlaps (intervals <<
+    bucket_width replicate ~1-2x).  The groupby then only pairs rows
+    that can possibly match — no all-pairs work, and a pair is emitted
+    exactly once because only the left row's own bucket tests it.
+    Choose ``bucket_width`` ~ the typical interval length (same units
+    as ``on``; timestamps compare as int64 microseconds).
+    """
+    W = int(bucket_width)
+
+    def bucket_left(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column(on), pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.floor_divide(t, W)
+        out = batch.append_column("_bucket", pa.array(b))
+        return out.append_column("_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    def explode_right(batch: pa.Table) -> pa.Table:
+        cols = [by, start, end] + [c for c in right_cols if c not in (by, start, end)]
+        batch = batch.select(cols)
+        s = pc.cast(batch.column(start), pa.int64()).to_numpy(zero_copy_only=False)
+        e = pc.cast(batch.column(end), pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = np.floor_divide(s, W)
+        b1 = np.floor_divide(np.maximum(e - 1, s), W)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+        offs = np.repeat(np.cumsum(reps) - reps, reps)
+        buckets = np.arange(int(reps.sum()), dtype=np.int64) - offs + np.repeat(b0, reps)
+        out = batch.take(pa.array(idx))
+        out = out.append_column("_bucket", pa.array(buckets))
+        return out.append_column("_side", pa.array(np.ones(out.num_rows, dtype=np.int8)))
+
+    left_tagged = left_ds.map_batches(bucket_left, batch_format="pyarrow", zero_copy_batch=True)
+    right_tagged = right_ds.map_batches(explode_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    lschema = left_tagged.schema().base_schema
+    rschema = right_tagged.schema().base_schema
+    lnames = [n for n in lschema.names if n not in ("_side", "_bucket")]
+    rnames = [n for n in rschema.names if n not in ("_side", "_bucket")]
+    union_fields = [(n, lschema.field(n).type) for n in lnames]
+    union_fields += [("_r" + n, rschema.field(n).type) for n in rnames]
+    union_fields += [("_key", pa.int64()), ("_bucket", pa.int64()), ("_side", pa.int8())]
+    union_schema = pa.schema(union_fields)
+
+    from ..util.hashing import hash_strings_u64, splitmix64
+
+    def _group_key(batch: pa.Table) -> pa.Array:
+        """(by, bucket) -> one int64 key (string or int by-columns)."""
+        k = batch.column(by)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
+            h = hash_strings_u64(k)
+        else:
+            h = splitmix64(
+                pc.cast(k, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        b = batch.column("_bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return pa.array((splitmix64(h * np.uint64(3) ^ b)).view(np.int64))
+
+    def pad(batch: pa.Table) -> pa.Table:
+        is_left = batch.column("_side")[0].as_py() == 0 if batch.num_rows else True
+        arrays = []
+        for f in union_schema:
+            if f.name == "_side":
+                arrays.append(batch.column("_side"))
+            elif f.name == "_bucket":
+                arrays.append(pc.cast(batch.column("_bucket"), pa.int64()))
+            elif f.name == "_key":
+                arrays.append(_group_key(batch))
+            elif f.name.startswith("_r"):
+                src = f.name[2:]
+                if not is_left and src in batch.column_names:
+                    arrays.append(pc.cast(batch.column(src), f.type))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, f.type))
+            elif is_left and f.name in batch.column_names:
+                arrays.append(pc.cast(batch.column(f.name), f.type))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, f.type))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    merged = left_tagged.map_batches(pad, batch_format="pyarrow").union(
+        right_tagged.map_batches(pad, batch_format="pyarrow")
+    )
+
+    out_fields = [(n, lschema.field(n).type) for n in lnames]
+    out_fields += [(right_prefix + n, rschema.field(n).type) for n in rnames if n != by]
+    out_schema = pa.schema(out_fields)
+
+    def empty_out() -> pa.Table:
+        return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+
+    def join_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out()
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 0, side == 1
+        if not lmask.any() or not rmask.any():
+            return empty_out()
+        lt = group.filter(pa.array(lmask))
+        rt = group.filter(pa.array(rmask))
+        # hash groups can collide across (by, bucket) pairs: re-check by
+        l_by = lt.column(by)
+        r_by = rt.column("_r" + by)
+        t = pc.cast(lt.column(on), pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(rt.column("_r" + start), pa.int64()).to_numpy(zero_copy_only=False)
+        e = pc.cast(rt.column("_r" + end), pa.int64()).to_numpy(zero_copy_only=False)
+        hit = (s[None, :] <= t[:, None]) & (t[:, None] < e[None, :])
+        lb = l_by.to_pylist()
+        rb = r_by.to_pylist()
+        same = np.array([[a == b for b in rb] for a in lb], dtype=bool)
+        li, ri = np.nonzero(hit & same)
+        if len(li) == 0:
+            return empty_out()
+        lt2 = lt.take(pa.array(li.astype(np.int64)))
+        take_r = pa.array(ri.astype(np.int64))
+        arrays = [lt2.column(n) for n in lnames]
+        for n in rnames:
+            if n == by:
+                continue
+            arrays.append(rt.column("_r" + n).take(take_r))
+        return pa.Table.from_arrays(
+            [pc.cast(a, f.type) for a, f in zip(arrays, out_schema)], schema=out_schema
+        )
+
+    return merged.groupby("_key").map_groups(join_group, batch_format="pyarrow")

@@ -370,6 +370,36 @@ def q_events_asof(sf_dir: str):
     return asof_join(left, right, by="user_id", on="ts", right_cols=["ts", "value"])
 
 
+def q_events_in_windows(sf_dir: str):
+    """Range join: every event inside the 30-minute window following
+    any purchase by the same user (functions/joins.py interval_join —
+    time-bucket co-partition, no all-pairs).  Oracle: DuckDB
+    inequality join."""
+    import ray.data as rd
+
+    from .joins import interval_join
+
+    HALF_H = 30 * 60 * 1_000_000  # us
+
+    def windows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        ts = pc.cast(b.column("ts"), pa.int64())
+        end = pc.cast(pc.add(ts, HALF_H), pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [b.column("event_id"), b.column("user_id"), b.column("ts"), end],
+            names=["w_id", "user_id", "w_start", "w_end"],
+        )
+
+    left = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    right = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_join(
+        left, right, by="user_id", on="ts", start="w_start", end="w_end",
+        right_cols=["w_id", "w_start", "w_end"], bucket_width=HALF_H,
+    )
+
+
 def q_lsh_dup_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -650,6 +680,7 @@ QUERIES = {
     "high_value_orders": q_high_value_orders,
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
+    "events_in_windows": q_events_in_windows,
     "events_sliding": q_events_sliding,
     "encode_roundtrip": q_encode_roundtrip,
     "encode_metrics": q_encode_metrics,
@@ -757,6 +788,13 @@ ORACLE_SQL = {
             order by round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) desc,
                      e.vec_id asc
         ) <= {KNN_K}
+    """,
+    "events_in_windows": """
+        select e.event_id, e.ts, e.user_id, p.event_id as r_w_id,
+               p.ts as r_w_start, p.ts + interval 30 minute as r_w_end
+        from events e join (select * from events where event_type = 'purchase') p
+          on e.user_id = p.user_id
+         and e.ts >= p.ts and e.ts < p.ts + interval 30 minute
     """,
     "events_asof": """
         select e.event_id, e.ts, e.user_id, p.ts as r_ts, p.value as r_value

@@ -385,3 +385,26 @@ def test_asof_join_matches_manual(ray_session):
     assert out.id.tolist() == [1, 2, 3]
     assert out.r_v.tolist() == [1.0, 2.0, 3.0]
     assert out.r_t.tolist() == [4, 9, 3]
+
+
+def test_interval_join_buckets_and_overlaps(ray_session):
+    """Intervals spanning bucket boundaries still match exactly once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.joins import interval_join
+
+    left = pa.table({"id": [1, 2, 3, 4], "t": [5, 15, 25, 99], "k": [1, 1, 1, 2]})
+    right = pa.table({"k": [1, 1, 2], "s": [4, 14, 90], "e": [26, 16, 100], "w": ["A", "B", "C"]})
+    out = (
+        interval_join(
+            rd.from_arrow(left), rd.from_arrow(right), by="k", on="t",
+            start="s", end="e", right_cols=["s", "e", "w"], bucket_width=10,
+        )
+        .to_pandas()
+        .sort_values(["id", "r_w"])
+        .reset_index(drop=True)
+    )
+    pairs = list(zip(out.id, out.r_w))
+    # t=5 in A[4,26); t=15 in A and B[14,16); t=25 in A; t=99 in C[90,100)
+    assert pairs == [(1, "A"), (2, "A"), (2, "B"), (3, "A"), (4, "C")]
