@@ -351,6 +351,78 @@ def q_ivf_partitioned_knn(sf_dir: str):
     return out
 
 
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization: per user, a new session starts when
+    the gap since the previous event exceeds 30 minutes; returns one
+    row per session with bounds and event count.  Shape: one groupby
+    shuffle of (user_id, ts) pairs; the per-user session scan is a
+    vectorized diff + cumsum.  Oracle: lag + cumulative sum window SQL."""
+    import ray.data as rd
+
+    GAP = 30 * 60 * 1_000_000  # us
+
+    def sessions(group: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("user_id", pa.int64()), ("session_no", pa.int64()),
+            ("session_start", pa.timestamp("us")), ("session_end", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+        ])
+        if group.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
+        g = group.sort_by("ts")
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = np.diff(ts) > GAP
+        sess = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        uid = g.column("user_id")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "user_id": [uid] * len(starts),
+                "session_no": list(range(1, len(starts) + 1)),
+                "session_start": ts[starts].view("datetime64[us]"),
+                "session_end": ts[ends].view("datetime64[us]"),
+                "n_events": (ends - starts + 1).astype(np.int64),
+            },
+            schema=schema,
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Per-group top-k (k=3 highest-value events per user), computed
+    scalably: per-batch PARTIAL top-k inside map_batches (only k rows
+    per (user, batch) survive), then a tiny groupby finishes — the
+    shuffle moves O(users x k), not O(rows)."""
+    import ray.data as rd
+
+    K = 3
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["user_id", "event_id", "value"]).to_pandas()
+        df = df.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("user_id").head(K), preserve_index=False)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values(["value", "event_id"], ascending=[False, True]).head(K)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each event matched to the user's LATEST PRIOR
     purchase event (functions/joins.py — the custom-operator pattern
@@ -680,6 +752,8 @@ QUERIES = {
     "high_value_orders": q_high_value_orders,
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
+    "user_sessions": q_user_sessions,
+    "top_events_per_user": q_top_events_per_user,
     "events_in_windows": q_events_in_windows,
     "events_sliding": q_events_sliding,
     "encode_roundtrip": q_encode_roundtrip,
@@ -788,6 +862,33 @@ ORACLE_SQL = {
             order by round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) desc,
                      e.vec_id asc
         ) <= {KNN_K}
+    """,
+    "user_sessions": """
+        with marked as (
+            select user_id, ts,
+                   case when lag(ts) over (partition by user_id order by ts) is null
+                          or ts - lag(ts) over (partition by user_id order by ts)
+                             > interval 30 minute
+                        then 1 else 0 end as is_new
+            from events
+        ), numbered as (
+            select user_id, ts,
+                   sum(is_new) over (partition by user_id order by ts
+                                     rows unbounded preceding) as session_no
+            from marked
+        )
+        select user_id, cast(session_no as bigint) as session_no,
+               min(ts) as session_start, max(ts) as session_end,
+               cast(count(*) as bigint) as n_events
+        from numbered group by user_id, session_no
+    """,
+    "top_events_per_user": """
+        select user_id, event_id, value,
+               cast(row_number() over (
+                   partition by user_id order by value desc, event_id asc
+               ) as bigint) as rank
+        from events
+        qualify rank <= 3
     """,
     "events_in_windows": """
         select e.event_id, e.ts, e.user_id, p.event_id as r_w_id,
