@@ -351,6 +351,20 @@ def q_ivf_partitioned_knn(sf_dir: str):
     return out
 
 
+def q_approx_distinct_docs(sf_dir: str):
+    """HyperLogLog approximate distinct doc_id per source (p=14, ~0.8%
+    std error).  Rows-only check (an approximate answer cannot
+    hash-match an exact oracle); accuracy and merge-invariance are
+    pinned by tests/test_functions.py::test_hll_accuracy_and_merge.
+    The shuffle moves O(sources x 16 KiB) regardless of corpus size."""
+    import ray.data as rd
+
+    from .sketches import hll_distinct_by
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "doc_id"])
+    return hll_distinct_by(ds, "source", "doc_id", p=14)
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization: per user, a new session starts when
     the gap since the previous event exceeds 30 minutes; returns one
@@ -753,6 +767,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
     "user_sessions": q_user_sessions,
+    "approx_distinct_docs": q_approx_distinct_docs,
     "top_events_per_user": q_top_events_per_user,
     "events_in_windows": q_events_in_windows,
     "events_sliding": q_events_sliding,

@@ -408,3 +408,34 @@ def test_interval_join_buckets_and_overlaps(ray_session):
     pairs = list(zip(out.id, out.r_w))
     # t=5 in A[4,26); t=15 in A and B[14,16); t=25 in A; t=99 in C[90,100)
     assert pairs == [(1, "A"), (2, "A"), (2, "B"), (3, "A"), (4, "C")]
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    """HLL estimate within ~2% at p=14; identical no matter how rows
+    are split into batches (merge correctness)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.sketches import hll_distinct_by
+
+    rng = np.random.default_rng(1)
+    n = 200_000
+    true_card = {"a": 50_000, "b": 1_000, "c": 3}
+    rows_g, rows_v = [], []
+    for g, card in true_card.items():
+        vals = rng.integers(0, card, n // len(true_card)) + (hash(g) % 1000) * 10**9
+        rows_g.extend([g] * len(vals))
+        rows_v.extend(vals.tolist())
+    t = pa.table({"g": rows_g, "v": rows_v})
+    for blocks in (1, 16):
+        out = (
+            hll_distinct_by(rd.from_arrow(t).repartition(blocks), "g", "v", p=14)
+            .to_pandas()
+            .set_index("g")["approx_distinct"]
+        )
+        for g, card in true_card.items():
+            # true distinct is <= card (collisions in the draw); compare
+            # against the exact distinct of the generated values
+            exact = len(set(v for gg, v in zip(rows_g, rows_v) if gg == g))
+            err = abs(out[g] - exact) / max(1, exact)
+            assert err < 0.03, (g, out[g], exact, err)
