@@ -182,7 +182,16 @@ class Rans:
 
         cum = np.zeros(D, dtype=np.uint64)
         np.cumsum(freq[:-1], out=cum[1:])
-        slot2sym = np.repeat(np.arange(D, dtype=np.int32), freq.astype(np.int64))
+        # one packed slot table instead of three (slot2sym, freq, cum):
+        # sym in bits [42,60), freq in [21,42), cum in [0,21) — P <= 20
+        # so freq <= 2^20 and cum < 2^20 both fit 21 bits, D <= 2^18
+        # fits 18.  ONE gather per decode step instead of three.
+        reps = freq.astype(np.int64)
+        packed = (
+            (np.repeat(np.arange(D, dtype=np.uint64), reps) << np.uint64(42))
+            | (np.repeat(freq, reps) << np.uint64(21))
+            | np.repeat(cum, reps)
+        )
         ptr = np.zeros(L, dtype=np.int64)
         ptr[1:] = np.cumsum(lane_counts)[:-1]
 
@@ -190,14 +199,15 @@ class Rans:
         # slice [j*L, (j+1)*L) directly into the output — no transpose
         out = np.empty(m * L, dtype=np.int32)
         mask = np.uint64((1 << P) - 1)
+        m21 = np.uint64((1 << 21) - 1)
         Pu = np.uint64(P)
         state_min = np.uint64(_STATE_MIN)
         with np.errstate(over="ignore"):
             for j in range(m):
                 slot = x & mask
-                s = slot2sym[slot]
-                out[j * L : (j + 1) * L] = s
-                x = freq[s] * (x >> Pu) + slot - cum[s]
+                pv = packed[slot]
+                out[j * L : (j + 1) * L] = (pv >> np.uint64(42)).astype(np.int32)
+                x = ((pv >> np.uint64(21)) & m21) * (x >> Pu) + slot - (pv & m21)
                 renorm = x < state_min
                 if renorm.any():
                     w = stream[ptr[renorm]]
