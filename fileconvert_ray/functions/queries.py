@@ -817,6 +817,10 @@ ORACLE_SQL = {
                cast(len(string_split(text, ' ')) as bigint) as n_words,
                cast(len(list_filter(string_split(text, ' '), x -> x in ('a', 'the')))
                     as bigint)::double / len(string_split(text, ' ')) as stop_ratio,
+               case when length(text) > 0 then
+                    cast(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                         as bigint)::double / length(text)
+                    else 0.0 end as punct_ratio,
                cast(length(replace(text, ' ', '')) as bigint)::double
                     / len(string_split(text, ' ')) as mean_word_len
         from documents

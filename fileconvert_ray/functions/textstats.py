@@ -21,7 +21,7 @@ TOKEN_RE = r"\w+|[^\w\s]"  # BPE-ish pre-tokenizer split (whitespace + punct)
 
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Per-doc quality signals with exact SQL equivalents (oracle-able):
-    n_chars, n_words, stop_ratio, mean_word_len."""
+    n_chars, n_words, stop_ratio, punct_ratio, mean_word_len."""
     text = batch.column("text").combine_chunks()
     words = pc.split_pattern(text, " ")
     if isinstance(words, pa.ChunkedArray):
@@ -45,15 +45,23 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
     stop_ratio = np.where(nw > 0, stop_per_doc / nw, 0.0)
     mean_word_len = np.where(nw > 0, bytes_per_doc / nw, 0.0)
+    # punctuation ratio: non-word non-space chars / chars (RE2 on both
+    # sides: Arrow count_substring_regex and DuckDB share RE2 semantics)
+    npunct = pc.count_substring_regex(text, pattern=r"[^\w\s]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    punct_ratio = np.where(nc > 0, npunct / nc, 0.0)
     return pa.Table.from_arrays(
         [
             pc.cast(batch.column("doc_id"), pa.string()),
             n_chars,
             n_words,
             pa.array(stop_ratio, type=pa.float64()),
+            pa.array(punct_ratio, type=pa.float64()),
             pa.array(mean_word_len, type=pa.float64()),
         ],
-        names=["doc_id", "n_chars", "n_words", "stop_ratio", "mean_word_len"],
+        names=["doc_id", "n_chars", "n_words", "stop_ratio", "punct_ratio", "mean_word_len"],
     )
 
 
