@@ -209,6 +209,12 @@ def encode_array(
         if pa.types.is_large_binary(t):
             arr = arr.cast(pa.binary())
         arr = arr.view(pa.string())
+    elif t == pa.float16() and arr.null_count:
+        # halffloat has no fill_null / if_else / coalesce kernels in
+        # pyarrow 16 — bit-pattern view as int16 (exact, validity
+        # preserved); decode views back AFTER null restoration
+        params["atype"] = _type_spec(t)
+        arr = arr.view(pa.int16())
     elif pa.types.is_floating(t) or pa.types.is_decimal(t):
         params["atype"] = _type_spec(t)
 
@@ -346,7 +352,15 @@ def decode_array(enc: EncodedColumn) -> pa.Array:
         out = pa.array(native)
         if spec is not None:
             target = _type_from_spec(spec)
-            out = out.view(target) if spec["k"] == "u64" else out.cast(target)
+            if spec["k"] == "u64":
+                out = out.view(target)
+            elif spec["k"] == "f":
+                # float16-with-nulls rides the int16 path; the view back
+                # is deferred until after null restoration (halffloat has
+                # no if_else kernel)
+                pass
+            else:
+                out = out.cast(target)
     elif spec is not None and spec["k"] in ("f", "dec"):
         c = FIXED_CODECS[enc.codec]
         data = np.ascontiguousarray(c.decode(params["c"], payload, enc.n_values))
@@ -374,6 +388,8 @@ def decode_array(enc: EncodedColumn) -> pa.Array:
         ).astype(bool)
         mask = pa.array(~validity)
         out = pa.compute.if_else(mask, pa.scalar(None, type=out.type), out)
+    if spec is not None and spec["k"] == "f" and "dtype" in params:
+        out = out.view(_type_from_spec(spec))
     return out
 
 

@@ -41,12 +41,14 @@ PAIR_SCHEMA = pa.schema([("content_hash", pa.int64()), ("_id", pa.string())])
 
 def content_hash_pairs(batch: pa.Table, key: str = "text", id_col: str = "doc_id") -> pa.Table:
     """The ONLY rows exact_dedup's corpus-wide shuffle moves: 16 B of
-    hash + the id — never the payload column."""
+    hash + the id — never the payload column.  The id keeps its NATIVE
+    type so "smallest id survives" means native ordering (10 > 9 for
+    ints — a string cast would pick 10 over 9; round-3 ADVICE)."""
     h = hash_strings_u64(batch.column(key))
-    ids = pc.cast(batch.column(id_col), pa.string())
+    ids = batch.column(id_col)
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
-    return pa.Table.from_arrays([pa.array(h.view(np.int64)), ids], schema=PAIR_SCHEMA)
+    return pa.Table.from_arrays([pa.array(h.view(np.int64)), ids], names=["content_hash", "_id"])
 
 
 def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
@@ -67,7 +69,7 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 
     def dup_groups(group: pa.Table) -> pa.Table:
         if group.num_rows <= 1:
-            return pa.Table.from_pydict({"content_hash": [], "_id": []}, schema=PAIR_SCHEMA)
+            return group.slice(0, 0)
         return group
 
     cand = (
@@ -75,21 +77,22 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         .groupby("content_hash")
         .map_groups(dup_groups, batch_format="pyarrow")
     )
-    cand_ids: list = []
+    cand_chunks: list = []
     for b in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
-        cand_ids.extend(b.column("_id").to_pylist())
-    if not cand_ids:
+        cand_chunks.append(b.column("_id"))
+    if not cand_chunks or sum(len(c) for c in cand_chunks) == 0:
         return ds
-    cand_ref = ray.put(pa.array(sorted(set(cand_ids)), type=pa.string()))
+    cand_arr = pc.unique(pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cand_chunks]))
+    cand_ref = ray.put(cand_arr)
 
     def project_candidates(batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch.column(id_col), pa.string())
+        ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         mask = pc.is_in(ids, value_set=ray.get(cand_ref))
         sub = batch.filter(mask)
         h = hash_strings_u64(sub.column(key))
-        sid = pc.cast(sub.column(id_col), pa.string())
+        sid = sub.column(id_col)
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
         txt = sub.column(key)
@@ -117,16 +120,21 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         .groupby("content_hash")
         .map_groups(losers_in_group, batch_format="pyarrow")
     )
-    loser_ids: list = []
+    loser_chunks: list = []
     for b in losers.iter_batches(batch_size=None, batch_format="pyarrow"):
-        loser_ids.extend(b.column("_id").to_pylist())
-    loser_ref = ray.put(pa.array(sorted(loser_ids), type=pa.string()))
+        loser_chunks.append(b.column("_id"))
+    loser_arr = (
+        pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in loser_chunks])
+        if loser_chunks
+        else cand_arr.slice(0, 0)
+    )
+    loser_ref = ray.put(loser_arr)
 
     def keep_survivors(batch: pa.Table) -> pa.Table:
         dropped = ray.get(loser_ref)
         if len(dropped) == 0:
             return batch
-        ids = pc.cast(batch.column(id_col), pa.string())
+        ids = batch.column(id_col)
         return batch.filter(pc.invert(pc.is_in(ids, value_set=dropped)))
 
     return ds.map_batches(keep_survivors, batch_format="pyarrow", zero_copy_batch=True)

@@ -320,6 +320,21 @@ def q_ivf_knn_search(sf_dir: str):
     return ivf_knn(ds, ref, k=KNN_K)
 
 
+def _ivf_index_dir(sf_dir: str, n_ids: int) -> str:
+    """Deterministic IVF index cache dir.  ``hash()`` is
+    PYTHONHASHSEED-salted per process — it never hit across runs and
+    leaked a fresh index dir each time (round-3 ADVICE); digesting the
+    path + file identity also invalidates the cache when the embeddings
+    file changes under the same path."""
+    import tempfile
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    digest = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_ids}".encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"fcray_ivf_{digest}")
+
+
 def q_ivf_partitioned_knn(sf_dir: str):
     """IVF over the hash-partitioned-by-list-id layout (one directory
     per IVF list; probes read ONLY their lists' files — the at-scale
@@ -336,9 +351,7 @@ def q_ivf_partitioned_knn(sf_dir: str):
     ids, m = _load_embeddings(sf_dir)
     order = np.argsort(ids)
     cent = m[order[: min(IVF_NLIST, len(ids))]]
-    idx_dir = os.path.join(
-        tempfile.gettempdir(), f"fcray_ivf_{abs(hash((sf_dir, len(ids)))) % 10**9}"
-    )
+    idx_dir = _ivf_index_dir(sf_dir, len(ids))
     if not os.path.exists(os.path.join(idx_dir, "_DONE")):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         ivf_partition(ds, cent, idx_dir)

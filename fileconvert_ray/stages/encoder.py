@@ -329,13 +329,41 @@ def stage_raw_task(batch: pa.Table, staged_dir: str, n_buckets: int) -> pa.Table
     tmp = os.path.join(staged_dir, f".tmp-{fname}")
     final = os.path.join(staged_dir, fname)
     meta: dict[str, list] = {"bucket": [], "staged_path": [], "row_group": []}
+    bucket_rows: list[tuple[int, int]] = []
     writer = pq.ParquetWriter(tmp, data.schema, **_STAGE_PQ_OPTS)
-    for rg, (i, j) in enumerate(zip(bounds[:-1], bounds[1:])):
-        writer.write_table(data.slice(int(i), int(j - i)))
-        meta["bucket"].append(int(bk[i]))
-        meta["staged_path"].append(final)
-        meta["row_group"].append(rg)
+    for i, j in zip(bounds[:-1], bounds[1:]):
+        # row_group_size MUST be explicit: write_table's default silently
+        # splits any slice over 1,048,576 rows into several row groups,
+        # which would desync the recorded indices below (silent partition
+        # corruption — reduce tasks would read another bucket's rows).
+        writer.write_table(data.slice(int(i), int(j - i)), row_group_size=int(j - i))
+        bucket_rows.append((int(bk[i]), int(j - i)))
     writer.close()
+    # Derive (bucket -> row_group) from the file's ACTUAL row groups, not
+    # the write-call counter: write_table never spans row groups across
+    # calls, so the file's row groups are the per-call groups in order,
+    # but one call MAY still produce several (version-dependent caps).
+    # Walk them, assigning consecutive row groups to each bucket until
+    # its row count is consumed; any misalignment is a hard error.
+    fmd = pq.ParquetFile(tmp).metadata
+    rg_sizes = [fmd.row_group(k).num_rows for k in range(fmd.num_row_groups)]
+    rg = 0
+    for bucket_id, n_rows in bucket_rows:
+        remaining = n_rows
+        while remaining > 0:
+            if rg >= len(rg_sizes) or rg_sizes[rg] > remaining:
+                raise RuntimeError(
+                    f"staged row groups misaligned with bucket boundaries in {final}: "
+                    f"bucket {bucket_id} needs {remaining} more rows, "
+                    f"row group {rg} has {rg_sizes[rg] if rg < len(rg_sizes) else 'none'}"
+                )
+            meta["bucket"].append(bucket_id)
+            meta["staged_path"].append(final)
+            meta["row_group"].append(rg)
+            remaining -= rg_sizes[rg]
+            rg += 1
+    if rg != len(rg_sizes):
+        raise RuntimeError(f"staged file {final} has {len(rg_sizes) - rg} unaccounted row groups")
     os.replace(tmp, final)
     return pa.Table.from_pydict(meta, schema=BUCKET_META_SCHEMA)
 

@@ -173,6 +173,11 @@ EXTENDED_ARRAYS = {
         [None, 0, 1, -1, 10**20, -(10**20)], type=pa.decimal128(30, 4)
     ),
     "float64_nulls": pa.array([1.5, None, -2.5, None], type=pa.float64()),
+    # round-3 ADVICE: fill_null(0) crashed on halffloat-with-nulls
+    "float16_nulls": pa.array(
+        [np.float16(1.5), None, np.float16(-2.25), None], type=pa.float16()
+    ),
+    "float16": pa.array(np.linspace(-100, 100, 500).astype(np.float16), type=pa.float16()),
 }
 
 

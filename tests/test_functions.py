@@ -439,3 +439,49 @@ def test_hll_accuracy_and_merge(ray_session):
             exact = len(set(v for gg, v in zip(rows_g, rows_v) if gg == g))
             err = abs(out[g] - exact) / max(1, exact)
             assert err < 0.03, (g, out[g], exact, err)
+
+
+def test_exact_dedup_integer_ids_native_order(ray_session):
+    """ADVICE round 3: 'smallest id survives' must use the id's NATIVE
+    ordering — integer 9 beats 10 even though '10' < '9' as strings."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import exact_dedup
+
+    rows = [{"doc_id": i, "text": f"t {i}"} for i in range(9)]
+    rows += [
+        {"doc_id": 9, "text": "same content"},
+        {"doc_id": 10, "text": "same content"},
+    ]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    out = exact_dedup(ds).to_pandas()
+    ids = set(out.doc_id)
+    assert 9 in ids and 10 not in ids
+    assert len(out) == 10
+
+
+def test_ivf_index_dir_stable_across_processes(sf_dir):
+    """The IVF index cache key must be process-independent (hash() is
+    PYTHONHASHSEED-salted; round-3 ADVICE) and change when the
+    embeddings file changes."""
+    import subprocess
+    import sys
+
+    snippet = (
+        "from fileconvert_ray.functions.queries import _ivf_index_dir;"
+        f"print(_ivf_index_dir({str(sf_dir)!r}, 123))"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", snippet],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout.strip()
+        for _ in range(2)
+    }
+    assert len(outs) == 1, f"cache dir differs across processes: {outs}"
+
+    from fileconvert_ray.functions.queries import _ivf_index_dir
+
+    assert _ivf_index_dir(str(sf_dir), 123) == outs.pop()
+    assert _ivf_index_dir(str(sf_dir), 124) != _ivf_index_dir(str(sf_dir), 123)
