@@ -237,28 +237,99 @@ class MinHasher:
         )
 
 
-def _candidate_pairs(group: pa.Table, est_threshold: float, num_perm: int) -> pa.Table:
-    """Within one band bucket: pairs whose signature agreement >= threshold."""
+_PAIR_EMPTY_MINHASH = pa.schema(
+    [("a", pa.string()), ("b", pa.string()), ("est_jaccard", pa.float64())]
+)
+
+
+def _dedup_sorted_rows(ids: np.ndarray, *arrays: np.ndarray):
+    """Sort rows by id and keep the first row per distinct id."""
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+    return (ids[keep],) + tuple(a[order][keep] for a in arrays)
+
+
+def _star_pairs(ids: np.ndarray, inv: np.ndarray):
+    """Per signature-cluster star edges (rep = smallest id -> member).
+
+    A mass-duplicated document lands its whole cluster in one band
+    bucket with IDENTICAL signatures; downstream consumes pairs as
+    connectivity (union-find / label propagation), so the (c-1)-edge
+    star spans exactly the same component as the c(c-1)/2 clique —
+    linear output instead of quadratic (round-2 verdict #3).
+
+    ``ids`` must be sorted ascending.  Returns (a, b, rep_indices):
+    star edge arrays plus one representative row index per cluster.
+    """
+    corder = np.argsort(inv, kind="stable")  # cluster-major, id order kept
+    cinv = inv[corder]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(cinv)) + 1, [len(cinv)]))
+    sizes = np.diff(starts)
+    reps = np.repeat(corder[starts[:-1]], sizes)
+    members = corder
+    mask = members != reps
+    return ids[reps[mask]], ids[members[mask]], corder[starts[:-1]]
+
+
+def _candidate_pairs(group: pa.Table, est_threshold: float, num_perm: int,
+                     tile: int = 1024) -> pa.Table:
+    """Within one band bucket: pairs whose signature agreement >= threshold.
+
+    Fully vectorized (round-2 verdict #3): identical signatures collapse
+    into a star around the smallest id (est 1.0 — they agree on every
+    permutation), and only the DISTINCT signatures are compared
+    all-pairs, in numpy tiles of ``tile`` x ``tile`` so peak memory is
+    bounded regardless of bucket size.  No per-row Python loop."""
+    n = group.num_rows
+    if n <= 1:
+        return pa.Table.from_pydict({"a": [], "b": [], "est_jaccard": []},
+                                    schema=_PAIR_EMPTY_MINHASH)
+    ids = np.asarray(
+        [str(x) for x in group.column("doc_id").to_pylist()], dtype=object
+    )
+    raw = b"".join(group.column("sig").to_pylist())
+    sigs = np.frombuffer(raw, dtype=np.uint64).reshape(n, num_perm)
+    ids, sigs = _dedup_sorted_rows(ids, sigs)
+    n = len(ids)
+    if n <= 1:
+        return pa.Table.from_pydict({"a": [], "b": [], "est_jaccard": []},
+                                    schema=_PAIR_EMPTY_MINHASH)
+    _, first, inv = np.unique(sigs, axis=0, return_index=True, return_inverse=True)
     out_a, out_b, out_s = [], [], []
-    if group.num_rows > 1:
-        ids = group.column("doc_id").to_pylist()
-        sigs = np.stack(
-            [np.frombuffer(m, dtype=np.uint64) for m in group.column("sig").to_pylist()]
-        )
-        order = np.argsort(np.asarray(ids, dtype=object))
-        for i_ in range(len(order)):
-            for j_ in range(i_ + 1, len(order)):
-                i, j = order[i_], order[j_]
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= est_threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_s.append(est)
+    star_a, star_b, rep_idx = _star_pairs(ids, inv.ravel())
+    if len(star_a):
+        out_a.append(star_a)
+        out_b.append(star_b)
+        out_s.append(np.ones(len(star_a)))
+    rids = ids[rep_idx]
+    rsig = sigs[rep_idx]
+    m = len(rep_idx)
+    for i0 in range(0, m, tile):
+        a_blk = rsig[i0 : i0 + tile]
+        for j0 in range(i0, m, tile):
+            b_blk = rsig[j0 : j0 + tile]
+            cnt = np.zeros((len(a_blk), len(b_blk)), dtype=np.int32)
+            for p in range(num_perm):
+                cnt += a_blk[:, p][:, None] == b_blk[:, p][None, :]
+            est = cnt * (1.0 / num_perm)
+            gi = np.arange(i0, i0 + len(a_blk))
+            gj = np.arange(j0, j0 + len(b_blk))
+            sel = (est >= est_threshold) & (gi[:, None] < gj[None, :])
+            ii, jj = np.nonzero(sel)
+            if len(ii):
+                out_a.append(rids[i0 + ii])
+                out_b.append(rids[j0 + jj])
+                out_s.append(est[ii, jj])
+    if not out_a:
+        return pa.Table.from_pydict({"a": [], "b": [], "est_jaccard": []},
+                                    schema=_PAIR_EMPTY_MINHASH)
     return pa.Table.from_pydict(
-        {"a": pa.array(out_a, type=pa.string()), "b": pa.array(out_b, type=pa.string()),
-         "est_jaccard": pa.array(out_s, type=pa.float64())}
+        {
+            "a": pa.array(np.concatenate(out_a), type=pa.string()),
+            "b": pa.array(np.concatenate(out_b), type=pa.string()),
+            "est_jaccard": pa.array(np.concatenate(out_s), type=pa.float64()),
+        }
     )
 
 
@@ -368,6 +439,41 @@ def labelprop_dropped(pairs_table: pa.Table) -> set:
     return dropped
 
 
+def _dedup_pair_stream(pairs_ds):
+    """Drop duplicate (a, b) pairs — one copy per agreeing band — with a
+    Ray groupby on a pair-hash key, so the dedup work is distributed and
+    only already-unique pairs ever reach the driver (round-2 verdict #3
+    replaced the driver-side pandas drop_duplicates)."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_pk", pa.array([], type=pa.int64()))
+        ha = hash_strings_u64(t.column("a"))
+        hb = hash_strings_u64(t.column("b"), seed=7)
+        with np.errstate(over="ignore"):
+            k = splitmix64(ha * np.uint64(3) ^ hb)
+        return t.append_column("_pk", pa.array(k.view(np.int64)))
+
+    def first_per_pair(g: pa.Table) -> pa.Table:
+        if g.num_rows <= 1:
+            return g.drop_columns(["_pk"])
+        g = g.sort_by([("a", "ascending"), ("b", "ascending")])
+        a = g.column("a").combine_chunks()
+        b = g.column("b").combine_chunks()
+        eq = pc.and_(
+            pc.equal(a.slice(1), a.slice(0, len(a) - 1)),
+            pc.equal(b.slice(1), b.slice(0, len(b) - 1)),
+        ).to_numpy(zero_copy_only=False)
+        keep = np.concatenate(([True], ~eq))
+        return g.filter(pa.array(keep)).drop_columns(["_pk"])
+
+    return (
+        pairs_ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .map_groups(first_per_pair, batch_format="pyarrow")
+    )
+
+
 def union_find_survivors(pairs, all_ids=None) -> tuple[set, dict]:
     """Driver-side components over the (small) candidate pair set.
     Returns (dropped ids, root map)."""
@@ -390,12 +496,13 @@ def union_find_survivors(pairs, all_ids=None) -> tuple[set, dict]:
 
 
 def minhash_dedup(ds, *, threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
-                  shingle_k: int = 3, seed: int = 1, components: str = "unionfind"):
+                  shingle_k: int = 3, seed: int = 1, components: str = "labelprop"):
     """Returns (survivor Dataset, pairs pandas DataFrame).
 
-    ``components="labelprop"`` resolves duplicate clusters with the
-    distributed min-label-propagation groupby (no driver union-find) —
-    identical survivors, 100-TB shape."""
+    ``components="labelprop"`` (the default — round-2 verdict #3)
+    resolves duplicate clusters with the distributed
+    min-label-propagation groupby; ``"unionfind"`` is the small-scale
+    driver fallback — identical survivors either way (property-tested)."""
     import pyarrow.compute as _pc
 
     hasher_kwargs = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed)
@@ -403,12 +510,11 @@ def minhash_dedup(ds, *, threshold: float = 0.7, num_perm: int = 64, bands: int 
         MinHasher, fn_constructor_kwargs=hasher_kwargs,
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     )
-    pairs = (
+    pairs_ds = _dedup_pair_stream(
         exploded.groupby("band_key")
         .map_groups(lambda g: _candidate_pairs(g, threshold, num_perm), batch_format="pyarrow")
-        .to_pandas()
     )
-    pairs = pairs.drop_duplicates(subset=["a", "b"])
+    pairs = pairs_ds.to_pandas()
     if components == "labelprop" and len(pairs):
         dropped = labelprop_dropped(pa.Table.from_pandas(pairs[["a", "b"]]))
     else:
@@ -483,38 +589,78 @@ class SimHasher:
         )
 
 
-def _simhash_pairs(group: pa.Table, h_max: int) -> pa.Table:
+_PAIR_EMPTY_SIMHASH = pa.schema(
+    [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int64())]
+)
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _simhash_pairs(group: pa.Table, h_max: int, tile: int = 1024) -> pa.Table:
+    """Within one band bucket: pairs with hamming(simhash) <= h_max.
+
+    Same vectorized shape as _candidate_pairs: identical simhashes
+    (mass-duplicated docs) collapse into a star (hamming 0) around the
+    smallest id; distinct hashes are XOR'd in bounded tiles with a
+    byte-popcount table — no per-row Python loop."""
+    n = group.num_rows
+    if n <= 1:
+        return pa.Table.from_pydict({"a": [], "b": [], "hamming": []},
+                                    schema=_PAIR_EMPTY_SIMHASH)
+    ids = np.asarray(
+        [str(x) for x in group.column("doc_id").to_pylist()], dtype=object
+    )
+    hs = group.column("simhash").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    ids, hs = _dedup_sorted_rows(ids, hs)
+    n = len(ids)
+    if n <= 1:
+        return pa.Table.from_pydict({"a": [], "b": [], "hamming": []},
+                                    schema=_PAIR_EMPTY_SIMHASH)
+    _, inv = np.unique(hs, return_inverse=True)
     out_a, out_b, out_d = [], [], []
-    if group.num_rows > 1:
-        ids = group.column("doc_id").to_pylist()
-        hs = np.asarray(group.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
-        order = np.argsort(np.asarray(ids, dtype=object))
-        for i_ in range(len(order)):
-            for j_ in range(i_ + 1, len(order)):
-                i, j = order[i_], order[j_]
-                if ids[i] == ids[j]:
-                    continue
-                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if d <= h_max:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
+    star_a, star_b, rep_idx = _star_pairs(ids, inv.ravel())
+    if len(star_a):
+        out_a.append(star_a)
+        out_b.append(star_b)
+        out_d.append(np.zeros(len(star_a), dtype=np.int64))
+    rids = ids[rep_idx]
+    rhs = hs[rep_idx]
+    m = len(rep_idx)
+    for i0 in range(0, m, tile):
+        a_blk = rhs[i0 : i0 + tile]
+        for j0 in range(i0, m, tile):
+            b_blk = rhs[j0 : j0 + tile]
+            x = (a_blk[:, None] ^ b_blk[None, :]).view(np.uint8)
+            d = _POPCNT8[x].reshape(len(a_blk), len(b_blk), 8).sum(axis=2, dtype=np.int16)
+            gi = np.arange(i0, i0 + len(a_blk))
+            gj = np.arange(j0, j0 + len(b_blk))
+            sel = (d <= h_max) & (gi[:, None] < gj[None, :])
+            ii, jj = np.nonzero(sel)
+            if len(ii):
+                out_a.append(rids[i0 + ii])
+                out_b.append(rids[j0 + jj])
+                out_d.append(d[ii, jj])
+    if not out_a:
+        return pa.Table.from_pydict({"a": [], "b": [], "hamming": []},
+                                    schema=_PAIR_EMPTY_SIMHASH)
     return pa.Table.from_pydict(
-        {"a": pa.array(out_a, type=pa.string()), "b": pa.array(out_b, type=pa.string()),
-         "hamming": pa.array(out_d, type=pa.int64())}
+        {
+            "a": pa.array(np.concatenate(out_a), type=pa.string()),
+            "b": pa.array(np.concatenate(out_b), type=pa.string()),
+            "hamming": pa.array(np.concatenate(out_d), type=pa.int64()),
+        }
     )
 
 
 def simhash_dedup(ds, *, h_max: int = 3, chunks: int = 4, seed: int = 2,
-                  components: str = "unionfind"):
+                  components: str = "labelprop"):
     exploded = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(chunks=chunks, seed=seed),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     )
-    pairs = (
+    pairs = _dedup_pair_stream(
         exploded.groupby("band_key")
         .map_groups(lambda g: _simhash_pairs(g, h_max), batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates(subset=["a", "b"])
-    )
+    ).to_pandas()
     if components == "labelprop" and len(pairs):
         dropped = labelprop_dropped(pa.Table.from_pandas(pairs[["a", "b"]]))
     else:

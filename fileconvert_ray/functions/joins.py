@@ -230,19 +230,52 @@ def interval_join(left_ds, right_ds, *, by: str, on: str, start: str, end: str,
             return empty_out()
         lt = group.filter(pa.array(lmask))
         rt = group.filter(pa.array(rmask))
-        # hash groups can collide across (by, bucket) pairs: re-check by
-        l_by = lt.column(by)
-        r_by = rt.column("_r" + by)
         t = pc.cast(lt.column(on), pa.int64()).to_numpy(zero_copy_only=False)
         s = pc.cast(rt.column("_r" + start), pa.int64()).to_numpy(zero_copy_only=False)
         e = pc.cast(rt.column("_r" + end), pa.int64()).to_numpy(zero_copy_only=False)
-        hit = (s[None, :] <= t[:, None]) & (t[:, None] < e[None, :])
-        lb = l_by.to_pylist()
-        rb = r_by.to_pylist()
-        same = np.array([[a == b for b in rb] for a in lb], dtype=bool)
-        li, ri = np.nonzero(hit & same)
-        if len(li) == 0:
+        # hash groups can collide across (by, bucket) pairs: re-check by
+        # via factorized int codes (dictionary_encode — no Python
+        # comparisons), then per code enumerate candidates with the
+        # rights SORTED by start and one vectorized searchsorted over
+        # the lefts: candidates per left = rights with s <= t, a prefix
+        # of the code block; the e > t filter is applied to candidates
+        # only.  Work is O((L+R) log R + candidates) — a hot
+        # (user, bucket) group with 10k events x 2k windows no longer
+        # allocates a dense 20M-cell matrix (round-2 verdict #1).
+        l_by = lt.column(by)
+        if isinstance(l_by, pa.ChunkedArray):
+            l_by = l_by.combine_chunks()
+        r_by = rt.column("_r" + by)
+        if isinstance(r_by, pa.ChunkedArray):
+            r_by = r_by.combine_chunks()
+        denc = pa.chunked_array([l_by, r_by.cast(l_by.type)]).combine_chunks().dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = lt.num_rows
+        lcode, rcode = codes[:L], codes[L:]
+        rorder = np.lexsort((s, rcode))
+        rcode_s, s_s, e_s = rcode[rorder], s[rorder], e[rorder]
+        li_parts: list[np.ndarray] = []
+        ri_parts: list[np.ndarray] = []
+        for code in np.unique(lcode):
+            lsel = np.flatnonzero(lcode == code)
+            r0 = int(np.searchsorted(rcode_s, code, side="left"))
+            r1 = int(np.searchsorted(rcode_s, code, side="right"))
+            if r0 == r1:
+                continue
+            hi = np.searchsorted(s_s[r0:r1], t[lsel], side="right")
+            tot = int(hi.sum())
+            if tot == 0:
+                continue
+            li_c = np.repeat(lsel, hi)
+            offs = np.repeat(np.cumsum(hi) - hi, hi)
+            ri_c = (np.arange(tot, dtype=np.int64) - offs) + r0
+            keep = e_s[ri_c] > t[li_c]
+            li_parts.append(li_c[keep])
+            ri_parts.append(ri_c[keep])
+        if not li_parts or sum(len(x) for x in li_parts) == 0:
             return empty_out()
+        li = np.concatenate(li_parts)
+        ri = rorder[np.concatenate(ri_parts)]
         lt2 = lt.take(pa.array(li.astype(np.int64)))
         take_r = pa.array(ri.astype(np.int64))
         arrays = [lt2.column(n) for n in lnames]

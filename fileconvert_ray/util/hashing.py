@@ -43,8 +43,18 @@ def _string_parts(arr: pa.Array | pa.ChunkedArray):
 def hash_strings_u64(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
     """Vectorized FNV-1a over each string's utf8 bytes -> uint64 per row.
 
-    One numpy pass per byte-column of a (n, max_len) padded matrix —
-    total work is O(total_bytes), no Python per-row loop.
+    Rows are processed sorted by length DESCENDING; at byte position c
+    only the prefix of rows still longer than c is touched, via a
+    gather straight into the flat values buffer.  Array work is
+    O(total_bytes) in time AND memory — no (n, max_len) padded matrix,
+    so one long document among thousands of short ones costs its own
+    bytes, not n x max_len (round-2 verdict #2: the old padded matrix
+    put a ~4 GB allocation under exact/minhash dedup and verify row
+    hashing whenever a 1 MB doc landed in a 4k-row batch).  The FNV
+    chain itself is sequential per string, so the Python-level loop
+    count is O(max_len); each iteration does O(active_rows) work.
+    Hash values are bit-identical to the previous implementation
+    (pinned by tests/test_functions.py::test_hash_strings_golden).
     """
     off, buf = _string_parts(arr)
     n = len(off) - 1
@@ -52,19 +62,36 @@ def hash_strings_u64(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarr
         return np.zeros(0, dtype=np.uint64)
     lens = np.diff(off)
     max_len = int(lens.max()) if n else 0
-    h = np.full(n, _FNV_OFFSET ^ np.uint64(seed), dtype=np.uint64)
     if max_len == 0:
-        return splitmix64(h)
-    mat = np.zeros((n, max_len), dtype=np.uint8)
-    total = int(off[-1] - off[0])
-    if total:
-        rows = np.repeat(np.arange(n), lens)
-        cols = np.arange(off[0], off[-1]) - np.repeat(off[:-1], lens)
-        mat[rows, cols] = buf[off[0] : off[-1]]
+        return splitmix64(np.full(n, _FNV_OFFSET ^ np.uint64(seed), dtype=np.uint64))
+    order = np.argsort(-lens, kind="stable")
+    starts = off[:-1][order]
+    lens_s = lens[order]
+    # active-row count at byte position c = # rows with length > c
+    hist = np.bincount(lens_s, minlength=max_len + 1)
+    active = n - np.cumsum(hist)[:max_len]
+    hs = np.full(n, _FNV_OFFSET ^ np.uint64(seed), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c in range(max_len):
-            active = c < lens
-            hc = (h ^ mat[:, c].astype(np.uint64)) * _FNV_PRIME
-            h = np.where(active, hc, h)
+            k = int(active[c])
+            if k == 0:
+                break
+            if k <= 16:
+                # few straggler rows left: per-position numpy calls cost
+                # ~3.7 us each; finish their tails as Python-int FNV
+                # (~0.1 us/byte) — same chain, same values
+                mask = (1 << 64) - 1
+                prime = 0x100000001B3
+                for r in range(k):
+                    s = int(starts[r]) + c
+                    e = int(starts[r]) + int(lens_s[r])
+                    hv = int(hs[r])
+                    for b in buf[s:e].tobytes():
+                        hv = ((hv ^ b) * prime) & mask
+                    hs[r] = np.uint64(hv)
+                break
+            hs[:k] = (hs[:k] ^ buf[starts[:k] + c]) * _FNV_PRIME
+    h = np.empty(n, dtype=np.uint64)
+    h[order] = hs
     # finalize so short strings still diffuse into high bits
     return splitmix64(h)

@@ -485,3 +485,135 @@ def test_ivf_index_dir_stable_across_processes(sf_dir):
 
     assert _ivf_index_dir(str(sf_dir), 123) == outs.pop()
     assert _ivf_index_dir(str(sf_dir), 124) != _ivf_index_dir(str(sf_dir), 123)
+
+
+def test_hash_strings_golden():
+    """Pin hash_strings_u64 bit-compatibility across refactors: these
+    values feed part_id assignment (resume stability) and every dedup
+    family — silently changing them would orphan existing manifests."""
+    import pyarrow as pa
+
+    from fileconvert_ray.util.hashing import hash_strings_u64
+
+    vals = ["", "a", "abc", "hello world", "x" * 100, "\x00\xff bin-ish", "αβγ utf8", "abc"]
+    assert [int(h) for h in hash_strings_u64(pa.array(vals))] == [
+        14087677454934409008, 6857225946766476583, 3018304574923447344,
+        15374300607300864099, 17184556657596402539, 9884009453573640368,
+        5641752124438818063, 3018304574923447344,
+    ]
+    assert [int(h) for h in hash_strings_u64(pa.array(vals), seed=42)] == [
+        16989316241837898229, 1976498609966166241, 4604969816143388534,
+        5385733229032502752, 12211056485272131938, 15058776709469670375,
+        14447092118569800923, 4604969816143388534,
+    ]
+
+
+def test_hash_strings_matches_scalar_fnv():
+    """Vectorized + tail paths both equal the textbook per-byte chain."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fileconvert_ray.util.hashing import hash_strings_u64
+
+    prime, mask = 0x100000001B3, (1 << 64) - 1
+
+    def ref_one(s: str, seed: int = 0) -> int:
+        h = 0xCBF29CE484222325 ^ seed
+        for b in s.encode():
+            h = ((h ^ b) * prime) & mask
+        z = (h + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    rng = np.random.default_rng(7)
+    strs = ["".join(rng.choice(list("qwerty"), rng.integers(0, 400))) for _ in range(60)]
+    got = [int(x) for x in hash_strings_u64(pa.array(strs), seed=3)]
+    assert got == [ref_one(s, seed=3) for s in strs]
+
+
+def test_hash_strings_long_doc_bounded_memory():
+    """Round-2 verdict #2 'done' criterion: a 1 MB document among 4k
+    short docs must hash in O(total_bytes) memory — the old padded
+    (n, max_len) matrix allocated ~4 GB here.  Subprocess so peak RSS
+    is this workload's, not the test session's."""
+    import subprocess
+    import sys
+
+    code = """
+import resource
+import pyarrow as pa
+from fileconvert_ray.util.hashing import hash_strings_u64
+docs = ["short doc %d" % i for i in range(4095)] + ["z" * 1_000_000]
+h = hash_strings_u64(pa.array(docs))
+assert len(h) == 4096 and len(set(h.tolist())) == 4096
+peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+assert peak_kb < 500_000, f"peak RSS {peak_kb} KB - padded-matrix regression?"
+print("peak_kb", peak_kb)
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+
+
+def test_interval_join_hot_group_is_not_quadratic(ray_session):
+    """Round-2 verdict #1 'done' criterion: a hot (key, bucket) group —
+    one user with 10k events and 2k candidate windows — must complete
+    via the sorted/searchsorted matcher, not a dense L x R matrix.
+    Result checked exactly against a brute-force reference."""
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 10_000, 2_000
+    W = 10**9  # one bucket: everything collides on (user, bucket)
+    t_vals = rng.integers(0, 100_000, n_l)
+    left = pa.table({"id": np.arange(n_l), "t": t_vals, "u": ["hot"] * n_l})
+    s_vals = rng.integers(0, 100_000, n_r)
+    e_vals = s_vals + rng.integers(1, 500, n_r)
+    right = pa.table({"u": ["hot"] * n_r, "s": s_vals, "e": e_vals,
+                      "w": np.arange(n_r)})
+    t0 = time.time()
+    out = interval_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="u", on="t",
+        start="s", end="e", right_cols=["s", "e", "w"], bucket_width=W,
+    ).to_pandas()
+    wall = time.time() - t0
+    # brute-force expected pair count
+    exp = int(((s_vals[None, :] <= t_vals[:, None]) & (t_vals[:, None] < e_vals[None, :])).sum())
+    assert len(out) == exp
+    assert wall < 30, f"hot-group interval join took {wall:.1f}s"
+
+
+def test_minhash_hot_bucket_mass_duplicate(ray_session):
+    """Round-2 verdict #3 'done' criterion: 1k copies of one document
+    (whole cluster lands in ONE band bucket with identical signatures)
+    must dedup via the vectorized star path, not an O(n^2) Python loop,
+    and keep exactly one survivor plus the distinct docs."""
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import minhash_dedup
+
+    doc = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [{"doc_id": f"dup{i:04d}", "text": doc} for i in range(1000)]
+    rows += [{"doc_id": f"uniq{i:03d}", "text": f"totally different text number {i} " * 3}
+             for i in range(20)]
+    t0 = time.time()
+    survivors, pairs = minhash_dedup(rd.from_items(rows, override_num_blocks=4))
+    out = survivors.to_pandas()
+    wall = time.time() - t0
+    assert len(out) == 21  # dup0000 + the 20 unique docs
+    assert "dup0000" in set(out.doc_id)
+    assert not any(d.startswith("dup") and d != "dup0000" for d in out.doc_id)
+    # star collapse: the 1k-clique contributes 999 edges, not ~500k
+    assert len(pairs) < 5_000
+    assert wall < 60, f"hot-bucket minhash took {wall:.1f}s"
