@@ -41,9 +41,32 @@ def _decode_chunk(rows: dict[str, list]) -> pa.Table:
         [cols["doc_id"], tokens, n_tok, cols["source"]], schema=INPUT_SCHEMA
     )
     for name, arr in cols.items():  # side columns, in container row order
-        if name not in INPUT_SCHEMA.names:
+        if name in INPUT_SCHEMA.names:
+            continue
+        if name.endswith("@lens"):
+            continue  # consumed by its @values partner below
+        if name.endswith("@values"):
+            # list side column: offsets re-derived from the encoded
+            # per-row lengths, same discipline as tokens/n_tok (null
+            # lengths -> null list rows, round-tripped bit-identically)
+            base = name[: -len("@values")]
+            lens_arr = cols[base + "@lens"]
+            filled = lens_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(filled)))
+            offsets = pa.array(offs, type=pa.int32())
+            if lens_arr.null_count:
+                # offsets[i] null marks list i null; the final offset stays valid
+                null_mask = np.concatenate(
+                    (~lens_arr.is_valid().to_numpy(zero_copy_only=False), [False])
+                )
+                offsets = pa.array(offs, type=pa.int32(), mask=null_mask)
+            out = out.append_column(base, pa.ListArray.from_arrays(offsets, arr))
+        else:
             out = out.append_column(name, arr)
     return out
+
+
+_CHUNK_COLS = ("column", "codec", "params", "payload", "n_values", "crc32", "plain_bytes")
 
 
 def iter_container_chunks(cont: pa.Table):
@@ -53,20 +76,22 @@ def iter_container_chunks(cont: pa.Table):
     consumer's transient allocations stay small no matter how large the
     partition is — large short-lived buffers are returned to the kernel
     by glibc and re-faulting them across 32 concurrent workers is the
-    dominant decode cost, not the codec math."""
+    dominant decode cost, not the codec math.  Payload bytes are copied
+    out per CHUNK, never all at once (round-2 verdict #10 replaced the
+    whole-container to_pylist)."""
     cont = cont.combine_chunks()
-    uids = cont.column("chunk_uid").to_pylist()
-    data = {
-        name: cont.column(name).to_pylist()
-        for name in ("column", "codec", "params", "payload", "n_values", "crc32", "plain_bytes")
-    }
-    by_chunk: dict[str, dict[str, list]] = {}
-    for i, uid in enumerate(uids):
-        rows = by_chunk.setdefault(uid, {k: [] for k in data})
-        for k in data:
-            rows[k].append(data[k][i])
-    for rows in by_chunk.values():
-        yield _decode_chunk(rows)
+    if cont.num_rows == 0:
+        return
+    # rows of one chunk_uid are not guaranteed contiguous here (object-
+    # store shuffle variant concatenates arbitrary chunk rows): group by
+    # code, then take() each chunk's rows — copies bounded by chunk size
+    codes = cont.column("chunk_uid").combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(sorted_codes)) + 1, [len(sorted_codes)]))
+    for i, j in zip(bounds[:-1], bounds[1:]):
+        sub = cont.take(pa.array(order[i:j]))
+        yield _decode_chunk({k: sub.column(k).to_pylist() for k in _CHUNK_COLS})
 
 
 def decode_container_table(cont: pa.Table) -> pa.Table:
@@ -77,8 +102,40 @@ def decode_container_table(cont: pa.Table) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
+def iter_partition_chunks(container_path: str):
+    """Stream-decode a container file ROW GROUP by row group — the
+    writer emits one row group per chunk, so peak transient memory is
+    one chunk's payloads + its decoded rows, not the whole container.
+    A chunk spanning row groups (containers written before the
+    one-rg-per-chunk layout) is carried over and decoded whole."""
+    pf = pq.ParquetFile(container_path)
+    n_rg = pf.metadata.num_row_groups
+    pending: pa.Table | None = None
+    for rg in range(n_rg):
+        t = pf.read_row_group(rg)
+        if pending is not None:
+            t = pa.concat_tables([pending, t])
+            pending = None
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            continue
+        codes = t.column("chunk_uid").combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]))
+        if rg < n_rg - 1:
+            # the last uid in this row group may continue in the next
+            pending = t.slice(int(bounds[-2]))
+            t = t.slice(0, int(bounds[-2]))
+            bounds = bounds[:-1]
+        for i, j in zip(bounds[:-1], bounds[1:]):
+            sub = t.slice(int(i), int(j - i))
+            yield _decode_chunk({k: sub.column(k).to_pylist() for k in _CHUNK_COLS})
+
+
 def read_partition(container_path: str) -> pa.Table:
-    return decode_container_table(pq.read_table(container_path))
+    parts = list(iter_partition_chunks(container_path))
+    if not parts:
+        return pa.Table.from_pydict({k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA)
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def decode_dataset(out_dir: str):
@@ -90,12 +147,13 @@ def decode_dataset(out_dir: str):
     dirs = JobDirs(out_dir)
     paths = [dirs.container_path(p) for p in sorted(completed_partitions(out_dir))]
 
-    def decode(batch: pa.Table) -> pa.Table:
-        # one task per container file: a chunk's column rows never split
-        out = [read_partition(p) for p in batch.column("path").to_pylist()]
-        return pa.concat_tables(out) if out else pa.Table.from_pydict(
-            {k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA
-        )
+    def decode(batch: pa.Table):
+        # one task per container file; GENERATOR udf — each encoded
+        # chunk is yielded as its own output batch, so the task's peak
+        # memory is one chunk, not the whole partition (streamed row
+        # groups via iter_partition_chunks)
+        for p in batch.column("path").to_pylist():
+            yield from iter_partition_chunks(p)
 
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         decode, batch_format="pyarrow", batch_size=1

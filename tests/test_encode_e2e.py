@@ -223,3 +223,96 @@ def test_side_columns_roundtrip(ray_session, out_dir):
     assert (dec["crawled_at"] == orig["crawled_at"]).all()
     assert (dec["blob"] == orig["blob"]).all()
     assert dec["tokens"].map(list).equals(orig["tokens"].map(list))
+
+
+def test_list_side_column_roundtrip(ray_session, tmp_path):
+    """Round-2 verdict gap #1: a list<float32> side column (embedding)
+    rides the container bit-identically — flat values encoded ONCE as
+    <name>@values plus a <name>@lens column, offsets re-derived on
+    decode (nulls and empty lists included)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
+    from fileconvert_ray.sources.tokseq import synth_rows
+    from fileconvert_ray.stages.decoder import decode_dataset
+    from fileconvert_ray.pipelines.verify_job import run_verify
+
+    base = synth_rows(0, 300)
+    rng = np.random.default_rng(3)
+    embs = [rng.standard_normal(rng.integers(1, 9)).astype(np.float32) for _ in range(298)]
+    embs = [None, np.zeros(0, np.float32)] + embs  # null row + empty list
+    emb = pa.array(
+        [e if e is None else e.tolist() for e in embs], type=pa.list_(pa.float32())
+    )
+    t = base.append_column("embedding", emb)
+    grams = pa.array(
+        [rng.integers(0, 2**40, rng.integers(0, 6)).tolist() for _ in range(300)],
+        type=pa.list_(pa.int64()),
+    )
+    t = t.append_column("ngrams", grams)
+    out = str(tmp_path / "sidecol")
+    factory = lambda: rd.from_arrow(t)
+    m = run_encode(factory, EncodeConfig(out_dir=out, target_partition_tokens=4_000)).to_pandas()
+    assert m["n_rows"].sum() == 300
+    decoded = (
+        pa.concat_tables(
+            decode_dataset(out).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        .combine_chunks()
+        .sort_by("doc_id")
+    )
+    orig = t.sort_by("doc_id")
+    assert decoded.num_rows == 300
+    for col in ("embedding", "ngrams"):
+        got = decoded.column(col).combine_chunks()
+        exp = orig.column(col).combine_chunks()
+        assert got.type == exp.type
+        assert got.equals(exp), f"{col} list column not bit-identical"
+    # core-column verify still green with the side column present
+    v = run_verify(factory, out, mode="hash").to_pandas()
+    assert v["ok"].all()
+
+
+def test_partition_decode_streams_row_groups(tmp_path, monkeypatch):
+    """Round-2 verdict #10: containers are written one row group per
+    chunk and iter_partition_chunks streams them — consuming the first
+    decoded chunk must not read later row groups (and therefore never
+    materializes every payload at once)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from fileconvert_ray.sources.tokseq import synth_rows
+    from fileconvert_ray.stages.decoder import iter_partition_chunks, read_partition
+    from fileconvert_ray.stages.encoder import PartitionWriter
+
+    rows = synth_rows(0, 2_000)
+    writer = PartitionWriter(str(tmp_path / "out"), compact_chunk_tokens=20_000)
+    writer.finalize_raw(rows, "p0", "s0")
+    path = writer.dirs.container_path("p0")
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    assert n_rg >= 4, f"expected multi-chunk container, got {n_rg} row groups"
+
+    reads: list[int] = []
+    orig = pq.ParquetFile.read_row_group
+
+    def spy(self, rg, *a, **kw):
+        reads.append(rg)
+        return orig(self, rg, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_group", spy)
+    it = iter_partition_chunks(path)
+    first = next(it)
+    assert first.num_rows > 0
+    # first chunk needs at most the first two row groups (the carryover
+    # rule holds back the last uid of each group until the next is seen)
+    assert len(reads) <= 2, f"read {reads} row groups for the first chunk"
+    rest = list(it)
+    assert sorted(reads) == list(range(n_rg))
+    # stream output equals the whole-table read
+    whole = read_partition(path).sort_by("doc_id")
+    streamed = pa.concat_tables([first] + rest).combine_chunks().sort_by("doc_id")
+    assert streamed.equals(whole)
+    assert whole.num_rows == 2_000
