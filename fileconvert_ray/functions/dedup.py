@@ -273,14 +273,21 @@ def _star_pairs(ids: np.ndarray, inv: np.ndarray):
 
 
 def _candidate_pairs(group: pa.Table, est_threshold: float, num_perm: int,
-                     tile: int = 1024) -> pa.Table:
+                     tile: int = 1024, collapse_identical: bool = True) -> pa.Table:
     """Within one band bucket: pairs whose signature agreement >= threshold.
 
     Fully vectorized (round-2 verdict #3): identical signatures collapse
     into a star around the smallest id (est 1.0 — they agree on every
     permutation), and only the DISTINCT signatures are compared
     all-pairs, in numpy tiles of ``tile`` x ``tile`` so peak memory is
-    bounded regardless of bucket size.  No per-row Python loop."""
+    bounded regardless of bucket size.  No per-row Python loop.
+
+    The star spans the same connected component as the clique, so
+    dedup survivors are unchanged; pass ``collapse_identical=False``
+    when the full pairwise set is the answer itself (the precision
+    oracle q_minhash_verified_pairs — there the quadratic output IS the
+    exact predicate's output, and mass duplicates were already removed
+    by the exact-text canon step)."""
     n = group.num_rows
     if n <= 1:
         return pa.Table.from_pydict({"a": [], "b": [], "est_jaccard": []},
@@ -295,13 +302,18 @@ def _candidate_pairs(group: pa.Table, est_threshold: float, num_perm: int,
     if n <= 1:
         return pa.Table.from_pydict({"a": [], "b": [], "est_jaccard": []},
                                     schema=_PAIR_EMPTY_MINHASH)
-    _, first, inv = np.unique(sigs, axis=0, return_index=True, return_inverse=True)
+    if collapse_identical:
+        _, inv = np.unique(sigs, axis=0, return_inverse=True)
+        inv = inv.ravel()
+    else:
+        inv = np.arange(n)  # every row its own cluster: full pairwise
     out_a, out_b, out_s = [], [], []
-    star_a, star_b, rep_idx = _star_pairs(ids, inv.ravel())
+    star_a, star_b, rep_idx = _star_pairs(ids, inv)
     if len(star_a):
         out_a.append(star_a)
         out_b.append(star_b)
         out_s.append(np.ones(len(star_a)))
+    rep_idx = np.sort(rep_idx)  # reps in id order -> emitted pairs a < b
     rids = ids[rep_idx]
     rsig = sigs[rep_idx]
     m = len(rep_idx)
@@ -445,11 +457,20 @@ def _dedup_pair_stream(pairs_ds):
     only already-unique pairs ever reach the driver (round-2 verdict #3
     replaced the driver-side pandas drop_duplicates)."""
 
+    def col_hash(col, seed: int) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return hash_strings_u64(col, seed=seed)
+        v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return splitmix64(v + np.uint64(seed))
+
     def add_key(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("_pk", pa.array([], type=pa.int64()))
-        ha = hash_strings_u64(t.column("a"))
-        hb = hash_strings_u64(t.column("b"), seed=7)
+        ha = col_hash(t.column("a"), 0)
+        hb = col_hash(t.column("b"), 7)
         with np.errstate(over="ignore"):
             k = splitmix64(ha * np.uint64(3) ^ hb)
         return t.append_column("_pk", pa.array(k.view(np.int64)))
@@ -622,6 +643,7 @@ def _simhash_pairs(group: pa.Table, h_max: int, tile: int = 1024) -> pa.Table:
         out_a.append(star_a)
         out_b.append(star_b)
         out_d.append(np.zeros(len(star_a), dtype=np.int64))
+    rep_idx = np.sort(rep_idx)  # reps in id order -> emitted pairs a < b
     rids = ids[rep_idx]
     rhs = hs[rep_idx]
     m = len(rep_idx)

@@ -253,23 +253,47 @@ def build_ivf_probes(query_m: np.ndarray, centroids: np.ndarray, nprobe: int) ->
 
 
 class LshBucketer:
-    """Random-hyperplane signature -> bucket key (actor: planes built once)."""
+    """Random-hyperplane signature -> bucket key(s) (actor: planes built
+    once).  With ``bands`` > 1 each vector lands in one bucket PER band
+    (``planes`` bits each, band index packed into the key's high bits),
+    so a pair is a candidate if ANY band agrees — the standard
+    amplification that makes recall tunable to ~1 at a given cosine
+    threshold: P(miss) = (1 - p^planes)^bands with p = 1 - theta/pi."""
 
-    def __init__(self, dim: int, planes: int = 12, seed: int = 3):
+    def __init__(self, dim: int, planes: int = 12, seed: int = 3, bands: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, planes))
+        self.planes = rng.standard_normal((dim, bands * planes))
+        self.r = planes
+        self.bands = bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, "embedding"))
-        bits = (m @ self.planes) > 0
-        key = np.zeros(len(m), dtype=np.int64)
-        for j in range(bits.shape[1]):
-            key |= bits[:, j].astype(np.int64) << j
-        return batch.append_column("bucket", pa.array(key))
+        bits = (m @ self.planes) > 0  # (n, bands*r)
+        n = len(m)
+        keys = np.zeros((self.bands, n), dtype=np.int64)
+        for b in range(self.bands):
+            key = np.full(n, b << self.r, dtype=np.int64)
+            for j in range(self.r):
+                key |= bits[:, b * self.r + j].astype(np.int64) << j
+            keys[b] = key
+        if self.bands == 1:
+            return batch.append_column("bucket", pa.array(keys[0]))
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), self.bands))
+        out = batch.take(idx)
+        return out.append_column("bucket", pa.array(keys.ravel()))
 
 
-def lsh_dup_pairs(ds, dim: int, threshold: float = 0.95, planes: int = 12, seed: int = 3):
-    """Approximate near-dup pairs: same-bucket pairwise only (scale path)."""
+def lsh_dup_pairs(ds, dim: int, threshold: float = 0.95, planes: int = 12, seed: int = 3,
+                  bands: int = 1):
+    """Near-dup pairs via hyperplane LSH: same-bucket pairwise only.
+
+    Every emitted pair carries its EXACT cosine (computed inside the
+    bucket), so the output is a SUBSET of the exact all-pairs predicate
+    ``cosine >= threshold``; with ``bands`` sized so the per-pair miss
+    probability is negligible at the threshold, it EQUALS the exact set
+    — which is what the DuckDB oracle checks (round-3: upgraded from
+    rows-only).  Pairs found by several bands are deduped with a Ray
+    groupby (no driver pandas)."""
 
     def pairwise(group: pa.Table) -> pa.Table:
         if group.num_rows < 2:
@@ -289,11 +313,17 @@ def lsh_dup_pairs(ds, dim: int, threshold: float = 0.95, planes: int = 12, seed:
              "score": pa.array(s[iu, ju][mask], type=pa.float64())}
         )
 
-    return (
+    pairs = (
         ds.map_batches(
-            LshBucketer, fn_constructor_kwargs=dict(dim=dim, planes=planes, seed=seed),
+            LshBucketer,
+            fn_constructor_kwargs=dict(dim=dim, planes=planes, seed=seed, bands=bands),
             batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
         )
         .groupby("bucket")
         .map_groups(pairwise, batch_format="pyarrow")
     )
+    if bands > 1:
+        from .dedup import _dedup_pair_stream
+
+        pairs = _dedup_pair_stream(pairs)
+    return pairs

@@ -107,28 +107,43 @@ _LANG_PROFILES = {
 
 
 class LangId:
-    """Char-frequency cosine against per-language profiles — actor state."""
+    """Weighted char-count argmax against per-language profiles.
+
+    Equivalent to the char-frequency cosine (the per-doc norm is shared
+    by every language and the five profile weight vectors 12..1 have
+    equal norms, so both cancel out of the argmax) but INTEGER-exact —
+    float rounding can no longer flip exact ties, which makes the
+    prediction SQL-expressible (queries.py::_lang_id_oracle_sql is the
+    DuckDB oracle).  Fully vectorized: one 256xL weight-table gather
+    over the flat utf-8 buffer + np.add.reduceat per doc — no per-row
+    Python (round-3)."""
 
     def __init__(self):
         self.langs = sorted(_LANG_PROFILES)
-        prof = np.zeros((len(self.langs), 256))
+        W = np.zeros((256, len(self.langs)), dtype=np.int64)
         for i, lang in enumerate(self.langs):
             chars = _LANG_PROFILES[lang]
             for rank, ch in enumerate(chars):
-                prof[i, ord(ch)] = len(chars) - rank
-        norm = np.linalg.norm(prof, axis=1, keepdims=True)
-        self.profiles = prof / np.where(norm == 0, 1, norm)
+                W[ord(ch), i] = len(chars) - rank
+        self.W = W
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        freq = np.zeros((len(texts), 256))
-        for i, t in enumerate(texts):
-            b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-            if len(b):
-                freq[i] = np.bincount(b, minlength=256)
-        norm = np.linalg.norm(freq, axis=1, keepdims=True)
-        freq = freq / np.where(norm == 0, 1, norm)
-        scores = freq @ self.profiles.T
+        from ..util.hashing import _string_parts
+
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        off, buf = _string_parts(texts)
+        lens = np.diff(off)
+        n = len(lens)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if n and off[-1] > off[0]:
+            per_byte = self.W[buf[off[0] : off[-1]]]
+            starts = off[:-1] - off[0]
+            ne = lens > 0  # reduceat only at non-empty starts (empty
+            # docs add no bytes; clamping would truncate the previous
+            # doc's segment — same discipline as MinHasher.signatures)
+            scores[ne] = np.add.reduceat(per_byte, starts[ne], axis=0)
         pred = [self.langs[j] for j in np.argmax(scores, axis=1)]
         return pa.Table.from_arrays(
             [pc.cast(batch.column("doc_id"), pa.string()), pa.array(pred, type=pa.string())],

@@ -617,3 +617,37 @@ def test_minhash_hot_bucket_mass_duplicate(ray_session):
     # star collapse: the 1k-clique contributes 999 edges, not ~500k
     assert len(pairs) < 5_000
     assert wall < 60, f"hot-bucket minhash took {wall:.1f}s"
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    """hash_join (large x large co-partitioned equi-join) == pandas inner
+    merge: duplicate keys on both sides (cross product within key),
+    string keys, null keys dropped."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    lk = [f"k{int(x):03d}" for x in rng.integers(0, 150, 4_000)]
+    lk[5] = None
+    left = pa.table({"lkey": pa.array(lk, type=pa.string()),
+                     "lval": np.arange(4_000)})
+    rk = [f"k{int(x):03d}" for x in rng.integers(0, 150, 1_200)]
+    rk[7] = None
+    right = pa.table({"rkey": pa.array(rk, type=pa.string()),
+                      "rval": np.arange(1_200) * 10})
+    out = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_on="lkey", right_on="rkey", right_cols=["rval"], n_buckets=8,
+    ).to_pandas()
+    exp = (
+        left.to_pandas().dropna(subset=["lkey"])
+        .merge(right.to_pandas().dropna(subset=["rkey"]),
+               left_on="lkey", right_on="rkey")
+        .rename(columns={"rval": "r_rval"})[["lkey", "lval", "r_rval"]]
+    )
+    got = out.sort_values(["lkey", "lval", "r_rval"], ignore_index=True)
+    exp = exp.sort_values(["lkey", "lval", "r_rval"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
