@@ -237,12 +237,14 @@ class RunRans:
         if len(sample) == 0:
             return 0.0
         _, rlens, keep = self._runesc._find_runs(sample, self._runesc.MINRUN)
-        return self._rans.estimate(sample[keep]) + 6.0 * len(rlens) + 24.0
+        resid = sample if keep is None else sample[keep]
+        return self._rans.estimate(resid) + 6.0 * len(rlens) + 24.0
 
     def encode(self, values: np.ndarray):
         v = np.ascontiguousarray(values).astype(np.int64, copy=False)
         rstarts, rlens, keep = self._runesc._find_runs(v, self._runesc.MINRUN)
-        resid = v[keep]
+        from .intcodecs import gather_gaps
+        resid = v if keep is None else gather_gaps(v, rstarts, rlens, keep)
         pr, br = self._rans.encode(resid)
         pp, bp = self._esc.encode(np.diff(np.concatenate(([0], rstarts))))
         pl, bl = self._esc.encode(rlens.astype(np.int64))
@@ -271,6 +273,7 @@ class RunRans:
         offs = np.repeat(np.cumsum(rlens) - rlens, rlens)
         run_idx = np.arange(total_run, dtype=np.int64) - offs + np.repeat(rstarts, rlens)
         keep[run_idx] = False
-        out[~keep] = np.repeat(rvals, rlens)
-        out[keep] = resid
+        out[run_idx] = np.repeat(rvals, rlens)
+        from .intcodecs import scatter_gaps
+        scatter_gaps(out, resid, rstarts, rlens, keep)
         return out

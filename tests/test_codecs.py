@@ -240,3 +240,54 @@ def test_rans_roundtrip_extreme_shapes():
     for v in cases:
         p, b = r.encode(v)
         np.testing.assert_array_equal(r.decode(p, b, len(v)), v)
+
+
+def test_find_runs_matches_naive():
+    """The sliding-window long-run detector (round-3 DRAM-traffic fix)
+    equals the all-runs enumeration for every boundary case."""
+    from fileconvert_ray.codecs.intcodecs import RunEsc
+
+    def naive(v, minrun):
+        n = len(v)
+        change = np.flatnonzero(v[1:] != v[:-1])
+        starts = np.concatenate(([0], change + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        is_long = lens >= minrun
+        return starts[is_long], lens[is_long]
+
+    rng = np.random.default_rng(1)
+    cases = [rng.integers(0, 4, rng.integers(0, 300)).astype(np.int32) for _ in range(300)]
+    cases += [
+        np.full(50, 3, np.int32),                                    # one giant run
+        np.concatenate([np.arange(20), np.full(8, 5)]).astype(np.int32),   # run at end
+        np.concatenate([np.full(8, 5), np.arange(20)]).astype(np.int32),   # run at start
+        np.full(8, 1, np.int32),                                     # exactly minrun
+        np.full(7, 1, np.int32),                                     # one short of minrun
+        np.zeros(0, np.int32),
+    ]
+    for v in cases:
+        s1, l1, keep = RunEsc._find_runs(v, 8)
+        s2, l2 = naive(v, 8)
+        assert np.array_equal(s1, s2) and np.array_equal(l1, l2)
+        if keep is None:
+            assert len(s2) == 0
+        else:
+            kn = np.ones(len(v), bool)
+            for s, l in zip(s2, l2):
+                kn[s : s + l] = False
+            assert np.array_equal(keep, kn)
+
+
+def test_gather_scatter_gaps_roundtrip():
+    from fileconvert_ray.codecs.intcodecs import RunEsc, gather_gaps, scatter_gaps
+
+    rng = np.random.default_rng(2)
+    v = rng.integers(0, 6, 5000).astype(np.int32)
+    v[100:140] = 3
+    v[4000:4900] = 1
+    rstarts, rlens, keep = RunEsc._find_runs(v, 8)
+    resid = gather_gaps(v, rstarts, rlens, keep)
+    assert np.array_equal(resid, v[keep])
+    out = np.zeros(len(v), dtype=v.dtype)
+    scatter_gaps(out, resid, rstarts, rlens, keep)
+    assert np.array_equal(out[keep], v[keep])
