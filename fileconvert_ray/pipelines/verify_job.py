@@ -41,12 +41,18 @@ def _row_hashes_block(t: pa.Table) -> np.ndarray:
         h ^= splitmix64(hash_strings_u64(t.column("source"), seed=2) + _GOLD)
         n_tok = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
         h ^= splitmix64(n_tok.astype(np.uint64) * _GOLD2)
-        flat = flat_tokens(t).to_numpy(zero_copy_only=False).astype(np.int64)
-        starts = np.concatenate(([0], np.cumsum(n_tok)))
-        pos = np.arange(len(flat), dtype=np.uint64) - np.repeat(
-            starts[:-1].astype(np.uint64), n_tok
+        # single int32 -> uint64 conversion (C sign-extension, value-identical
+        # to the former int64 detour) and in-place pos math: one fewer full
+        # 8B/token copy + two fewer temporaries in the per-token path
+        flat = flat_tokens(t).to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False
         )
-        th = splitmix64(flat.astype(np.uint64) * _GOLD + pos * _GOLD2)
+        starts = np.concatenate(([0], np.cumsum(n_tok)))
+        pos = np.arange(len(flat), dtype=np.uint64)
+        pos -= np.repeat(starts[:-1].astype(np.uint64), n_tok)
+        pos *= _GOLD2
+        pos += flat * _GOLD
+        th = splitmix64(pos)
         seg = np.zeros(t.num_rows, dtype=np.uint64)
         nonempty = n_tok > 0
         if nonempty.any():
