@@ -99,6 +99,149 @@ def q_token_histogram(sf_dir: str):
     )
 
 
+def q_token_bigrams(sf_dir: str):
+    """Corpus bigram table: ordered adjacent token pairs within a doc.
+
+    Per batch: flatten the token lists once, pack each adjacent pair
+    into a single int64 key (t1 << 32 | t2), drop the pairs that
+    straddle a row boundary, and partial-count with one ``np.unique``
+    — the shuffle then moves O(distinct bigrams) rows per batch
+    (bounded by vocab², tiny), never O(tokens).  The n-gram LM-stats
+    shape for a training pipeline: same code handles any n by packing
+    more positions per key.
+    """
+    ds = tokseq_dataset(sf_dir)
+    return _sum_groupby(
+        ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t1", "t2"],
+        ["cnt"],
+    )
+
+
+def bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (t1, t2, cnt) bigram counts over a tokseq batch."""
+    col = batch.column("tokens")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.Table.from_pydict(
+        {
+            "t1": pa.array([], type=pa.int64()),
+            "t2": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(flat) < 2:
+        return empty
+    n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+    ends = np.cumsum(n_tok)
+    key = flat[:-1] << np.int64(32) | flat[1:]
+    # pair i straddles a row boundary when i+1 is a row start
+    mask = np.ones(len(key), dtype=bool)
+    # empty rows repeat the previous end (and can put 0 at the
+    # front); clip to real pair indices before masking
+    row_ends = ends[:-1]
+    row_ends = row_ends[(row_ends > 0) & (row_ends < len(flat))]
+    mask[row_ends - 1] = False
+    key = key[mask]
+    if len(key) == 0:
+        return empty
+    uniq, cnt = np.unique(key, return_counts=True)
+    return pa.Table.from_pydict(
+        {
+            "t1": pa.array(uniq >> np.int64(32)),
+            "t2": pa.array(uniq & np.int64(0xFFFFFFFF)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def q_token_idf(sf_dir: str):
+    """Document frequency + IDF per token (TF-IDF's corpus-wide half).
+
+    Per batch: one np.unique over (row << 32 | token) keys gives each
+    doc's distinct tokens — rows never straddle batches, so summing
+    the per-batch counts with a tiny groupby yields exact df without
+    shuffling (doc, token) pairs.  N comes from parquet metadata (no
+    extra pass).  idf = round(ln(N/df), 6) in float64 on both sides.
+    """
+    ds = tokseq_dataset(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        uniq = np.unique(row << np.int64(32) | flat)
+        tok, df = np.unique(uniq & np.int64(0xFFFFFFFF), return_counts=True)
+        return pa.Table.from_pydict(
+            {"token": pa.array(tok), "df": pa.array(df.astype(np.int64))}
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"],
+        ["df"],
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)  # O(vocab) rows
+    idf = np.round(np.log(float(n_docs) / t.column("df").to_numpy().astype(np.float64)), 6)
+    return t.append_column("idf", pa.array(idf, type=pa.float64()))
+
+
+DOC_LEN_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact per-source quantiles of doc length without a global sort.
+
+    Distinct document lengths are bounded (a few thousand values no
+    matter the corpus size), so the scale-correct plan is a bounded
+    histogram: per-batch (source, n_chars) counts, a groupby-sum that
+    moves O(sources × distinct lengths) rows, then a driver-side
+    cumsum over that tiny table to read off percentile_disc values
+    (sorted[ceil(q·n)-1], DuckDB's discrete-percentile rule).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.Table.from_pydict(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "n_chars"], ["cnt"]
+    ).to_pandas()  # O(sources × distinct lengths) rows
+    rows: dict[str, list] = {"source": []}
+    qnames = [f"p{int(q * 100)}" for q in DOC_LEN_QUANTILES]
+    for name in qnames:
+        rows[name] = []
+    for source, grp in hist.groupby("source", sort=True):
+        grp = grp.sort_values("n_chars")
+        vals = grp["n_chars"].to_numpy()
+        cum = grp["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        rows["source"].append(source)
+        for q, name in zip(DOC_LEN_QUANTILES, qnames):
+            rank = int(np.ceil(q * n))
+            rows[name].append(int(vals[np.searchsorted(cum, max(rank, 1))]))
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(rows["source"], type=pa.string()),
+            **{name: pa.array(rows[name], type=pa.int64()) for name in qnames},
+        }
+    )
+
+
 def q_distinct_sources(sf_dir: str):
     ds = tokseq_dataset(sf_dir)
     vals = sorted(ds.unique("source"))
@@ -255,6 +398,56 @@ def q_seeded_sample(sf_dir: str):
         ids = pc.cast(batch.column("doc_id"), pa.string())
         keep = pa.array(
             [hashlib.md5(s.encode()).hexdigest()[:2] < SAMPLE_HEX for s in ids.to_pylist()]
+        )
+        return pa.Table.from_arrays(
+            [ids.filter(keep), batch.column("source").filter(keep)],
+            names=["doc_id", "source"],
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STRATA_TARGET = 100  # docs per source stratum
+
+
+def q_stratified_sample(sf_dir: str):
+    """Equalized per-source sample: every stratum keeps ~STRATA_TARGET
+    docs regardless of its size.  Pass 1 counts docs per source (tiny
+    groupby, O(sources) rows to the driver); pass 2 filters on a
+    content-hash threshold derived from each stratum's rate, so the
+    sample is deterministic, reproducible across cluster sizes, and
+    SQL-expressible.  The rate→threshold map is pure integer math
+    (floor(rate·16⁶) as a 6-hex-digit cut) — identical on both sides.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("source"), pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["source", "n"],
+        )
+
+    counts = _sum_groupby(ds.map_batches(ones, batch_format="pyarrow"), ["source"], ["n"]).to_pandas()
+    # cap at 0xffffff so the cut stays a 6-hex-digit string and the
+    # lexicographic compare is well-defined (a ≤-target stratum keeps
+    # everything except a 1-in-16.7M md5 prefix, same rule in SQL)
+    cuts = {
+        s: format(min((STRATA_TARGET * 16**6) // max(int(n), 1), 16**6 - 1), "06x")
+        for s, n in zip(counts["source"], counts["n"])
+    }
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        srcs = batch.column("source").to_pylist()
+        keep = pa.array(
+            [
+                hashlib.md5(s.encode()).hexdigest()[:6] < cuts[src]
+                for s, src in zip(ids.to_pylist(), srcs)
+            ]
         )
         return pa.Table.from_arrays(
             [ids.filter(keep), batch.column("source").filter(keep)],
@@ -849,6 +1042,10 @@ def q_encode_metrics(sf_dir: str):
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
+    "token_bigrams": q_token_bigrams,
+    "doc_len_quantiles": q_doc_len_quantiles,
+    "stratified_sample": q_stratified_sample,
+    "token_idf": q_token_idf,
     "distinct_sources": q_distinct_sources,
     "top_docs_by_len": q_top_docs_by_len,
     "dedup_text_stats": q_dedup_text_stats,
@@ -905,6 +1102,34 @@ ORACLE_SQL = {
     + """,
     c as (select word, cast(count(*) as bigint) as cnt from w group by word)
     select cast(v.token as bigint) as token, c.cnt as cnt from v join c using (word)
+    """,
+    "token_bigrams": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    p as (select w1, lead(w1) over (partition by doc_id order by i) as w2 from u),
+    c as (select w1, w2, cast(count(*) as bigint) as cnt from p
+          where w2 is not null group by w1, w2)
+    select cast(v1.token as bigint) as t1, cast(v2.token as bigint) as t2, c.cnt as cnt
+    from c join v v1 on c.w1 = v1.word join v v2 on c.w2 = v2.word
+    """,
+    "token_idf": _VOCAB_CTE
+    + """,
+    w2 as (select distinct doc_id, word
+           from (select doc_id, unnest(string_split(text, ' ')) as word from documents)),
+    df as (select word, cast(count(*) as bigint) as df from w2 group by word),
+    n as (select cast(count(*) as double) as n from documents)
+    select cast(v.token as bigint) as token, df.df as df, round(ln(n.n / df.df), 6) as idf
+    from v join df using (word), n
+    """,
+    "doc_len_quantiles": """
+    select source,
+           percentile_disc(0.25) within group (order by n_chars) as p25,
+           percentile_disc(0.50) within group (order by n_chars) as p50,
+           percentile_disc(0.75) within group (order by n_chars) as p75,
+           percentile_disc(0.90) within group (order by n_chars) as p90,
+           percentile_disc(0.99) within group (order by n_chars) as p99
+    from documents group by source
     """,
     "distinct_sources": "select distinct source from documents",
     "top_docs_by_len": """
@@ -970,6 +1195,15 @@ ORACLE_SQL = {
     "seeded_sample": f"""
         select cast(doc_id as varchar) as doc_id, source from documents
         where substr(md5(cast(doc_id as varchar)), 1, 2) < '{SAMPLE_HEX}'
+    """,
+    "stratified_sample": f"""
+        with c as (select source, count(*) as n from documents group by source),
+        t as (select source,
+                     printf('%06x', least((cast({STRATA_TARGET} as bigint) * 16777216) // n, 16777215)) as cut
+              from c)
+        select cast(d.doc_id as varchar) as doc_id, d.source
+        from documents d join t using (source)
+        where substr(md5(cast(d.doc_id as varchar)), 1, 6) < t.cut
     """,
     "orc_scan": """
         select cast(doc_id as varchar) as doc_id, source, n_chars from documents

@@ -651,3 +651,56 @@ def test_hash_join_matches_pandas_merge(ray_session):
     got = out.sort_values(["lkey", "lval", "r_rval"], ignore_index=True)
     exp = exp.sort_values(["lkey", "lval", "r_rval"], ignore_index=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_token_bigrams_boundary_masking(ray_session):
+    """Bigram partials must not pair tokens across row boundaries, and
+    empty rows (including leading ones, which put 0 into the cumsum
+    ends) must not clobber valid pairs."""
+    from fileconvert_ray.functions.queries import bigram_partial
+
+    batch = pa.table(
+        {
+            "tokens": pa.array(
+                [[], [1, 2, 3], [], [3, 1], [7], []], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([0, 3, 0, 2, 1, 0], type=pa.int32()),
+        }
+    )
+    t = bigram_partial(batch)
+    got = {
+        (a, b): c
+        for a, b, c in zip(
+            t.column("t1").to_pylist(), t.column("t2").to_pylist(), t.column("cnt").to_pylist()
+        )
+    }
+    # expected: (1,2), (2,3) from row 1; (3,1) from row 3; [7] makes none
+    assert got == {(1, 2): 1, (2, 3): 1, (3, 1): 1}
+
+    # single-row and empty-batch degenerate shapes
+    assert bigram_partial(batch.slice(0, 1)).num_rows == 0
+    assert bigram_partial(batch.slice(4, 1)).num_rows == 0
+
+
+def test_doc_len_quantiles_rank_rule(ray_session, sf_dir):
+    """percentile_disc parity: sorted[ceil(q*n)-1] per source."""
+    import duckdb
+
+    import pandas as pd
+
+    from fileconvert_ray.functions.queries import QUERIES
+
+    t = QUERIES["doc_len_quantiles"](sf_dir)
+    got = t.to_pandas().sort_values("source", ignore_index=True)
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""select source,
+            percentile_disc(0.25) within group (order by n_chars) as p25,
+            percentile_disc(0.50) within group (order by n_chars) as p50,
+            percentile_disc(0.75) within group (order by n_chars) as p75,
+            percentile_disc(0.90) within group (order by n_chars) as p90,
+            percentile_disc(0.99) within group (order by n_chars) as p99
+            from read_parquet('{sf_dir}/documents.parquet')
+            group by source order by source"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
