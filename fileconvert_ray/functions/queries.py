@@ -571,6 +571,29 @@ def q_approx_distinct_docs(sf_dir: str):
     return hll_distinct_by(ds, "source", "doc_id", p=14)
 
 
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Misra-Gries frequent-tokens sketch (k=8 < vocab, so eviction
+    really happens).  Rows-only check (the sketch is approximate); the
+    [lb, ub] guarantee and merge behavior are pinned by
+    tests/test_functions.py::test_mg_heavy_hitters_guarantees.  The
+    shuffle moves O(k x batches) rows regardless of corpus size."""
+    from .sketches import mg_heavy_hitters
+
+    ds = tokseq_dataset(sf_dir)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.Table.from_pydict({"token": col.flatten()})
+
+    return mg_heavy_hitters(
+        ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True),
+        "token",
+        k=8,
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization: per user, a new session starts when
     the gap since the previous event exceeds 30 minutes; returns one
@@ -1046,6 +1069,7 @@ QUERIES = {
     "doc_len_quantiles": q_doc_len_quantiles,
     "stratified_sample": q_stratified_sample,
     "token_idf": q_token_idf,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "distinct_sources": q_distinct_sources,
     "top_docs_by_len": q_top_docs_by_len,
     "dedup_text_stats": q_dedup_text_stats,

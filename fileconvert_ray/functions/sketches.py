@@ -107,3 +107,82 @@ def hll_distinct_by(ds, group_col: str, value_col: str, p: int = 14):
         .groupby(group_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------ Misra-Gries / frequent items
+
+_MG_DEC_SENTINEL = np.int64(-1)
+
+
+def _mg_compress(items: np.ndarray, cnts: np.ndarray, k: int):
+    """Reduce a counter set to <= k entries by subtracting the (k+1)-th
+    largest count from every counter and dropping the non-positive ones
+    (Agarwal et al., "Mergeable Summaries", PODS 2012).  Returns
+    (items, cnts, subtracted) — `subtracted` adds to the sketch's
+    one-sided error bound."""
+    if len(items) <= k:
+        return items, cnts, 0
+    kth = np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1]
+    keep = cnts > kth
+    return items[keep], cnts[keep] - kth, int(kth)
+
+
+def mg_heavy_hitters(ds, value_col: str, k: int = 64):
+    """Frequent-items sketch over an int column, the mergeable way.
+
+    Each batch exact-counts its values with one np.unique, compresses
+    to <= k counters, and emits them as (item, cnt) rows plus one
+    sentinel row carrying the subtracted mass.  A groupby-sum then
+    moves O(k x batches) rows — never O(rows) — and a final compress
+    over that small union yields the sketch.  (On a multi-node run the
+    groupby-sum IS the tree merge; the final table is <= k*batches
+    rows, bounded and tiny.)
+
+    Returns a pyarrow Table (token, lb, ub) sorted by lb desc, token
+    asc: true_count is guaranteed within [lb, ub], and every item with
+    true_count > total_subtracted appears.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = pc.cast(vals, pa.int64()).to_numpy(zero_copy_only=False)
+        if len(v) and v.min() < 0:
+            raise ValueError("mg_heavy_hitters requires non-negative items "
+                             "(-1 is the decrement-mass sentinel)")
+        items, cnts = np.unique(v, return_counts=True)
+        items, cnts, dec = _mg_compress(items, cnts.astype(np.int64), k)
+        return pa.Table.from_pydict(
+            {
+                "item": pa.array(
+                    np.concatenate((items, [_MG_DEC_SENTINEL])), type=pa.int64()
+                ),
+                "cnt": pa.array(
+                    np.concatenate((cnts, [np.int64(dec)])), type=pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("item")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(k x batches) rows by construction
+    )
+    sent = merged["item"] == int(_MG_DEC_SENTINEL)
+    dec_total = int(merged.loc[sent, "cnt"].sum())
+    items = merged.loc[~sent, "item"].to_numpy(dtype=np.int64)
+    cnts = merged.loc[~sent, "cnt"].to_numpy(dtype=np.int64)
+    items, cnts, dec = _mg_compress(items, cnts, k)
+    dec_total += dec
+    order = np.lexsort((items, -cnts))
+    return pa.Table.from_pydict(
+        {
+            "token": pa.array(items[order], type=pa.int64()),
+            "lb": pa.array(cnts[order], type=pa.int64()),
+            "ub": pa.array(cnts[order] + np.int64(dec_total), type=pa.int64()),
+        }
+    )

@@ -704,3 +704,41 @@ def test_doc_len_quantiles_rank_rule(ray_session, sf_dir):
             group by source order by source"""
     ).fetchdf()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_mg_heavy_hitters_guarantees(ray_session):
+    """Misra-Gries invariants under a skewed stream split into many
+    batches: every true count lies in [lb, lb + dec_total] == [lb, ub],
+    every item with true count > (ub - lb) is present in the sketch,
+    and the result is invariant to batch composition."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.sketches import mg_heavy_hitters
+
+    rng = np.random.default_rng(7)
+    vals = (rng.zipf(1.5, size=200_000) % 997).astype(np.int64)
+    true = {int(i): int(c) for i, c in zip(*np.unique(vals, return_counts=True))}
+
+    k = 16
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(pa.table({"token": vals})).repartition(nblocks)
+        t = mg_heavy_hitters(ds, "token", k=k).to_pandas()
+        assert len(t) <= k
+        err = int(t.ub.iloc[0] - t.lb.iloc[0]) if len(t) else 0
+        for _, row in t.iterrows():
+            tc = true[int(row.token)]
+            assert row.lb <= tc <= row.ub, (row.token, row.lb, tc, row.ub)
+        present = set(t.token.astype(int))
+        for item, tc in true.items():
+            if tc > err:
+                assert item in present, (item, tc, err)
+
+
+def test_mg_rejects_negative_items(ray_session):
+    import ray.data as rd
+
+    from fileconvert_ray.functions.sketches import mg_heavy_hitters
+
+    ds = rd.from_arrow(pa.table({"token": np.array([1, -5, 2], dtype=np.int64)}))
+    with pytest.raises(Exception):
+        mg_heavy_hitters(ds, "token", k=4)
