@@ -473,14 +473,15 @@ class DictInt:
         return len(sample) * w / 8.0 + self._for.estimate(uniq) + 16.0
 
     @staticmethod
-    def _unique_inverse(values: np.ndarray, index_dtype=np.int64):
+    def _unique_inverse(values: np.ndarray, index_dtype=np.int64, return_counts=False):
         """np.unique(return_inverse) but O(n + range) via bincount when
         the value range is small (the common case for token columns) —
         sort-based unique was the encode hot spot.  ``index_dtype``
         lets the caller get byte-width indices from a single gather
         (no extra astype pass — this box is memory-bandwidth-bound)."""
         if len(values) == 0:
-            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=index_dtype)
+            z = np.zeros(0, dtype=np.int64), np.zeros(0, dtype=index_dtype)
+            return (*z, np.zeros(0, dtype=np.int64)) if return_counts else z
         mn, mx = int(values.min()), int(values.max())
         rng = mx - mn + 1
         bound = max(1 << 22, 4 * len(values))
@@ -491,14 +492,20 @@ class DictInt:
                 present = counts > 0
                 code = (np.cumsum(present) - 1).astype(index_dtype)
                 uniq = np.flatnonzero(present)
+                if return_counts:
+                    return uniq.astype(np.int64), code[values], counts[present]
                 return uniq.astype(np.int64), code[values]
             shifted = values.astype(np.int64) - mn
             counts = np.bincount(shifted, minlength=rng)
             present = counts > 0
             code = (np.cumsum(present) - 1).astype(index_dtype)
             uniq = np.flatnonzero(present) + mn
+            if return_counts:
+                return uniq.astype(np.int64), code[shifted], counts[present]
             return uniq.astype(np.int64), code[shifted]
-        uniq, inv = np.unique(values, return_inverse=True)
+        uniq, inv, counts = np.unique(values, return_inverse=True, return_counts=True)
+        if return_counts:
+            return uniq.astype(np.int64), inv.astype(index_dtype, copy=False), counts
         return uniq.astype(np.int64), inv.astype(index_dtype, copy=False)
 
     def encode(self, values: np.ndarray):

@@ -102,7 +102,9 @@ class Rans:
         n = len(v)
         if n == 0:
             return {"n": 0, "D": 0}, b""
-        uniq, ids = DictInt._unique_inverse(v, index_dtype=np.int32)
+        uniq, ids, counts = DictInt._unique_inverse(
+            v, index_dtype=np.int32, return_counts=True
+        )
         D = len(uniq)
         # sorted uniq -> delta-code (diffs are overwhelmingly 1 for dense
         # id alphabets; RunEsc turns those runs into a few bytes)
@@ -112,7 +114,6 @@ class Rans:
         if D == 1:
             return {"n": n, "D": 1, "d": pd_, "dlen": len(bd)}, bd
         P = min(20, max(12, bit_width(D - 1) + 4))
-        counts = np.bincount(ids, minlength=D)
         freq = quantize_freqs(counts, P)
         cum = np.zeros(D, dtype=np.uint64)
         np.cumsum(freq[:-1], out=cum[1:])
@@ -129,36 +130,39 @@ class Rans:
         ids_pad[:n] = ids
 
         x = np.full(L, _STATE_MIN, dtype=np.uint64)
-        words = np.empty((m, L), dtype=np.uint32)
+        words = np.empty((m, L), dtype=np.uint64)  # full states; low 32 taken at assembly
         emitted = np.empty((m, L), dtype=bool)
         shift = np.uint64(64 - P)
         Pu = np.uint64(P)
+        five = np.uint64(5)
         with np.errstate(over="ignore"):
             for j in range(m - 1, -1, -1):
                 s = ids_pad[j * L : (j + 1) * L]
                 f = freq[s]
                 c = cum[s]
                 renorm = x >= (f << shift)
-                words[j] = x & _LOW32  # setitem narrows uint64 -> uint32
+                words[j] = x
                 emitted[j] = renorm
-                x = np.where(renorm, x >> _B32, x)
+                # branchless renorm: shift by 32*renorm in place (no
+                # np.where allocation on the hot path)
+                x >>= renorm.astype(np.uint64) << five
                 q, r = np.divmod(x, f)
                 x = (q << Pu) + r + c
-        # lane-major assembly: lane l's words at increasing j — exactly
-        # the order decode's per-lane pointer consumes them
-        stream = words.T[emitted.T]
-        lane_counts = emitted.T.sum(axis=1)
+        # step-major assembly: one contiguous boolean extraction gives
+        # blocks in ascending j, lanes ascending within a block — the
+        # exact order decode consumes with a single forward pointer
+        # (the per-lane-pointer layout needed a transpose copy here and
+        # a gather per decode step)
+        stream = (words[emitted] & _LOW32).astype(np.uint32)
         pf, freq_b = self._resc.encode(freq.astype(np.int64))
         states_b = x.tobytes()
-        cdt = "<u2" if m < (1 << 16) else "<u4"
-        counts_b = lane_counts.astype(np.dtype(cdt)).tobytes()
         stream_b = stream.tobytes()
         params = {
             "n": n, "D": D, "P": P, "L": L, "m": m,
-            "d": pd_, "dlen": len(bd), "f": pf, "cdt": cdt,
-            "sz": [len(freq_b), len(states_b), len(counts_b)],
+            "d": pd_, "dlen": len(bd), "f": pf,
+            "sz": [len(freq_b), len(states_b)],
         }
-        return params, bd + freq_b + states_b + counts_b + stream_b
+        return params, bd + freq_b + states_b + stream_b
 
     def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
         if params.get("n", 0) == 0 or n == 0:
@@ -168,16 +172,12 @@ class Rans:
         if D == 1:
             return np.full(n, uniq[0], dtype=np.int64)
         P, L, m = params["P"], params["L"], params["m"]
-        fsz, ssz, csz = params["sz"]
+        fsz, ssz = params["sz"]
         off = params["dlen"]
         freq = self._resc.decode(params["f"], payload[off : off + fsz], D).astype(np.uint64)
         off += fsz
         x = np.frombuffer(payload, dtype=np.uint64, count=L, offset=off).copy()
         off += ssz
-        lane_counts = np.frombuffer(
-            payload, dtype=np.dtype(params["cdt"]), count=L, offset=off
-        ).astype(np.int64)
-        off += csz
         stream = np.frombuffer(payload, dtype=np.uint32, offset=off)
 
         cum = np.zeros(D, dtype=np.uint64)
@@ -192,27 +192,30 @@ class Rans:
             | (np.repeat(freq, reps) << np.uint64(21))
             | np.repeat(cum, reps)
         )
-        ptr = np.zeros(L, dtype=np.int64)
-        ptr[1:] = np.cumsum(lane_counts)[:-1]
-
         # strided-lane layout (see encode): step j decodes the contiguous
-        # slice [j*L, (j+1)*L) directly into the output — no transpose
+        # slice [j*L, (j+1)*L) directly into the output — no transpose.
+        # Renorm words arrive in step-major blocks, so ONE forward scalar
+        # pointer replaces the per-lane pointer array + its gathers.
         out = np.empty(m * L, dtype=np.int32)
         mask = np.uint64((1 << P) - 1)
         m21 = np.uint64((1 << 21) - 1)
         Pu = np.uint64(P)
         state_min = np.uint64(_STATE_MIN)
+        p = 0
         with np.errstate(over="ignore"):
             for j in range(m):
-                slot = x & mask
+                slot = (x & mask).astype(np.int64)  # intp index: no per-gather cast
                 pv = packed[slot]
                 out[j * L : (j + 1) * L] = (pv >> np.uint64(42)).astype(np.int32)
-                x = ((pv >> np.uint64(21)) & m21) * (x >> Pu) + slot - (pv & m21)
+                x = ((pv >> np.uint64(21)) & m21) * (x >> Pu) + slot.astype(np.uint64) - (
+                    pv & m21
+                )
                 renorm = x < state_min
-                if renorm.any():
-                    w = stream[ptr[renorm]]
+                cnt = int(renorm.sum())
+                if cnt:
+                    w = stream[p : p + cnt]
                     x[renorm] = (x[renorm] << _B32) | w.astype(np.uint64)
-                    ptr[renorm] += 1
+                    p += cnt
         return uniq[out[:n]]
 
 
