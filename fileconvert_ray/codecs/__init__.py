@@ -29,7 +29,7 @@ from .base import (
     parts_to_str,
     str_to_parts,
 )
-from .intcodecs import DictInt, DictZ, EscBytes, ForBitpack, PlainInt, Rle, RunEsc
+from .intcodecs import DeltaZigzag, DictInt, DictZ, EscBytes, ForBitpack, PlainInt, Rle, RunEsc
 from .rans import Rans, RunRans
 from .strcodecs import DictStr, FsstStr, PlainStr
 
@@ -88,7 +88,7 @@ def register(codec) -> None:
     table[codec.name] = codec
 
 
-for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ(), EscBytes(), RunEsc(), Rans(), RunRans()):
+for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ(), EscBytes(), RunEsc(), Rans(), RunRans(), DeltaZigzag()):
     register(_c)
 for _c in (PlainStr(), DictStr(), FsstStr()):
     register(_c)

@@ -524,3 +524,63 @@ class DictInt:
         if nd == 0:
             return np.zeros(0, dtype=np.int64)
         return uniq[inv]
+
+
+# --------------------------------------------------------- delta-zigzag
+
+
+class DeltaZigzag:
+    """Delta + zigzag in front of EscBytes (`dz`) for sorted or
+    near-sorted int columns (sequential ids, timestamps, offsets).
+
+    Consecutive deltas of such columns are tiny signed ints; zigzag
+    folds them to small non-negatives so the esc stream is ~1 byte per
+    value with near-constant content — which the zstd topper then
+    collapses by orders of magnitude (a regular-cadence timestamp
+    column becomes a few hundred bytes regardless of length).  All
+    arithmetic is two's-complement-wrapping on the uint64 views, so the
+    transform is a bijection on any int64 input (unsorted data simply
+    produces large zigzags and loses the auto-selection trial to esc —
+    selection stays size-driven, SURVEY §2.2 E4).
+    """
+
+    name = "dz"
+    kind = "int"
+
+    def __init__(self):
+        self._esc = EscBytes()
+
+    @staticmethod
+    def _fwd(values: np.ndarray) -> tuple[int, np.ndarray]:
+        v = np.ascontiguousarray(values).astype(np.int64, copy=False)
+        if len(v) == 0:
+            return 0, v
+        u = v.view(np.uint64)
+        with np.errstate(over="ignore"):
+            d = np.empty_like(u)
+            d[0] = 0
+            np.subtract(u[1:], u[:-1], out=d[1:])  # wrapping delta
+            s = d.view(np.int64)
+            zz = (s << np.int64(1)) ^ (s >> np.int64(63))
+        return int(v[0]), zz
+
+    def estimate(self, sample: np.ndarray) -> float:
+        if len(sample) == 0:
+            return 0.0
+        _, zz = self._fwd(sample)
+        return self._esc.estimate(zz)
+
+    def encode(self, values: np.ndarray):
+        base, zz = self._fwd(values)
+        ip, ipay = self._esc.encode(zz)
+        return {"base": base, "i": ip}, ipay
+
+    def decode(self, params: dict, payload: bytes, n: int) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        zz = self._esc.decode(params["i"], payload, n)
+        with np.errstate(over="ignore"):
+            d = (zz.view(np.uint64) >> np.uint64(1)).view(np.int64) ^ -(zz & np.int64(1))
+            out = np.cumsum(d.view(np.uint64), dtype=np.uint64)
+            out += np.uint64(np.int64(params["base"]).astype(np.uint64))
+        return out.view(np.int64)

@@ -292,10 +292,10 @@ def interval_join(left_ds, right_ds, *, by: str, on: str, start: str, end: str,
 
 def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
               right_cols: list[str], n_buckets: int = 64,
-              right_prefix: str = "r_"):
-    """General co-partitioned large x large inner equi-join (round-2
-    verdict gap #2: broadcast lookup covers only small dimension
-    tables; this moves BOTH sides through one hash exchange).
+              right_prefix: str = "r_", mode: str = "inner"):
+    """General co-partitioned large x large equi-join (round-2 verdict
+    gap #2: broadcast lookup covers only small dimension tables; this
+    moves BOTH sides through one hash exchange).
 
     Scale shape: each side is bucketed by ``hash(key) % n_buckets`` and
     the two sides meet in a single ``groupby("_jb")`` — the classic
@@ -305,12 +305,33 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     every left row's matches are a searchsorted range — O(L + R +
     output) per bucket, no per-row Python.  ``n_buckets`` bounds peak
     per-task memory (bucket bytes ~ total/n_buckets); skewed keys
-    degrade one bucket at most and can be salted upstream.  Null keys
-    never match (inner-join semantics)."""
+    degrade one bucket at most and can be salted upstream.
+
+    ``mode``:
+      - ``"inner"`` (default): matched (left x right) rows.
+      - ``"left"``: inner plus unmatched left rows with null right cols.
+      - ``"semi"``: left rows with >=1 match — left columns only, each
+        left row at most once (no fanout, unlike inner).
+      - ``"anti"``: left rows with NO match — left columns only.
+    Semi/anti move only the right KEY column through the exchange (the
+    other right_cols are pruned at the tag stage), so at scale they
+    cost one key-only shuffle — the standard "filter a 100-TB fact
+    table by membership in another big table" shape.
+
+    Null keys never match on either side; for ``left``/``anti`` a
+    null-key left row is still emitted (SQL LEFT JOIN / NOT EXISTS
+    parity): the tag stage routes it to a random bucket where it
+    cannot match anything."""
     W = int(n_buckets)
+    if mode not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown join mode {mode!r}")
+    if mode in ("semi", "anti"):
+        right_cols = [right_on]  # membership only — prune the exchange
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch.column(left_on)))
+        if mode in ("inner", "semi"):
+            # null keys can't match and aren't emitted — drop before the exchange
+            batch = batch.filter(pc.is_valid(batch.column(left_on)))
         return batch.append_column("_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -336,11 +357,15 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     def _bucket_of(keys: pa.Array) -> pa.Array:
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        # left/anti keep null-key left rows; bucket them anywhere (they
+        # can't match — join_bucket masks on key validity)
         if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
-            h = hash_strings_u64(keys)
+            h = hash_strings_u64(pc.fill_null(keys, ""))
         else:
             h = splitmix64(
-                pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+                pc.fill_null(pc.cast(keys, pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
             )
         return pa.array((h % np.uint64(W)).view(np.int64))
 
@@ -370,7 +395,8 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     )
 
     out_fields = [(n, lschema.field(n).type) for n in lnames]
-    out_fields += [(right_prefix + n, rschema.field(n).type) for n in rnames if n != right_on]
+    if mode in ("inner", "left"):
+        out_fields += [(right_prefix + n, rschema.field(n).type) for n in rnames if n != right_on]
     out_schema = pa.schema(out_fields)
 
     def empty_out() -> pa.Table:
@@ -381,7 +407,9 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
             return empty_out()
         side = group.column("_side").to_numpy(zero_copy_only=False)
         lmask, rmask = side == 0, side == 1
-        if not lmask.any() or not rmask.any():
+        if not lmask.any():
+            return empty_out()
+        if not rmask.any() and mode in ("inner", "semi"):
             return empty_out()
         lt = group.filter(pa.array(lmask))
         rt = group.filter(pa.array(rmask))
@@ -392,7 +420,11 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         if isinstance(rk, pa.ChunkedArray):
             rk = rk.combine_chunks()
         denc = pa.chunked_array([lk, rk.cast(lk.type)]).combine_chunks().dictionary_encode()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # null left keys (left/anti modes) factorize to null indices;
+        # -1 sorts below every real code, so searchsorted gives cnt=0
+        codes = (
+            pc.fill_null(denc.indices, -1).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
         L = lt.num_rows
         lcode, rcode = codes[:L], codes[L:]
         rorder = np.argsort(rcode, kind="stable")
@@ -400,21 +432,42 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         lo = np.searchsorted(rcode_s, lcode, side="left")
         hi = np.searchsorted(rcode_s, lcode, side="right")
         cnt = hi - lo
+        if mode in ("semi", "anti"):
+            keep = cnt > 0 if mode == "semi" else cnt == 0
+            if not keep.any():
+                return empty_out()
+            kept = lt.filter(pa.array(keep))
+            return pa.Table.from_arrays(
+                [pc.cast(kept.column(f.name), f.type) for f in out_schema], schema=out_schema
+            )
         total = int(cnt.sum())
-        if total == 0:
-            return empty_out()
-        li = np.repeat(np.arange(L, dtype=np.int64), cnt)
-        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
-        ri = rorder[np.arange(total, dtype=np.int64) - offs + np.repeat(lo, cnt)]
-        lt2 = lt.take(pa.array(li))
-        take_r = pa.array(ri)
-        arrays = [lt2.column(n) for n in lnames]
-        for n in rnames:
-            if n == right_on:
-                continue
-            arrays.append(rt.column("_r" + n).take(take_r))
-        return pa.Table.from_arrays(
-            [pc.cast(a, f.type) for a, f in zip(arrays, out_schema)], schema=out_schema
-        )
+        matched: pa.Table | None = None
+        if total > 0:
+            li = np.repeat(np.arange(L, dtype=np.int64), cnt)
+            offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            ri = rorder[np.arange(total, dtype=np.int64) - offs + np.repeat(lo, cnt)]
+            lt2 = lt.take(pa.array(li))
+            take_r = pa.array(ri)
+            arrays = [lt2.column(n) for n in lnames]
+            for n in rnames:
+                if n == right_on:
+                    continue
+                arrays.append(rt.column("_r" + n).take(take_r))
+            matched = pa.Table.from_arrays(
+                [pc.cast(a, f.type) for a, f in zip(arrays, out_schema)], schema=out_schema
+            )
+        if mode == "left":
+            unmatched = cnt == 0
+            if unmatched.any():
+                ul = lt.filter(pa.array(unmatched))
+                arrays = [pc.cast(ul.column(n), out_schema.field(n).type) for n in lnames]
+                arrays += [
+                    pa.nulls(ul.num_rows, out_schema.field(right_prefix + n).type)
+                    for n in rnames
+                    if n != right_on
+                ]
+                pad_t = pa.Table.from_arrays(arrays, schema=out_schema)
+                matched = pad_t if matched is None else pa.concat_tables([matched, pad_t])
+        return matched if matched is not None else empty_out()
 
     return merged.groupby("_jb").map_groups(join_bucket, batch_format="pyarrow")

@@ -594,6 +594,59 @@ def q_heavy_hitter_tokens(sf_dir: str):
     )
 
 
+def q_events_rolling_avg(sf_dir: str):
+    """Per-row time-RANGE windowed aggregate: for every event, the mean
+    `value` over that user's events in the trailing 10 minutes
+    (inclusive of ts-peers, SQL RANGE semantics).  Shape: one
+    groupby(user) shuffle; per group the window bounds are two
+    searchsorted calls against the sorted ts array and the sum is a
+    prefix-sum subtraction — O(n log n) per group, no per-row loops, no
+    window materialization.  Sums are exact int64 cents on BOTH sides
+    (values are 2-decimal; float accumulation-order differences would
+    otherwise make round(,6) flap on boundary cases) — the same
+    int-sums-then-one-division trick as per_source_stats.  Oracle:
+    RANGE BETWEEN window SQL with the identical cents cast."""
+    import ray.data as rd
+
+    W = 10 * 60 * 1_000_000  # 10 min in us
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("n_win", pa.int64()),
+        ("roll_avg", pa.float64()),
+    ])
+
+    def roll(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
+        g = group.sort_by("ts")
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(val * 100.0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.searchsorted(ts, ts - W, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # ts-peers included
+        n = hi - lo
+        s = cum[hi] - cum[lo]
+        avg = s / (100.0 * n)
+        avg = np.floor(avg * 1e6 + 0.5) / 1e6  # half-away, DuckDB round() parity
+        return pa.Table.from_arrays(
+            [
+                g.column("event_id"),
+                g.column("user_id"),
+                g.column("ts"),
+                pa.array(n.astype(np.int64)),
+                pa.array(avg),
+            ],
+            schema=schema,
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization: per user, a new session starts when
     the gap since the previous event exceeds 30 minutes; returns one
@@ -706,6 +759,44 @@ def q_order_lineitem_join(sf_dir: str):
         left, right, left_on="l_orderkey", right_on="o_orderkey",
         right_cols=["o_custkey", "o_totalprice"], n_buckets=32,
     )
+
+
+def _orders_lineitem_sides(sf_dir: str, mode: str):
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    left = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    rcols = ["l_linenumber", "l_quantity"] if mode == "left" else ["l_orderkey"]
+    read_cols = ["l_orderkey"] + [c for c in rcols if c != "l_orderkey"]
+    right = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=read_cols)
+    return hash_join(
+        left, right, left_on="o_orderkey", right_on="l_orderkey",
+        right_cols=rcols, n_buckets=32, mode=mode,
+    )
+
+
+def q_orders_without_lineitem(sf_dir: str):
+    """Anti join (hash_join mode="anti"): orders with no lineitem rows.
+    The membership side ships only its key column through the exchange —
+    the "filter a fact table by absence in another big table" shape.
+    Oracle: DuckDB NOT EXISTS."""
+    return _orders_lineitem_sides(sf_dir, "anti")
+
+
+def q_orders_semi_lineitem(sf_dir: str):
+    """Semi join (hash_join mode="semi"): orders with >=1 lineitem row,
+    each order emitted once (no fanout).  Oracle: DuckDB EXISTS."""
+    return _orders_lineitem_sides(sf_dir, "semi")
+
+
+def q_orders_left_lineitem(sf_dir: str):
+    """Left outer join (hash_join mode="left"): every order, padded with
+    null lineitem columns where unmatched (257 such orders at sf0.01).
+    Oracle: DuckDB LEFT JOIN."""
+    return _orders_lineitem_sides(sf_dir, "left")
 
 
 def q_events_in_windows(sf_dir: str):
@@ -1096,7 +1187,11 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
     "order_lineitem_join": q_order_lineitem_join,
+    "orders_without_lineitem": q_orders_without_lineitem,
+    "orders_semi_lineitem": q_orders_semi_lineitem,
+    "orders_left_lineitem": q_orders_left_lineitem,
     "user_sessions": q_user_sessions,
+    "events_rolling_avg": q_events_rolling_avg,
     "approx_distinct_docs": q_approx_distinct_docs,
     "top_events_per_user": q_top_events_per_user,
     "events_in_windows": q_events_in_windows,
@@ -1249,6 +1344,15 @@ ORACLE_SQL = {
                      e.vec_id asc
         ) <= {KNN_K}
     """,
+    "events_rolling_avg": """
+        select event_id, user_id, ts,
+               count(*) over w as n_win,
+               round(sum(cast(round(value * 100) as bigint)) over w
+                     / (100.0 * count(*) over w), 6) as roll_avg
+        from events
+        window w as (partition by user_id order by ts
+                     range between interval 10 minutes preceding and current row)
+    """,
     "user_sessions": """
         with marked as (
             select user_id, ts,
@@ -1293,6 +1397,19 @@ ORACLE_SQL = {
         select l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
                o.o_custkey as r_o_custkey, o.o_totalprice as r_o_totalprice
         from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+    """,
+    "orders_without_lineitem": """
+        select o_orderkey, o_orderstatus, o_totalprice from orders o
+        where not exists (select 1 from lineitem l where l.l_orderkey = o.o_orderkey)
+    """,
+    "orders_semi_lineitem": """
+        select o_orderkey, o_orderstatus, o_totalprice from orders o
+        where exists (select 1 from lineitem l where l.l_orderkey = o.o_orderkey)
+    """,
+    "orders_left_lineitem": """
+        select o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+               l.l_linenumber as r_l_linenumber, l.l_quantity as r_l_quantity
+        from orders o left join lineitem l on o.o_orderkey = l.l_orderkey
     """,
     "ivf_partitioned_knn": f"""
         select q.vec_id as qid, e.vec_id as nid,

@@ -653,6 +653,56 @@ def test_hash_join_matches_pandas_merge(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_hash_join_semi_anti_left_modes(ray_session):
+    """Semi/anti/left modes vs pandas ground truth.  Null-key left rows
+    appear in left/anti output (SQL LEFT JOIN / NOT EXISTS parity) and
+    never in semi; semi emits each left row at most once despite
+    duplicate right keys."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    lk = [int(x) for x in rng.integers(0, 60, 500)]
+    left = pa.table({
+        "lkey": pa.array(lk + [None, None], type=pa.int64()),
+        "lval": np.arange(502),
+    })
+    rk = [int(x) for x in rng.integers(0, 40, 300)]  # keys 40-59 unmatched
+    right = pa.table({
+        "rkey": pa.array(rk + [None], type=pa.int64()),
+        "rval": np.arange(301) * 10,
+    })
+    lpd, rpd = left.to_pandas(), right.to_pandas()
+    matched_keys = set(rpd.rkey.dropna())
+
+    def run(mode):
+        return hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_on="lkey", right_on="rkey", right_cols=["rval"],
+            n_buckets=4, mode=mode,
+        ).to_pandas()
+
+    semi = run("semi")
+    exp_semi = lpd[lpd.lkey.isin(matched_keys)]
+    assert sorted(semi.lval) == sorted(exp_semi.lval)
+    assert semi.lval.is_unique
+
+    anti = run("anti")
+    exp_anti = lpd[~lpd.lkey.isin(matched_keys)]  # includes null-key rows
+    assert sorted(anti.lval) == sorted(exp_anti.lval)
+    assert anti.lkey.isna().sum() == 2
+
+    lo = run("left")
+    exp_lo = lpd.merge(rpd.dropna(subset=["rkey"]), left_on="lkey",
+                       right_on="rkey", how="left").rename(columns={"rval": "r_rval"})
+    got = lo.sort_values(["lval", "r_rval"], ignore_index=True)[["lkey", "lval", "r_rval"]]
+    exp = exp_lo.sort_values(["lval", "r_rval"], ignore_index=True)[["lkey", "lval", "r_rval"]]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_token_bigrams_boundary_masking(ray_session):
     """Bigram partials must not pair tokens across row boundaries, and
     empty rows (including leading ones, which put 0 into the cumsum
