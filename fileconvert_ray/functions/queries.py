@@ -793,10 +793,22 @@ def q_orders_semi_lineitem(sf_dir: str):
 
 
 def q_orders_left_lineitem(sf_dir: str):
-    """Left outer join (hash_join mode="left"): every order, padded with
-    null lineitem columns where unmatched (257 such orders at sf0.01).
-    Oracle: DuckDB LEFT JOIN."""
-    return _orders_lineitem_sides(sf_dir, "left")
+    """Left outer join (hash_join mode="left"): every order, padded
+    where unmatched (257 such orders at sf0.01).  The pads are
+    coalesced to -1 on BOTH sides (Ray + SQL) because the driver's
+    value-hash compare can't equate NaN with NaN — the join itself
+    emits real nulls (pandas-checked in tests/test_functions.py).
+    Oracle: DuckDB LEFT JOIN with the same coalesce."""
+    ds = _orders_lineitem_sides(sf_dir, "left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        for col in ("r_l_linenumber", "r_l_quantity"):
+            i = batch.column_names.index(col)
+            filled = pc.fill_null(batch.column(col), -1)
+            batch = batch.set_column(i, col, filled)
+        return batch
+
+    return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_events_in_windows(sf_dir: str):
@@ -1408,7 +1420,8 @@ ORACLE_SQL = {
     """,
     "orders_left_lineitem": """
         select o.o_orderkey, o.o_orderstatus, o.o_totalprice,
-               l.l_linenumber as r_l_linenumber, l.l_quantity as r_l_quantity
+               coalesce(l.l_linenumber, -1) as r_l_linenumber,
+               coalesce(l.l_quantity, -1) as r_l_quantity
         from orders o left join lineitem l on o.o_orderkey = l.l_orderkey
     """,
     "ivf_partitioned_knn": f"""
