@@ -616,13 +616,19 @@ _PAIR_EMPTY_SIMHASH = pa.schema(
 _POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
 
 
-def _simhash_pairs(group: pa.Table, h_max: int, tile: int = 1024) -> pa.Table:
+def _simhash_pairs(group: pa.Table, h_max: int, tile: int = 1024,
+                   collapse_identical: bool = True) -> pa.Table:
     """Within one band bucket: pairs with hamming(simhash) <= h_max.
 
     Same vectorized shape as _candidate_pairs: identical simhashes
     (mass-duplicated docs) collapse into a star (hamming 0) around the
     smallest id; distinct hashes are XOR'd in bounded tiles with a
-    byte-popcount table — no per-row Python loop."""
+    byte-popcount table — no per-row Python loop.
+
+    ``collapse_identical=False`` emits ALL qualifying pairs (the
+    exhaustive-in-bucket mode the verified-pairs oracle needs: star
+    edges alone miss member-member pairs inside an identical-hash
+    cluster); the tile bound still caps memory."""
     n = group.num_rows
     if n <= 1:
         return pa.Table.from_pydict({"a": [], "b": [], "hamming": []},
@@ -638,11 +644,14 @@ def _simhash_pairs(group: pa.Table, h_max: int, tile: int = 1024) -> pa.Table:
                                     schema=_PAIR_EMPTY_SIMHASH)
     _, inv = np.unique(hs, return_inverse=True)
     out_a, out_b, out_d = [], [], []
-    star_a, star_b, rep_idx = _star_pairs(ids, inv.ravel())
-    if len(star_a):
-        out_a.append(star_a)
-        out_b.append(star_b)
-        out_d.append(np.zeros(len(star_a), dtype=np.int64))
+    if collapse_identical:
+        star_a, star_b, rep_idx = _star_pairs(ids, inv.ravel())
+        if len(star_a):
+            out_a.append(star_a)
+            out_b.append(star_b)
+            out_d.append(np.zeros(len(star_a), dtype=np.int64))
+    else:
+        rep_idx = np.arange(len(ids), dtype=np.int64)
     rep_idx = np.sort(rep_idx)  # reps in id order -> emitted pairs a < b
     rids = ids[rep_idx]
     rhs = hs[rep_idx]

@@ -647,6 +647,144 @@ def q_events_rolling_avg(sf_dir: str):
     return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
 
 
+def q_seeded_shuffle(sf_dir: str):
+    """Deterministic global shuffle + shard assignment — the "shuffle
+    the corpus once before training, resumable and reproducible" export
+    step.  Every doc gets a pseudorandom sort key from a seeded digest;
+    shard = digest-derived bucket, pos = rank within shard.  One
+    groupby(shard) shuffle; within a shard the order is one vectorized
+    argsort.  md5 is the oracle-parity digest (DuckDB md5 — same
+    concession as seeded_sample/stratified_sample; the at-scale path is
+    the vectorized FNV in util/hashing.py with an FNV-free rank check).
+    Output: (doc_id, shard, pos) — the materialized shuffle manifest."""
+    import hashlib
+
+    import ray.data as rd
+
+    SEED, NSHARDS = 42, 4
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        h = [hashlib.md5(f"{i}:{SEED}".encode()).hexdigest() for i in ids]
+        shard = np.array([ord(x[0]) % NSHARDS for x in h], dtype=np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "shard": pa.array(shard),
+            "_h": pa.array(h),
+        })
+
+    def rank(group: pa.Table) -> pa.Table:
+        g = group.sort_by("_h")
+        return pa.Table.from_pydict({
+            "doc_id": g.column("doc_id"),
+            "shard": g.column("shard"),
+            "pos": pa.array(np.arange(g.num_rows, dtype=np.int64)),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+def q_repetition_ratio(sf_dir: str):
+    """Per-doc repeated word-trigram fraction — the Gopher/C4-style
+    "excessive repetition" quality signal.  Embarrassingly parallel
+    (no shuffle): per batch the words are split with one Arrow kernel
+    and dictionary-encoded to batch-local int codes; per-doc distinct
+    trigram counts come from one np.unique over a void view of the
+    stacked (row, c1, c2, c3) int rows — exact for ANY vocabulary size
+    (no packing-overflow assumptions), no Python loops.  Oracle: two
+    leads + count(distinct) per doc."""
+    import ray.data as rd
+
+    def rep(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # trigram at flat position p is valid when p and p+2 are in the
+        # same doc: p < offs[row]+len-2
+        valid = np.arange(len(codes), dtype=np.int64) < np.repeat(offs[1:] - 2, lens)
+        if len(codes) >= 2:
+            tri = np.stack(
+                [row[:-2], codes[:-2], codes[1:-1], codes[2:]], axis=1
+            )[valid[:-2]]
+        else:
+            tri = np.zeros((0, 4), dtype=np.int64)
+        tri = np.ascontiguousarray(tri)
+        keys = tri.view([("", np.int64)] * 4).reshape(-1)
+        uniq = np.unique(keys)
+        urow = uniq.view(np.int64).reshape(-1, 4)[:, 0] if len(uniq) else np.zeros(0, np.int64)
+        n_tri = np.maximum(lens - 2, 0)
+        n_dis = np.bincount(urow, minlength=len(lens)).astype(np.int64)
+        keep = n_tri > 0
+        ratio = np.zeros(len(lens))
+        ratio[keep] = 1.0 - n_dis[keep] / n_tri[keep]
+        ratio = np.floor(ratio * 1e6 + 0.5) / 1e6  # half-away, DuckDB round parity
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return pa.Table.from_pydict({
+            "doc_id": ids.filter(pa.array(keep)) if not keep.all() else ids,
+            "n_tri": pa.array(n_tri[keep]),
+            "n_distinct": pa.array(n_dis[keep]),
+            "rep_ratio": pa.array(ratio[keep]),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Fixed-length sequence packing (functions/packing.py): the tokseq
+    corpus concatenated in ascending doc_id order and re-chunked into
+    256-token training rows — prefix-sum bucketing, every token crosses
+    the exchange once, driver holds O(n_buckets).  Output is an exact
+    per-chunk digest (count / sum / position-weighted sum, all int64)
+    instead of the raw list column so the driver's value-hash compare
+    applies; the digest pins both content AND order of every chunk.
+    Oracle: vocab-rank tokens + a window prefix sum over doc_id, grouped
+    by gpos // 256."""
+    from ..sources.tokseq import tokseq_dataset
+    from .packing import pack_sequences
+
+    L = 256
+
+    def int_ids(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.int64()))
+
+    ds = tokseq_dataset(sf_dir).map_batches(int_ids, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+    packed = pack_sequences(ds, seq_len=L, n_buckets=8)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        cum = np.concatenate(([0], np.cumsum(flat)))
+        wcum = np.concatenate(([0], np.cumsum(flat * pos)))
+        return pa.Table.from_pydict({
+            "chunk_id": pc.cast(batch.column("chunk_id"), pa.int64()),
+            "n_tok": pa.array(lens),
+            "tok_sum": pa.array(cum[offs[1:]] - cum[offs[:-1]]),
+            "tok_wsum": pa.array(wcum[offs[1:]] - wcum[offs[:-1]]),
+        })
+
+    return packed.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization: per user, a new session starts when
     the gap since the previous event exceeds 30 minutes; returns one
@@ -851,22 +989,10 @@ def q_minhash_verified_pairs(sf_dir: str):
     exact word-2gram Jaccard filter >= 0.8.  Output equals DuckDB's
     exhaustive all-pairs jaccard >= 0.8 over the canonical docs — the
     banding is purely a recall-complete accelerator here."""
-    import ray.data as rd
-
-    from .dedup import MinHasher, _candidate_pairs, _dedup_pair_stream, ngram_jaccard
-    from .joins import hash_join
+    from .dedup import MinHasher, _candidate_pairs, _dedup_pair_stream
 
     JT = 0.8
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    canon = exact_dedup(ds, key="text", id_col="doc_id")
-
-    def as_str_ids(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pc.cast(t.column("doc_id"), pa.string()), t.column("text")],
-            names=["doc_id", "text"],
-        )
-
-    canon_str = canon.map_batches(as_str_ids, batch_format="pyarrow", zero_copy_batch=True)
+    canon_str = _canon_docs_str(sf_dir)
     exploded = canon_str.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=128, bands=32, shingle_k=2, seed=1),
@@ -879,6 +1005,33 @@ def q_minhash_verified_pairs(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+    return _exact_jaccard_filter(cand, canon_str, JT)
+
+
+def _canon_docs_str(sf_dir: str):
+    """Exact-dedup'd documents with string doc_ids (min id per text) —
+    the shared candidate universe of the verified-pairs queries."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    canon = exact_dedup(ds, key="text", id_col="doc_id")
+
+    def as_str_ids(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t.column("doc_id"), pa.string()), t.column("text")],
+            names=["doc_id", "text"],
+        )
+
+    return canon.map_batches(as_str_ids, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _exact_jaccard_filter(cand, canon_str, jt: float):
+    """Join candidate (a, b) pairs back to their texts through two
+    co-partitioned hash_joins and keep exact word-2gram Jaccard >= jt
+    (half-away rounded to 6 for DuckDB round() parity)."""
+    from .dedup import ngram_jaccard
+    from .joins import hash_join
+
     j1 = hash_join(cand, canon_str, left_on="a", right_on="doc_id",
                    right_cols=["text"], right_prefix="ta_", n_buckets=16)
     j2 = hash_join(j1, canon_str, left_on="b", right_on="doc_id",
@@ -893,7 +1046,7 @@ def q_minhash_verified_pairs(sf_dir: str):
             k=2, seed=1,
         )
         jac = np.floor(jac * 1e6 + 0.5) / 1e6  # half-away, DuckDB round() parity
-        keep = jac >= JT
+        keep = jac >= jt
         return pa.Table.from_arrays(
             [
                 batch.column("a").combine_chunks().filter(pa.array(keep)),
@@ -904,6 +1057,38 @@ def q_minhash_verified_pairs(sf_dir: str):
         )
 
     return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_simhash_verified_pairs(sf_dir: str):
+    """The simhash family's PRECISION oracle (companion to
+    minhash_verified_pairs): canonical docs -> 64-bit SimHash with
+    10-chunk banding -> exhaustive in-bucket pairs at hamming <= 9
+    (pigeonhole: <= 9 differing bits leave at least one of 10 chunks
+    identical — recall of the hamming ball is EXACT, not
+    probabilistic) -> distributed pair dedup -> exact word-2gram
+    Jaccard filter >= 0.8.  Output equals DuckDB's exhaustive
+    all-pairs jaccard >= 0.8 provided every qualifying pair sits
+    within hamming 9 of its partner — measured max on this corpus is
+    8 (pair 50/82 at sf0.001), so the ball carries a +1 margin.
+    Trade-off vs the production simhash_dedup (h_max=3, chunks=4):
+    6-bit chunks mean coarser buckets (~n/64 per band bucket), the
+    price of a guaranteed-recall oracle; the verify filter keeps
+    precision exact either way."""
+    from .dedup import SimHasher, _dedup_pair_stream, _simhash_pairs
+
+    canon_str = _canon_docs_str(sf_dir)
+    exploded = canon_str.map_batches(
+        SimHasher, fn_constructor_kwargs=dict(chunks=10, seed=2),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    cand = _dedup_pair_stream(
+        exploded.groupby("band_key")
+        .map_groups(
+            lambda g: _simhash_pairs(g, 9, collapse_identical=False),
+            batch_format="pyarrow",
+        )
+    )
+    return _exact_jaccard_filter(cand, canon_str, 0.8)
 
 
 def q_lsh_dup_pairs(sf_dir: str):
@@ -1190,6 +1375,7 @@ QUERIES = {
     "ivf_partitioned_knn": q_ivf_partitioned_knn,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
+    "simhash_verified_pairs": q_simhash_verified_pairs,
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "seeded_sample": q_seeded_sample,
     "blob_stats": q_blob_stats,
@@ -1204,6 +1390,9 @@ QUERIES = {
     "orders_left_lineitem": q_orders_left_lineitem,
     "user_sessions": q_user_sessions,
     "events_rolling_avg": q_events_rolling_avg,
+    "pack_sequences": q_pack_sequences,
+    "repetition_ratio": q_repetition_ratio,
+    "seeded_shuffle": q_seeded_shuffle,
     "approx_distinct_docs": q_approx_distinct_docs,
     "top_events_per_user": q_top_events_per_user,
     "events_in_windows": q_events_in_windows,
@@ -1364,6 +1553,46 @@ ORACLE_SQL = {
         from events
         window w as (partition by user_id order by ts
                      range between interval 10 minutes preceding and current row)
+    """,
+    "seeded_shuffle": """
+        with k as (select doc_id, md5(cast(doc_id as varchar) || ':42') as h
+                   from documents)
+        select doc_id,
+               cast(ascii(substr(h, 1, 1)) % 4 as bigint) as shard,
+               cast(row_number() over (partition by ascii(substr(h, 1, 1)) % 4
+                                       order by h) - 1 as bigint) as pos
+        from k
+    """,
+    "repetition_ratio": """
+        with d as (select doc_id, string_split(text, ' ') as ws from documents),
+        u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+        tri as (select doc_id, w1,
+                       lead(w1) over (partition by doc_id order by i) as w2,
+                       lead(w1, 2) over (partition by doc_id order by i) as w3
+                from u),
+        s as (select doc_id, w1 || ' ' || w2 || ' ' || w3 as t from tri
+              where w3 is not null)
+        select doc_id,
+               cast(count(*) as bigint) as n_tri,
+               cast(count(distinct t) as bigint) as n_distinct,
+               round(1 - count(distinct t)::double / count(*), 6) as rep_ratio
+        from s group by doc_id
+    """,
+    "pack_sequences": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    o as (select doc_id,
+                 coalesce(sum(len(ws)) over (order by doc_id
+                          rows between unbounded preceding and 1 preceding), 0) as base
+          from d),
+    p as (select v.token as token, o.base + u.i - 1 as gpos
+          from u join v on u.w1 = v.word join o on u.doc_id = o.doc_id)
+    select cast(gpos // 256 as bigint) as chunk_id,
+           cast(count(*) as bigint) as n_tok,
+           cast(sum(token) as bigint) as tok_sum,
+           cast(sum(token * (gpos % 256 + 1)) as bigint) as tok_wsum
+    from p group by 1
     """,
     "user_sessions": """
         with marked as (
@@ -1557,3 +1786,8 @@ ORACLE_SQL["minhash_verified_pairs"] = """
       and round(len(list_intersect(a.grams, b.grams))::double
                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.8
 """
+
+# SimHash candidates are recall-complete for the same exact predicate on
+# this corpus (q_simhash_verified_pairs docstring), so the oracle is the
+# identical exhaustive all-pairs Jaccard.
+ORACLE_SQL["simhash_verified_pairs"] = ORACLE_SQL["minhash_verified_pairs"]

@@ -792,3 +792,36 @@ def test_mg_rejects_negative_items(ray_session):
     ds = rd.from_arrow(pa.table({"token": np.array([1, -5, 2], dtype=np.int64)}))
     with pytest.raises(Exception):
         mg_heavy_hitters(ds, "token", k=4)
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing = concat in order-key order, re-chunk at L: every chunk
+    but the last is exactly L tokens, and the chunk_id-ordered
+    concatenation is bit-identical to the doc_id-ordered input stream.
+    Includes a doc far larger than L (spans many chunks) and ids that
+    land ties-free in skewed range buckets."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    ids = np.array([3, 900, 17, 450, 2, 901, 88], dtype=np.int64)
+    lens = [7, 1000, 13, 1, 250, 64, 129]  # one giant doc
+    toks = [rng.integers(0, 5000, n).astype(np.int32) for n in lens]
+    t = pa.table({
+        "doc_id": ids,
+        "tokens": pa.array([list(map(int, x)) for x in toks], type=pa.list_(pa.int32())),
+        "n_tok": pa.array(lens, type=pa.int32()),
+    })
+    L = 100
+    packed = pack_sequences(
+        rd.from_arrow(t).repartition(3), seq_len=L, n_buckets=4
+    ).to_pandas().sort_values("chunk_id", ignore_index=True)
+
+    order = np.argsort(ids, kind="stable")
+    expect = np.concatenate([toks[i] for i in order])
+    got = np.concatenate([np.asarray(x, dtype=np.int32) for x in packed.tokens])
+    assert np.array_equal(got, expect)
+    assert list(packed.chunk_id) == list(range(len(packed)))
+    n = packed.n_tok.to_numpy()
+    assert (n[:-1] == L).all() and 0 < n[-1] <= L
