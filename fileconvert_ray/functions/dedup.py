@@ -51,7 +51,8 @@ def content_hash_pairs(batch: pa.Table, key: str = "text", id_col: str = "doc_id
     return pa.Table.from_arrays([pa.array(h.view(np.int64)), ids], names=["content_hash", "_id"])
 
 
-def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
+                strategy: str = "broadcast"):
     """Drop duplicate content, keeping the smallest id (SURVEY §2.2 E14).
 
     Scale shape (round-1 verdict fix): the corpus-wide shuffle moves
@@ -59,10 +60,23 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     Groups with >1 pair are hash-collision candidates; only THOSE rows'
     payloads take a second, duplicate-sized shuffle for the exact
     content re-check (collisions + true dups are tiny by construction —
-    the same premise as LSH banding).  Loser ids are broadcast via
-    ``ray.put`` and survivors emerge from a streaming filter map —
-    the full dataset is never re-shuffled or driver-materialized."""
+    the same premise as LSH banding).
+
+    ``strategy`` picks how candidate/loser id sets reach the corpus:
+
+    - ``"broadcast"`` (default): ids collect on the driver and ship
+      once via ``ray.put``; survivors emerge from a streaming filter
+      map with NO payload shuffle.  Right when duplicates are a small
+      fraction (driver holds O(duplicate ids)).
+    - ``"join"``: the id sets stay distributed and the corpus is
+      filtered through the key-only semi/anti hash_join modes — the
+      driver holds nothing, at the price of one full-corpus bucket
+      exchange.  Right when the duplicate fraction is so large the id
+      lists no longer fit the driver (round-2 verdict caveat)."""
     import ray
+
+    if strategy not in ("broadcast", "join"):
+        raise ValueError(f"unknown exact_dedup strategy {strategy!r}")
 
     def hash_pairs(batch: pa.Table) -> pa.Table:
         return content_hash_pairs(batch, key, id_col)
@@ -77,6 +91,8 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         .groupby("content_hash")
         .map_groups(dup_groups, batch_format="pyarrow")
     )
+    if strategy == "join":
+        return _exact_dedup_join(ds, cand, key, id_col)
     cand_chunks: list = []
     for b in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
         cand_chunks.append(b.column("_id"))
@@ -102,23 +118,10 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
             [pa.array(h.view(np.int64)), sid, txt], names=["content_hash", "_id", "_key"]
         )
 
-    def losers_in_group(group: pa.Table) -> pa.Table:
-        # Arrow-native: sort by id, first occurrence of each distinct
-        # content survives, everything after it is a loser
-        g = group.sort_by("_id")
-        denc = g.column("_key").combine_chunks().dictionary_encode()
-        idx = denc.indices.to_numpy(zero_copy_only=False)
-        _, first = np.unique(idx, return_index=True)
-        lose = np.ones(len(idx), dtype=bool)
-        lose[first] = False
-        return pa.Table.from_arrays(
-            [g.column("_id").combine_chunks().filter(pa.array(lose))], names=["_id"]
-        )
-
     losers = (
         ds.map_batches(project_candidates, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("content_hash")
-        .map_groups(losers_in_group, batch_format="pyarrow")
+        .map_groups(_losers_in_group, batch_format="pyarrow")
     )
     loser_chunks: list = []
     for b in losers.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -138,6 +141,54 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         return batch.filter(pc.invert(pc.is_in(ids, value_set=dropped)))
 
     return ds.map_batches(keep_survivors, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _losers_in_group(group: pa.Table) -> pa.Table:
+    # Arrow-native: sort by id, first occurrence of each distinct
+    # content survives, everything after it is a loser
+    g = group.sort_by("_id")
+    denc = g.column("_key").combine_chunks().dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    _, first = np.unique(idx, return_index=True)
+    lose = np.ones(len(idx), dtype=bool)
+    lose[first] = False
+    return pa.Table.from_arrays(
+        [g.column("_id").combine_chunks().filter(pa.array(lose))], names=["_id"]
+    )
+
+
+def _exact_dedup_join(ds, cand, key: str, id_col: str):
+    """Fully-distributed exact_dedup tail (strategy="join"): candidate
+    payloads arrive via a key-only SEMI join, losers leave via a
+    key-only ANTI join — no id list ever materializes on the driver.
+    Two full-corpus bucket exchanges (semi tags + anti output); use
+    when the duplicate fraction is large."""
+    from .joins import hash_join
+
+    cand_rows = hash_join(
+        ds, cand, left_on=id_col, right_on="_id", right_cols=["_id"], mode="semi"
+    )
+
+    def hash_triple(batch: pa.Table) -> pa.Table:
+        h = hash_strings_u64(batch.column(key))
+        sid = batch.column(id_col)
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        txt = batch.column(key)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.array(h.view(np.int64)), sid, txt], names=["content_hash", "_id", "_key"]
+        )
+
+    losers = (
+        cand_rows.map_batches(hash_triple, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_hash")
+        .map_groups(_losers_in_group, batch_format="pyarrow")
+    )
+    return hash_join(
+        ds, losers, left_on=id_col, right_on="_id", right_cols=["_id"], mode="anti"
+    )
 
 
 # --------------------------------------------------- shingles/minhash

@@ -825,3 +825,21 @@ def test_pack_sequences_invariants(ray_session):
     assert list(packed.chunk_id) == list(range(len(packed)))
     n = packed.n_tok.to_numpy()
     assert (n[:-1] == L).all() and 0 < n[-1] <= L
+
+
+def test_exact_dedup_join_strategy_matches_broadcast(ray_session):
+    """strategy="join" (semi/anti hash_join tail, nothing on the
+    driver) keeps exactly the same survivors as the broadcast path:
+    min-id per content, hash-collision-safe, high duplicate fraction."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import exact_dedup
+
+    texts = [f"doc {i % 7} body" for i in range(60)] + ["unique tail"]
+    ids = list(range(61))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(5)
+    b = exact_dedup(ds, key="text", id_col="doc_id").to_pandas()
+    j = exact_dedup(ds, key="text", id_col="doc_id", strategy="join").to_pandas()
+    assert sorted(b.doc_id) == sorted(j.doc_id) == list(range(7)) + [60]
