@@ -647,6 +647,94 @@ def q_events_rolling_avg(sf_dir: str):
     return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
 
 
+def q_token_pmi(sf_dir: str):
+    """Pointwise mutual information per bigram — the collocation /
+    phrase-mining statistic: pmi(t1,t2) = ln( (c12/N2) / (c1/N1 *
+    c2/N1) ).  Composition, not a new exchange: the bigram table comes
+    from the existing O(vocab²)-shuffle partial-count pipeline, and the
+    unigram counts + totals (O(vocab) rows) collect once on the driver
+    and ride into a final map_batches as a broadcast lookup — the
+    standard "tiny aggregate joins a big one" shape.  Oracle: same two
+    CTEs with ln() rounded to 6."""
+    import ray
+
+    # tiny sides to the driver: O(vocab) unigram counts + two scalars.
+    # The bigram table itself stays DISTRIBUTED (vocab² rows can be
+    # billions at a 50k vocab) — broadcast-lookup, never .to_pandas().
+    uni = q_token_histogram(sf_dir).to_pandas()
+    toks = uni["token"].to_numpy().astype(np.int64)
+    lut = np.zeros(int(toks.max()) + 1, dtype=np.int64)
+    lut[toks] = uni["cnt"].to_numpy().astype(np.int64)
+    n1 = float(lut.sum())
+    n2 = float(q_token_bigrams(sf_dir).sum("cnt"))
+    lut_ref = ray.put(lut)
+
+    def pmi(batch: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        t1 = batch.column("t1").to_numpy(zero_copy_only=False)
+        t2 = batch.column("t2").to_numpy(zero_copy_only=False)
+        c12 = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.log((c12 / n2) / ((lu[t1] / n1) * (lu[t2] / n1)))
+        v = np.floor(v * 1e6 + 0.5) / 1e6  # half-away, DuckDB round parity
+        return pa.Table.from_pydict({
+            "t1": batch.column("t1"), "t2": batch.column("t2"),
+            "cnt": batch.column("cnt"), "pmi": pa.array(v),
+        })
+
+    return q_token_bigrams(sf_dir).map_batches(pmi, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination — flag corpus docs sharing any word
+    3-gram with an eval set (here: doc_id < 10), reporting how many
+    distinct grams overlap.  The canonical pre-training hygiene op
+    (n-gram overlap against held-out benchmarks).  Shape: the eval
+    set's gram hashes are a SMALL side — built once, broadcast via
+    ``ray.put``, membership-tested per batch with one sorted np.isin —
+    so the corpus pass is shuffle-free and the eval read is pushed down
+    to the doc_id < 10 row groups.  Exact per-doc distinct counts via
+    one np.unique over (row, gram-hash) void rows.  64-bit gram hashes
+    stand in for the grams themselves (deterministic; collision odds
+    ~1e-11 at this gram count — the oracle compares true strings, so a
+    collision would surface as a mismatch, not hide).  Oracle: unnest
+    3-grams, inner-join corpus grams to eval grams, count distinct."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import _word_kgram_hashes
+
+    K, BENCH_MAX, SEED = 3, 10, 9
+
+    bt = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                       filters=[("doc_id", "<", BENCH_MAX)])
+    bh, _ = _word_kgram_hashes(bt.column("text").combine_chunks(), K, seed=SEED)
+    bench_ref = ray.put(np.unique(bh))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h, n_sh = _word_kgram_hashes(texts, K, seed=SEED)
+        rows = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+        pairs = np.ascontiguousarray(np.stack([rows, h.view(np.int64)], axis=1))
+        uniq = np.unique(pairs.view([("", np.int64)] * 2))
+        ur = uniq.view(np.int64).reshape(-1, 2)
+        hit = np.isin(ur[:, 1].view(np.uint64), ray.get(bench_ref))
+        cnt = np.bincount(ur[:, 0][hit], minlength=len(n_sh)).astype(np.int64)
+        keep = cnt > 0
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return pa.Table.from_pydict({
+            "doc_id": ids.filter(pa.array(keep)) if not keep.all() else ids,
+            "n_overlap": pa.array(cnt[keep]),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") >= BENCH_MAX),  # row-group pushdown
+    )
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_seeded_shuffle(sf_dir: str):
     """Deterministic global shuffle + shard assignment — the "shuffle
     the corpus once before training, resumable and reproducible" export
@@ -1393,6 +1481,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "repetition_ratio": q_repetition_ratio,
     "seeded_shuffle": q_seeded_shuffle,
+    "decontaminate": q_decontaminate,
+    "token_pmi": q_token_pmi,
     "approx_distinct_docs": q_approx_distinct_docs,
     "top_events_per_user": q_top_events_per_user,
     "events_in_windows": q_events_in_windows,
@@ -1553,6 +1643,38 @@ ORACLE_SQL = {
         from events
         window w as (partition by user_id order by ts
                      range between interval 10 minutes preceding and current row)
+    """,
+    "token_pmi": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    p as (select w1, lead(w1) over (partition by doc_id order by i) as w2 from u),
+    c as (select w1, w2, cast(count(*) as bigint) as cnt from p
+          where w2 is not null group by w1, w2),
+    n2 as (select cast(sum(cnt) as double) as n2 from c),
+    uc as (select word, cast(count(*) as bigint) as c1
+           from w group by word),
+    n1 as (select cast(sum(c1) as double) as n1 from uc)
+    select cast(v1.token as bigint) as t1, cast(v2.token as bigint) as t2,
+           c.cnt as cnt,
+           round(ln((c.cnt / n2.n2)
+                    / ((ua.c1 / n1.n1) * (ub.c1 / n1.n1))), 6) as pmi
+    from c
+    join v v1 on c.w1 = v1.word join v v2 on c.w2 = v2.word
+    join uc ua on c.w1 = ua.word join uc ub on c.w2 = ub.word
+    cross join n1 cross join n2
+    """,
+    "decontaminate": """
+        with d as (select doc_id, string_split(text, ' ') as ws from documents),
+        g as (select doc_id,
+                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in generate_series(1, len(ws) - 2)]) as grams
+              from d),
+        bench as (select distinct unnest(grams) as t from g where doc_id < 10),
+        corp as (select doc_id, unnest(grams) as t from g where doc_id >= 10)
+        select c.doc_id, cast(count(*) as bigint) as n_overlap
+        from corp c join bench b on c.t = b.t
+        group by c.doc_id
     """,
     "seeded_shuffle": """
         with k as (select doc_id, md5(cast(doc_id as varchar) || ':42') as h
