@@ -647,6 +647,21 @@ def q_events_rolling_avg(sf_dir: str):
     return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
 
 
+def q_kll_value_quantiles(sf_dir: str):
+    """Approximate event-value quantiles from a shuffle-merged KLL
+    compactor sketch (functions/sketches.py) — the unbounded-domain
+    companion to the exact bounded-histogram doc_len_quantiles.  Rows
+    moved are sketch-sized (O(k log n) per batch) no matter the input
+    size.  Randomized summary => no SQL value oracle; the rank-error
+    guarantee is pinned by tests/test_functions.py property tests."""
+    import ray.data as rd
+
+    from .sketches import kll_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return kll_quantiles(ds, "value", [0.01, 0.25, 0.5, 0.75, 0.99], k=256)
+
+
 def q_token_pmi(sf_dir: str):
     """Pointwise mutual information per bigram — the collocation /
     phrase-mining statistic: pmi(t1,t2) = ln( (c12/N2) / (c1/N1 *
@@ -1483,6 +1498,7 @@ QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "decontaminate": q_decontaminate,
     "token_pmi": q_token_pmi,
+    "kll_value_quantiles": q_kll_value_quantiles,
     "approx_distinct_docs": q_approx_distinct_docs,
     "top_events_per_user": q_top_events_per_user,
     "events_in_windows": q_events_in_windows,

@@ -186,3 +186,141 @@ def mg_heavy_hitters(ds, value_col: str, k: int = 64):
             "ub": pa.array(cnts[order] + np.int64(dec_total), type=pa.int64()),
         }
     )
+
+
+# ------------------------------------------------- quantile sketch
+
+# Compactor-stack quantile sketch (Karnin-Lang-Liberty 2016 lineage;
+# this is the fixed-capacity Manku-Rajagopalan-Lindsay-style variant:
+# KLL's geometric capacity decay is omitted so every compaction keeps
+# the same per-level budget).  Level i items carry weight 2^i; a full
+# level sorts, keeps every second item (parity chosen by a
+# deterministic splitmix64 coin so reruns are bit-identical), and
+# promotes them one level up.  Merging = concatenating level buffers
+# and re-compacting — associative and commutative up to the coin
+# stream, which is all a shuffle-merged sketch needs.  Rank error is
+# O(log(n/k)/k) deterministic-coin worst case; the property test pins
+# an empirical envelope.
+
+
+class KllSketch:
+    def __init__(self, k: int = 256, seed: int = 1):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.zeros(0, dtype=np.float64)]
+        self._state = np.uint64(0x9E3779B97F4A7C15 * (seed or 1) & ((1 << 64) - 1))
+
+    def _coin(self) -> int:
+        self._state = splitmix64(np.array([self._state], dtype=np.uint64))[0]
+        return int(self._state & np.uint64(1))
+
+    def update_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.levels[0] = np.concatenate((self.levels[0], v))
+        self._compress()
+
+    def merge_rows(self, level: np.ndarray, value: np.ndarray) -> None:
+        """Absorb (level, value) rows emitted by to_rows()."""
+        for lv in np.unique(level):
+            li = int(lv)
+            while len(self.levels) <= li:
+                self.levels.append(np.zeros(0, dtype=np.float64))
+            self.levels[li] = np.concatenate((self.levels[li], value[level == lv]))
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            buf = self.levels[i]
+            if len(buf) <= self.k:
+                i += 1
+                continue
+            buf = np.sort(buf, kind="stable")
+            if len(buf) & 1:
+                keep, buf = buf[-1:], buf[:-1]
+            else:
+                keep = buf[:0]
+            promoted = buf[self._coin()::2]
+            self.levels[i] = keep
+            if i + 1 == len(self.levels):
+                self.levels.append(np.zeros(0, dtype=np.float64))
+            self.levels[i + 1] = np.concatenate((self.levels[i + 1], promoted))
+            i += 1
+
+    def to_rows(self) -> tuple[np.ndarray, np.ndarray]:
+        lv = np.concatenate([
+            np.full(len(b), i, dtype=np.int64) for i, b in enumerate(self.levels)
+        ]) if self.levels else np.zeros(0, dtype=np.int64)
+        va = np.concatenate(self.levels) if self.levels else np.zeros(0, dtype=np.float64)
+        return lv, va
+
+    def n(self) -> int:
+        return int(sum(len(b) << i for i, b in enumerate(self.levels)))
+
+    def quantile(self, q: float) -> float:
+        lv, va = self.to_rows()
+        if len(va) == 0:
+            return float("nan")
+        w = (np.int64(1) << lv).astype(np.float64)
+        order = np.argsort(va, kind="stable")
+        va, w = va[order], w[order]
+        cw = np.cumsum(w)
+        target = q * cw[-1]
+        idx = int(np.searchsorted(cw, target, side="left"))
+        return float(va[min(idx, len(va) - 1)])
+
+
+def kll_quantiles(ds, value_col: str, qs: list[float], *, k: int = 256,
+                  merge_buckets: int = 8):
+    """Approximate quantiles of ``value_col`` via shuffle-merged KLL
+    sketches: each batch reduces to O(k log) (bucket, level, value)
+    rows, per-bucket map_groups merges them, and the driver folds the
+    O(merge_buckets) surviving sketches — rows moved are sketch-sized
+    regardless of input rows (the HLL/MG shape, applied to ranks).
+    Returns one (q, est, n) row per requested quantile."""
+    B = int(merge_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64()).to_numpy(zero_copy_only=False)
+        # batch-content-derived seed: deterministic under any block split
+        seed = int(splitmix64(np.array([len(v) + 1], dtype=np.uint64))[0]) & 0x7FFFFFFF
+        sk = KllSketch(k=k, seed=seed)
+        sk.update_many(v)
+        lv, va = sk.to_rows()
+        if len(va):
+            bits = np.asarray(va[0], dtype=np.float64).view(np.uint64)
+            bkt = int(splitmix64(np.array([bits ^ np.uint64(len(va))], dtype=np.uint64))[0] % np.uint64(B))
+        else:
+            bkt = 0
+        return pa.Table.from_pydict({
+            "bucket": pa.array(np.full(len(lv), bkt, dtype=np.int64)),
+            "level": pa.array(lv),
+            "value": pa.array(va),
+        })
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        sk = KllSketch(k=k, seed=int(group.column("bucket")[0].as_py()) + 11)
+        sk.merge_rows(
+            group.column("level").to_numpy(zero_copy_only=False),
+            group.column("value").to_numpy(zero_copy_only=False),
+        )
+        lv, va = sk.to_rows()
+        return pa.Table.from_pydict({"level": pa.array(lv), "value": pa.array(va)})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+        .to_pandas()  # O(merge_buckets x k x levels) rows — sketch-sized
+    )
+    final = KllSketch(k=k, seed=7)
+    if len(merged):
+        final.merge_rows(merged["level"].to_numpy(), merged["value"].to_numpy())
+    n = final.n()
+    return pa.table({
+        "q": pa.array(np.asarray(qs, dtype=np.float64)),
+        "est": pa.array(np.array([final.quantile(q) for q in qs])),
+        "n": pa.array(np.full(len(qs), n, dtype=np.int64)),
+    })
