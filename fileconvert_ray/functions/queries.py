@@ -1399,6 +1399,21 @@ def q_csv_roundtrip(sf_dir: str):
     return pa.Table.from_pydict({"n_rows": [a.num_rows], "bit_identical": [ok]})
 
 
+def q_csv_export_roundtrip(sf_dir: str):
+    """CSV sink+source fidelity with a VALUE oracle (upgrade of the
+    rows-only csv_roundtrip): documents -> ds.write_csv ->
+    ds.read_csv -> all columns, hash-compared against plain SQL over
+    the original parquet.  Any quoting, type-inference, or
+    row-boundary bug in the CSV path breaks value parity."""
+    import ray.data as rd
+
+    base = _job_dir(sf_dir, "csvexp")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    rd.read_parquet(f"{sf_dir}/documents.parquet").write_csv(base)
+    return rd.read_csv(base)
+
+
 def q_decode_stats(sf_dir: str):
     """E9 as a streaming consumer: encode the tokseq table, then read
     the encoded containers back as a Dataset (decode_dataset) and
@@ -1506,6 +1521,7 @@ QUERIES = {
     "encode_roundtrip": q_encode_roundtrip,
     "encode_metrics": q_encode_metrics,
     "csv_roundtrip": q_csv_roundtrip,
+    "csv_export_roundtrip": q_csv_export_roundtrip,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
 }
@@ -1659,6 +1675,9 @@ ORACLE_SQL = {
         from events
         window w as (partition by user_id order by ts
                      range between interval 10 minutes preceding and current row)
+    """,
+    "csv_export_roundtrip": """
+        select doc_id, text, lang, source, n_chars from documents
     """,
     "token_pmi": _VOCAB_CTE
     + """,
