@@ -8,6 +8,10 @@
         [--target-partition-tokens N] [--codec col=NAME] [--no-resume]
     python -m fileconvert_ray verify   IN_DIR --out DIR [--mode exact|hash|manifest]
     python -m fileconvert_ray decode   OUT_DIR --to DIR
+    python -m fileconvert_ray pack     IN_DIR --out DIR [--seq-len N]
+        [--order-col doc_id] [--buckets N]
+    python -m fileconvert_ray dedup    IN_DIR --out DIR [--key text]
+        [--id doc_id] [--strategy broadcast|join]
 
 The CLI owns its Ray session (the library never calls ray.init).
 """
@@ -65,6 +69,21 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("decode", help="decode containers back to tokseq parquet")
     d.add_argument("out_dir", help="the encode out dir")
     d.add_argument("--to", required=True, help="directory for decoded parquet")
+
+    k = sub.add_parser("pack", help="pack token sequences into fixed-length training rows")
+    k.add_argument("input", help="directory/file of tokseq parquet shards")
+    k.add_argument("--out", required=True)
+    k.add_argument("--seq-len", type=int, default=2048)
+    k.add_argument("--order-col", default="doc_id",
+                   help="integer column giving the global concatenation order")
+    k.add_argument("--buckets", type=int, default=16)
+
+    u = sub.add_parser("dedup", help="drop duplicate documents (exact content match)")
+    u.add_argument("input", help="directory/file of parquet shards")
+    u.add_argument("--out", required=True)
+    u.add_argument("--key", default="text", help="content column")
+    u.add_argument("--id", default="doc_id", help="id column (smallest survives)")
+    u.add_argument("--strategy", choices=["broadcast", "join"], default="broadcast")
     return p
 
 
@@ -144,6 +163,46 @@ def main(argv: list[str] | None = None) -> int:
 
             decode_dataset(args.out_dir).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
+        elif args.cmd == "pack":
+            import ray.data as rd
+
+            from fileconvert_ray.functions.packing import pack_sequences
+
+            def int_order(batch):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                i = batch.column_names.index(args.order_col)
+                return batch.set_column(
+                    i, args.order_col, pc.cast(batch.column(args.order_col), pa.int64())
+                )
+
+            ds = rd.read_parquet(args.input).map_batches(
+                int_order, batch_format="pyarrow", zero_copy_batch=True
+            )
+            packed = pack_sequences(
+                ds, seq_len=args.seq_len, order_col=args.order_col, n_buckets=args.buckets
+            )
+            packed.write_parquet(args.out)
+            import pyarrow.dataset as pds
+
+            n = pds.dataset(args.out).count_rows()
+            print(json.dumps({"ok": True, "out": args.out, "chunks": int(n),
+                              "seq_len": args.seq_len}))
+        elif args.cmd == "dedup":
+            import ray.data as rd
+
+            from fileconvert_ray.functions.dedup import exact_dedup
+
+            surv = exact_dedup(
+                rd.read_parquet(args.input), key=args.key, id_col=args.id,
+                strategy=args.strategy,
+            )
+            surv.write_parquet(args.out)
+            import pyarrow.dataset as pds
+
+            n = pds.dataset(args.out).count_rows()
+            print(json.dumps({"ok": True, "out": args.out, "survivors": int(n)}))
     finally:
         ray.shutdown()
     return 0

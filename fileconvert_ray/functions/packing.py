@@ -127,6 +127,13 @@ def pack_sequences(ds, *, seq_len: int, order_col: str = "doc_id",
         n = len(flat)
         if n == 0:
             return pa.Table.from_pydict({f.name: [] for f in FRAG_SCHEMA}, schema=FRAG_SCHEMA)
+        if n >= (1 << 31):
+            # fragment list offsets are int32; a bucket this large must
+            # be split finer rather than silently wrapping
+            raise ValueError(
+                f"bucket {b} holds {n} tokens (>= 2^31): raise n_buckets "
+                "so each key range stays under 2^31 tokens"
+            )
         gpos0 = int(base[b])
         # chunk id per token of the contiguous stream [gpos0, gpos0+n)
         first_chunk = gpos0 // L

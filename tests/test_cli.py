@@ -60,3 +60,39 @@ def test_cli_encode_verify_decode(tmp_path):
     assert d["ok"]
     t = pq.read_table(dec_dir)
     assert t.num_rows == 400
+
+
+def test_cli_pack_and_dedup(tmp_path):
+    """pack: chunk count and token conservation; dedup: survivor count."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(5, 60, 400)
+    toks = pa.array(
+        [list(map(int, rng.integers(0, 1000, n))) for n in lens],
+        type=pa.list_(pa.int32()),
+    )
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400), type=pa.int64()),
+        "tokens": toks,
+        "n_tok": pa.array(lens, type=pa.int32()),
+        "source": pa.array(["s"] * 400),
+    })
+    src = str(tmp_path / "toks.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "packed")
+    r = run_cli("pack", src, "--out", out, "--seq-len", "128", "--buckets", "4")
+    total = int(lens.sum())
+    assert r["ok"] and r["chunks"] == (total + 127) // 128
+    packed = pq.read_table(out)
+    assert sum(len(x) for x in packed.column("tokens").to_pylist()) == total
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(50), type=pa.int64()),
+        "text": pa.array([f"body {i % 20}" for i in range(50)]),
+    })
+    dsrc = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, dsrc)
+    dout = str(tmp_path / "dedup")
+    r = run_cli("dedup", dsrc, "--out", dout, "--strategy", "join")
+    assert r["ok"] and r["survivors"] == 20
