@@ -313,6 +313,9 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
       - ``"semi"``: left rows with >=1 match — left columns only, each
         left row at most once (no fanout, unlike inner).
       - ``"anti"``: left rows with NO match — left columns only.
+      - ``"full"``: inner plus unmatched rows from BOTH sides, each
+        padded with the other side's columns as nulls (SQL FULL OUTER
+        JOIN; null-key rows on either side are emitted unmatched).
     Semi/anti move only the right KEY column through the exchange (the
     other right_cols are pruned at the tag stage), so at scale they
     cost one key-only shuffle — the standard "filter a 100-TB fact
@@ -323,7 +326,7 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     parity): the tag stage routes it to a random bucket where it
     cannot match anything."""
     W = int(n_buckets)
-    if mode not in ("inner", "left", "semi", "anti"):
+    if mode not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"unknown join mode {mode!r}")
     if mode in ("semi", "anti"):
         right_cols = [right_on]  # membership only — prune the exchange
@@ -337,7 +340,10 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = [right_on] + [c for c in right_cols if c != right_on]
         batch = batch.select(cols)
-        batch = batch.filter(pc.is_valid(batch.column(right_on)))
+        if mode != "full":
+            # null right keys can't match and aren't emitted except by
+            # a FULL join, which pads them
+            batch = batch.filter(pc.is_valid(batch.column(right_on)))
         return batch.append_column("_side", pa.array(np.ones(batch.num_rows, dtype=np.int8)))
 
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
@@ -395,12 +401,28 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     )
 
     out_fields = [(n, lschema.field(n).type) for n in lnames]
-    if mode in ("inner", "left"):
+    if mode in ("inner", "left", "full"):
         out_fields += [(right_prefix + n, rschema.field(n).type) for n in rnames if n != right_on]
+    if mode == "full":
+        # unmatched right rows surface their key here (left_on is null)
+        out_fields += [(right_prefix + right_on, rschema.field(right_on).type)]
     out_schema = pa.schema(out_fields)
 
     def empty_out() -> pa.Table:
         return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+
+    def right_pads(rt: pa.Table, rsel: np.ndarray | None = None) -> pa.Table:
+        """FULL-join pads for unmatched right rows: left cols null,
+        right cols (incl. the key) carried through."""
+        sub = rt if rsel is None else rt.filter(pa.array(rsel))
+        arrays = []
+        for f in out_schema:
+            if f.name.startswith(right_prefix):
+                src = f.name[len(right_prefix):]
+                arrays.append(pc.cast(sub.column("_r" + src), f.type))
+            else:
+                arrays.append(pa.nulls(sub.num_rows, f.type))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     def join_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -408,6 +430,8 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         side = group.column("_side").to_numpy(zero_copy_only=False)
         lmask, rmask = side == 0, side == 1
         if not lmask.any():
+            if mode == "full" and rmask.any():
+                return right_pads(group.filter(pa.array(rmask)))
             return empty_out()
         if not rmask.any() and mode in ("inner", "semi"):
             return empty_out()
@@ -420,13 +444,20 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         if isinstance(rk, pa.ChunkedArray):
             rk = rk.combine_chunks()
         denc = pa.chunked_array([lk, rk.cast(lk.type)]).combine_chunks().dictionary_encode()
-        # null left keys (left/anti modes) factorize to null indices;
-        # -1 sorts below every real code, so searchsorted gives cnt=0
+        # null left keys (left/anti/full modes) factorize to null
+        # indices -> -1, below every real code, so searchsorted gives
+        # cnt=0; null RIGHT keys (full mode) get -2 so a null left key
+        # can never "match" a null right key
         codes = (
             pc.fill_null(denc.indices, -1).cast(pa.int64()).to_numpy(zero_copy_only=False)
         )
         L = lt.num_rows
         lcode, rcode = codes[:L], codes[L:]
+        if mode == "full":
+            rnull = pc.is_null(rk).to_numpy(zero_copy_only=False)
+            if rnull.any():
+                rcode = rcode.copy()
+                rcode[rnull] = -2
         rorder = np.argsort(rcode, kind="stable")
         rcode_s = rcode[rorder]
         lo = np.searchsorted(rcode_s, lcode, side="left")
@@ -453,20 +484,31 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
                 if n == right_on:
                     continue
                 arrays.append(rt.column("_r" + n).take(take_r))
+            if mode == "full":
+                arrays.append(rt.column("_r" + right_on).take(take_r))
             matched = pa.Table.from_arrays(
                 [pc.cast(a, f.type) for a, f in zip(arrays, out_schema)], schema=out_schema
             )
-        if mode == "left":
+        if mode in ("left", "full"):
             unmatched = cnt == 0
             if unmatched.any():
                 ul = lt.filter(pa.array(unmatched))
-                arrays = [pc.cast(ul.column(n), out_schema.field(n).type) for n in lnames]
-                arrays += [
-                    pa.nulls(ul.num_rows, out_schema.field(right_prefix + n).type)
-                    for n in rnames
-                    if n != right_on
-                ]
+                arrays = []
+                for f in out_schema:
+                    if f.name in lnames:
+                        arrays.append(pc.cast(ul.column(f.name), f.type))
+                    else:
+                        arrays.append(pa.nulls(ul.num_rows, f.type))
                 pad_t = pa.Table.from_arrays(arrays, schema=out_schema)
+                matched = pad_t if matched is None else pa.concat_tables([matched, pad_t])
+        if mode == "full":
+            # right rows whose key matches no left key (incl. -2 nulls)
+            lorder = np.sort(lcode)
+            pos = np.searchsorted(lorder, rcode, side="left")
+            pos = np.minimum(pos, max(len(lorder) - 1, 0))
+            r_unmatched = (lorder[pos] != rcode) if len(lorder) else np.ones(len(rcode), bool)
+            if r_unmatched.any():
+                pad_t = right_pads(rt, r_unmatched)
                 matched = pad_t if matched is None else pa.concat_tables([matched, pad_t])
         return matched if matched is not None else empty_out()
 

@@ -1019,6 +1019,34 @@ def _orders_lineitem_sides(sf_dir: str, mode: str):
     )
 
 
+def q_orders_full_customer(sf_dir: str):
+    """Full outer join (hash_join mode="full"): every order x customer
+    match plus customers with no orders, padded (left-pads impossible
+    here — every order has a customer — which the oracle confirms).
+    Nulls coalesced to -1 on both sides for the value-hash compare
+    (same NaN!=NaN rule as orders_left_lineitem).  Oracle: DuckDB FULL
+    JOIN with identical coalesces."""
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    left = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    right = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_acctbal"])
+    ds = hash_join(left, right, left_on="o_custkey", right_on="c_custkey",
+                   right_cols=["c_acctbal"], n_buckets=16, mode="full")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        out = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            out[name] = pc.fill_null(col, -1)
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_orders_without_lineitem(sf_dir: str):
     """Anti join (hash_join mode="anti"): orders with no lineitem rows.
     The membership side ships only its key column through the exchange —
@@ -1504,6 +1532,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "order_lineitem_join": q_order_lineitem_join,
     "orders_without_lineitem": q_orders_without_lineitem,
+    "orders_full_customer": q_orders_full_customer,
     "orders_semi_lineitem": q_orders_semi_lineitem,
     "orders_left_lineitem": q_orders_left_lineitem,
     "user_sessions": q_user_sessions,
@@ -1799,6 +1828,14 @@ ORACLE_SQL = {
     "orders_without_lineitem": """
         select o_orderkey, o_orderstatus, o_totalprice from orders o
         where not exists (select 1 from lineitem l where l.l_orderkey = o.o_orderkey)
+    """,
+    "orders_full_customer": """
+        select coalesce(o.o_orderkey, -1) as o_orderkey,
+               coalesce(o.o_custkey, -1) as o_custkey,
+               coalesce(o.o_totalprice, -1) as o_totalprice,
+               coalesce(c.c_acctbal, -1) as r_c_acctbal,
+               coalesce(c.c_custkey, -1) as r_c_custkey
+        from orders o full join customer c on o.o_custkey = c.c_custkey
     """,
     "orders_semi_lineitem": """
         select o_orderkey, o_orderstatus, o_totalprice from orders o

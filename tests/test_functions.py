@@ -893,3 +893,48 @@ def test_kll_quantiles_distributed_merge(ray_session):
         assert (out.n == n).all()
         for q, est in zip(out.q, out.est):
             assert _rank_err(sv, est, q) <= 0.02, (nblocks, q)
+
+
+def test_hash_join_full_mode(ray_session):
+    """FULL outer join vs a hand-built expectation: inner matches plus
+    left pads plus right pads; null keys on either side are emitted
+    unmatched and never match each other (SQL semantics, unlike
+    pandas' NaN==NaN merge)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fileconvert_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(23)
+    lk = [int(x) for x in rng.integers(0, 30, 200)]      # keys 0..29
+    left = pa.table({
+        "lkey": pa.array(lk + [None], type=pa.int64()),
+        "lval": np.arange(201),
+    })
+    rk = [int(x) for x in rng.integers(15, 45, 150)]     # keys 15..44
+    right = pa.table({
+        "rkey": pa.array(rk + [None, None], type=pa.int64()),
+        "rval": np.arange(152) * 10,
+    })
+    got = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_on="lkey", right_on="rkey", right_cols=["rval"],
+        n_buckets=4, mode="full",
+    ).to_pandas()
+
+    lpd, rpd = left.to_pandas(), right.to_pandas()
+    lv, rv = lpd.dropna(subset=["lkey"]), rpd.dropna(subset=["rkey"])
+    inner = lv.merge(rv, left_on="lkey", right_on="rkey")
+    lpad = lpd[~lpd.lkey.isin(set(rv.rkey))]
+    rpad = rpd[~rpd.rkey.isin(set(lv.lkey))]
+    exp_rows = len(inner) + len(lpad) + len(rpad)
+    assert len(got) == exp_rows
+    # every inner match present with both key columns equal
+    m = got.dropna(subset=["lkey", "r_rkey"])
+    assert (m.lkey == m.r_rkey).all() and len(m) == len(inner)
+    # pads carry exactly one side (select on value columns: pad KEYS
+    # are legitimately null for the null-key rows)
+    gl = got[got.lval.notna() & got.r_rval.isna()]
+    assert sorted(gl.lval) == sorted(lpad.lval)
+    gr = got[got.lval.isna()]
+    assert sorted(gr.r_rval) == sorted(rpad.rval)
