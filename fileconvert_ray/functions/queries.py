@@ -191,6 +191,62 @@ def q_token_idf(sf_dir: str):
     return t.append_column("idf", pa.array(idf, type=pa.float64()))
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction
+    pipeline: the O(vocab) df table broadcasts (one ray.put), and the
+    per-doc pass is embarrassingly parallel (per-doc term counts via
+    one np.unique over packed (row, token) keys, per-doc top-k via one
+    lexsort + segment-head scan — no shuffle, no per-row Python).
+    score = tf_count * ln(N/df), rounded to 9 decimals BEFORE ranking
+    on both sides so a libm ULP difference cannot flip an ordering;
+    ties break by token ascending.  Oracle: count CTE + row_number
+    window with the identical rounded ranking key."""
+    import ray
+    import ray.data as rd
+
+    K = 3
+    ds = tokseq_dataset(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    dft = q_token_idf(sf_dir)  # (token, df, idf) — O(vocab)
+    toks = dft.column("token").to_numpy().astype(np.int64)
+    lut = np.zeros(int(toks.max()) + 1, dtype=np.float64)
+    lut[toks] = np.log(float(n_docs) / dft.column("df").to_numpy().astype(np.float64))
+    lut_ref = ray.put(lut)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = pc.cast(batch.column("n_tok"), pa.int64()).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        keys, cnts = np.unique(row << np.int64(32) | flat, return_counts=True)
+        krow = keys >> np.int64(32)
+        ktok = keys & np.int64(0xFFFFFFFF)
+        score = np.round(cnts * lu[ktok], 9)
+        # per-doc top-K: sort by (row asc, score desc, token asc), take
+        # the first K of each row segment
+        order = np.lexsort((ktok, -score, krow))
+        krow_s, ktok_s = krow[order], ktok[order]
+        score_s, cnt_s = score[order], cnts[order]
+        seg_start = np.concatenate(([True], krow_s[1:] != krow_s[:-1]))
+        pos = np.arange(len(krow_s)) - np.maximum.accumulate(
+            np.where(seg_start, np.arange(len(krow_s)), 0)
+        )
+        keep = pos < K
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[krow_s[keep]]),
+            "token": pa.array(ktok_s[keep]),
+            "cnt": pa.array(cnt_s[keep].astype(np.int64)),
+            "score": pa.array(np.round(score_s[keep], 6)),
+            "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+
+
 DOC_LEN_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -1503,6 +1559,7 @@ QUERIES = {
     "doc_len_quantiles": q_doc_len_quantiles,
     "stratified_sample": q_stratified_sample,
     "token_idf": q_token_idf,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "distinct_sources": q_distinct_sources,
     "top_docs_by_len": q_top_docs_by_len,
@@ -1707,6 +1764,23 @@ ORACLE_SQL = {
     """,
     "csv_export_roundtrip": """
         select doc_id, text, lang, source, n_chars from documents
+    """,
+    "tfidf_top_terms": _VOCAB_CTE
+    + """,
+    d as (select doc_id, unnest(string_split(text, ' ')) as w1 from documents),
+    c as (select doc_id, w1, cast(count(*) as bigint) as cnt from d group by doc_id, w1),
+    dfx as (select w1, cast(count(distinct doc_id) as bigint) as df from d group by w1),
+    n as (select cast(count(*) as double) as n from documents),
+    s as (select c.doc_id, v.token, c.cnt,
+                 round(c.cnt * ln(n.n / dfx.df), 9) as rscore
+          from c join v on c.w1 = v.word join dfx on c.w1 = dfx.w1 cross join n),
+    r as (select doc_id, token, cnt, rscore,
+                 row_number() over (partition by doc_id
+                                    order by rscore desc, token asc) as rank
+          from s)
+    select doc_id, cast(token as bigint) as token, cnt,
+           round(rscore, 6) as score, cast(rank as bigint) as rank
+    from r where rank <= 3
     """,
     "token_pmi": _VOCAB_CTE
     + """,
