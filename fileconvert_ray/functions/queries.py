@@ -703,6 +703,33 @@ def q_events_rolling_avg(sf_dir: str):
     return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
 
 
+def q_bloom_orders_filter(sf_dir: str):
+    """Bloom-filter semi-join: a distributed OR-merged Bloom filter
+    over lineitem.l_orderkey (sketch-sized shuffle: one m/8-byte
+    bitmap row per batch) broadcasts once, and orders are filtered by
+    a vectorized k-probe membership test — the classic "ship a filter,
+    not the keys" pre-join at 100 TB.  No false negatives by
+    construction; m = 2^22 bits for ~2^4 k keys puts the false-positive
+    probability ~1e-9, so the deterministic output equals the exact
+    EXISTS set and the DuckDB oracle applies (a property test covers
+    the FPR bound at adversarial sizing)."""
+    import ray
+    import ray.data as rd
+
+    from .sketches import bloom_build, bloom_contains
+
+    right = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    bm_ref = ray.put(bloom_build(right, "l_orderkey", m_bits=1 << 22, k=4))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keep = bloom_contains(ray.get(bm_ref), batch.column("o_orderkey"), k=4)
+        return batch.filter(pa.array(keep))
+
+    left = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"])
+    return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_kll_value_quantiles(sf_dir: str):
     """Approximate event-value quantiles from a shuffle-merged KLL
     compactor sketch (functions/sketches.py) — the unbounded-domain
@@ -1600,6 +1627,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "token_pmi": q_token_pmi,
     "kll_value_quantiles": q_kll_value_quantiles,
+    "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
     "top_events_per_user": q_top_events_per_user,
     "events_in_windows": q_events_in_windows,
@@ -1764,6 +1792,10 @@ ORACLE_SQL = {
     """,
     "csv_export_roundtrip": """
         select doc_id, text, lang, source, n_chars from documents
+    """,
+    "bloom_orders_filter": """
+        select o_orderkey, o_totalprice from orders o
+        where exists (select 1 from lineitem l where l.l_orderkey = o.o_orderkey)
     """,
     "tfidf_top_terms": _VOCAB_CTE
     + """,

@@ -324,3 +324,78 @@ def kll_quantiles(ds, value_col: str, qs: list[float], *, k: int = 256,
         "est": pa.array(np.array([final.quantile(q) for q in qs])),
         "n": pa.array(np.full(len(qs), n, dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------- bloom filter
+
+# Classic Bloom filter as a Ray Data aggregate (Bloom 1970): each
+# batch reduces to ONE m/8-byte partial bitmap row, the groupby merges
+# bitmaps with an elementwise OR (associative/commutative, so any merge
+# tree works), and membership probes are vectorized bit tests — the
+# membership companion to the HLL/MG/KLL sketches above.  k probe
+# positions come from double hashing (Kirsch-Mitzenmatcher 2006):
+# pos_i = (h1 + i*h2) mod m, so one 64-bit hash per value suffices.
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) probe positions from one uint64 hash per value."""
+    h1 = h % np.uint64(m_bits)
+    with np.errstate(over="ignore"):
+        h2 = (splitmix64(h) | np.uint64(1)) % np.uint64(m_bits)  # odd-ish step
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _col_hash_u64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return hash_strings_u64(col)
+    v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return splitmix64(v)
+
+
+def bloom_build(ds, col: str, *, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Build a Bloom filter over ``col`` distributed: per-batch partial
+    bitmaps (m/8 bytes each) OR-merge through one tiny groupby.  Rows
+    moved are O(batches x m/8) — sketch-sized, independent of row
+    count.  Returns the final bitmap (np.uint8[m/8]); NO false
+    negatives by construction, false-positive rate ~ (1-e^{-kn/m})^k.
+    """
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _col_hash_u64(batch.column(col))
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        if len(h):
+            pos = _bloom_positions(h, m_bits, k).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.Table.from_pydict({"g": pa.array([0]), "bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        bms = group.column("bm").to_pylist()
+        out = np.zeros(nbytes, dtype=np.uint8)
+        for b in bms:
+            out |= np.frombuffer(b, dtype=np.uint8)
+        return pa.Table.from_pydict({"g": pa.array([0]), "bm": pa.array([out.tobytes()], type=pa.binary())})
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()  # exactly one m/8-byte row
+    )
+    return np.frombuffer(rows[0]["bm"], dtype=np.uint8).copy()
+
+
+def bloom_contains(bitmap: np.ndarray, col, *, k: int = 4) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set
+    (maybe-present); False = definitely absent."""
+    m_bits = len(bitmap) * 8
+    h = _col_hash_u64(col)
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(h, m_bits, k)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)

@@ -938,3 +938,31 @@ def test_hash_join_full_mode(ray_session):
     assert sorted(gl.lval) == sorted(lpad.lval)
     gr = got[got.lval.isna()]
     assert sorted(gr.r_rval) == sorted(rpad.rval)
+
+
+def test_bloom_filter_properties(ray_session):
+    """Bloom filter: ZERO false negatives by construction (all inserted
+    keys probe positive through the distributed OR-merge), and the
+    false-positive rate on definite non-members stays under 2x the
+    analytic (1-e^{-kn/m})^k bound at adversarial sizing."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.sketches import bloom_build, bloom_contains
+
+    rng = np.random.default_rng(29)
+    members = np.unique(rng.integers(0, 1 << 40, 20_000))
+    ds = rd.from_arrow(pa.table({"key": members})).repartition(7)
+    m_bits, k = 1 << 18, 4  # deliberately tight: kn/m ~ 0.3
+    bm = bloom_build(ds, "key", m_bits=m_bits, k=k)
+
+    assert bloom_contains(bm, pa.array(members), k=k).all()  # no false negatives
+
+    non = np.setdiff1d(rng.integers(0, 1 << 40, 50_000), members)
+    fpr = bloom_contains(bm, pa.array(non), k=k).mean()
+    bound = (1 - np.exp(-k * len(members) / m_bits)) ** k
+    assert fpr <= 2 * bound, (fpr, bound)
+
+    # string keys route through hash_strings_u64
+    sds = rd.from_arrow(pa.table({"key": [f"k{i}" for i in range(1000)]}))
+    sbm = bloom_build(sds, "key", m_bits=1 << 16, k=4)
+    assert bloom_contains(sbm, pa.array([f"k{i}" for i in range(1000)]), k=4).all()
