@@ -1434,6 +1434,72 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_user_retention(sf_dir: str):
+    """Hour-over-hour retention: per hour h, how many distinct users
+    were active in BOTH h-1 and h — the standard engagement metric.
+    Shape: per-batch distinct (hour, user) partials (one np.unique over
+    void rows), one groupby to global-distinct the pairs, then each
+    pair re-emits itself tagged 1 ("active at h") and its successor
+    hour tagged 2 ("was active at h-1"); a second groupby sums tags —
+    3 means both — and a final tiny count per hour.  Everything moved
+    is O(distinct user-hours), never O(events).  Oracle: self-join of
+    the distinct user-hour set on (user, h-1)."""
+    import ray.data as rd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hour = micros // 3_600_000_000
+        user = pc.cast(batch.column("user_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        hu = np.ascontiguousarray(np.stack([hour, user], axis=1))
+        uniq = np.unique(hu.view([("", np.int64)] * 2)).view(np.int64).reshape(-1, 2)
+        return pa.Table.from_pydict({"h": pa.array(uniq[:, 0]), "u": pa.array(uniq[:, 1])})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    dist = (
+        ev.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["h", "u"]).count()  # global distinct user-hours
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "h": pa.array(np.concatenate([h, h + 1])),
+            "u": pa.array(np.concatenate([u, u])),
+            "flag": pa.array(np.concatenate([
+                np.ones(len(h), dtype=np.int64),
+                np.full(len(h), 2, dtype=np.int64),
+            ])),
+        })
+
+    def count_retained(group: pa.Table) -> pa.Table:
+        f = group.column("flag").to_numpy(zero_copy_only=False)
+        # distinct pairs => at most one row per tag; 3 = active both hours
+        n = int((f == 3).sum())
+        if n == 0:
+            return pa.Table.from_pydict(
+                {"h": [], "retained": []},
+                schema=pa.schema([("h", pa.int64()), ("retained", pa.int64())]),
+            )
+        return pa.Table.from_pydict({
+            "h": [group.column("h")[0].as_py()], "retained": [n],
+        })
+
+    both = (
+        dist.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["h", "u"]).sum("flag")
+        .map_batches(
+            lambda b: pa.Table.from_pydict({
+                "h": b.column("h"), "flag": b.column("sum(flag)")
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .map_groups(count_retained, batch_format="pyarrow")
+    )
+    return both
+
+
 def q_events_sliding(sf_dir: str):
     """Windowed aggregate: trailing-24h event count per (type, hour).
     Distributed part = the hourly pre-aggregation (O(rows) -> O(types x
@@ -1613,6 +1679,7 @@ QUERIES = {
     "orders_per_nation": q_orders_per_nation,
     "high_value_orders": q_high_value_orders,
     "events_hourly": q_events_hourly,
+    "user_retention": q_user_retention,
     "events_asof": q_events_asof,
     "order_lineitem_join": q_order_lineitem_join,
     "orders_without_lineitem": q_orders_without_lineitem,
@@ -2004,6 +2071,14 @@ ORACLE_SQL = {
                cast(floor(epoch(ts) / 3600) as bigint) as hour,
                cast(count(*) as bigint) as n
         from events group by event_type, hour
+    """,
+    "user_retention": """
+        with hu as (select distinct cast(floor(epoch(ts) / 3600) as bigint) as h,
+                                    user_id as u
+                    from events)
+        select a.h, cast(count(*) as bigint) as retained
+        from hu a join hu b on a.u = b.u and b.h = a.h - 1
+        group by a.h
     """,
     "events_sliding": """
         with h as (
