@@ -1500,6 +1500,37 @@ def q_user_retention(sf_dir: str):
     return both
 
 
+def q_user_funnel(sf_dir: str):
+    """Strict-order conversion funnel per user: stage 1 = viewed,
+    2 = clicked AFTER first view, 3 = purchased AFTER that click (each
+    step's clock starts at the previous step's first qualifying event).
+    One groupby(user) shuffle; per group the three steps are min-scans
+    over the type-partitioned timestamp arrays — constant work per
+    user, vectorized within.  Oracle: three chained min-join CTEs."""
+    import ray.data as rd
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("stage", pa.int64())])
+
+    def funnel(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        stage = 0
+        vt = ts[et == "view"]
+        if len(vt):
+            stage, t0 = 1, vt.min()
+            ct = ts[(et == "click") & (ts > t0)]
+            if len(ct):
+                stage, t1 = 2, ct.min()
+                if ((et == "purchase") & (ts > t1)).any():
+                    stage = 3
+        uid = group.column("user_id")[0].as_py()
+        return pa.Table.from_pydict({"user_id": [uid], "stage": [stage]}, schema=out_schema)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return ev.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+
+
 def q_events_sliding(sf_dir: str):
     """Windowed aggregate: trailing-24h event count per (type, hour).
     Distributed part = the hourly pre-aggregation (O(rows) -> O(types x
@@ -1680,6 +1711,7 @@ QUERIES = {
     "high_value_orders": q_high_value_orders,
     "events_hourly": q_events_hourly,
     "user_retention": q_user_retention,
+    "user_funnel": q_user_funnel,
     "events_asof": q_events_asof,
     "order_lineitem_join": q_order_lineitem_join,
     "orders_without_lineitem": q_orders_without_lineitem,
@@ -2071,6 +2103,25 @@ ORACLE_SQL = {
                cast(floor(epoch(ts) / 3600) as bigint) as hour,
                cast(count(*) as bigint) as n
         from events group by event_type, hour
+    """,
+    "user_funnel": """
+        with u as (select distinct user_id from events),
+        v as (select user_id, min(ts) as t from events
+              where event_type = 'view' group by user_id),
+        c as (select e.user_id, min(e.ts) as t from events e
+              join v on e.user_id = v.user_id
+              where e.event_type = 'click' and e.ts > v.t group by e.user_id),
+        p as (select e.user_id, min(e.ts) as t from events e
+              join c on e.user_id = c.user_id
+              where e.event_type = 'purchase' and e.ts > c.t group by e.user_id)
+        select u.user_id,
+               cast(case when p.user_id is not null then 3
+                         when c.user_id is not null then 2
+                         when v.user_id is not null then 1
+                         else 0 end as bigint) as stage
+        from u left join v on u.user_id = v.user_id
+               left join c on u.user_id = c.user_id
+               left join p on u.user_id = p.user_id
     """,
     "user_retention": """
         with hu as (select distinct cast(floor(epoch(ts) / 3600) as bigint) as h,

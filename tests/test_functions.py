@@ -966,3 +966,33 @@ def test_bloom_filter_properties(ray_session):
     sds = rd.from_arrow(pa.table({"key": [f"k{i}" for i in range(1000)]}))
     sbm = bloom_build(sds, "key", m_bits=1 << 16, k=4)
     assert bloom_contains(sbm, pa.array([f"k{i}" for i in range(1000)]), k=4).all()
+
+
+def test_user_funnel_partial_stages(ray_session, tmp_path):
+    """Funnel stage logic on crafted users: never-viewed (0), view-only
+    (1), clicked before viewing (still 1 — strict order), view->click
+    (2), full path (3)."""
+    import pyarrow.parquet as pq_
+
+    from fileconvert_ray.functions.queries import q_user_funnel
+
+    def ev(uid, t, typ):
+        return {"event_id": t, "ts": t * 1_000_000, "user_id": uid,
+                "event_type": typ, "value": 1.0, "props": ""}
+
+    rows = [
+        ev(1, 10, "error"),                                   # stage 0
+        ev(2, 10, "view"),                                    # stage 1
+        ev(3, 5, "click"), ev(3, 10, "view"),                 # stage 1 (click too early)
+        ev(4, 10, "view"), ev(4, 20, "click"),                # stage 2
+        ev(4, 5, "purchase"),                                 # too early, ignored
+        ev(5, 1, "view"), ev(5, 2, "click"), ev(5, 3, "purchase"),  # stage 3
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(t.column_names.index("ts"),
+                     "ts", t.column("ts").cast(pa.timestamp("us")))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(t, str(d / "events.parquet"))
+    out = q_user_funnel(str(d)).to_pandas().sort_values("user_id")
+    assert out.stage.tolist() == [0, 1, 1, 2, 3]
