@@ -316,3 +316,19 @@ def test_partition_decode_streams_row_groups(tmp_path, monkeypatch):
     streamed = pa.concat_tables([first] + rest).combine_chunks().sort_by("doc_id")
     assert streamed.equals(whole)
     assert whole.num_rows == 2_000
+
+
+def test_encode_empty_input(ray_session, out_dir):
+    """A zero-row input is a no-op, not a crash: 0 partitions, 0
+    manifest entries, and verify over the empty output is trivially
+    complete (no silent ok=False rows)."""
+    import ray.data as rd
+
+    from fileconvert_ray.sources.tokseq import INPUT_SCHEMA
+
+    empty = pa.Table.from_pydict({f.name: [] for f in INPUT_SCHEMA}, schema=INPUT_SCHEMA)
+    m = run_encode(lambda: rd.from_arrow(empty), EncodeConfig(out_dir=out_dir)).to_pandas()
+    assert len(m) == 0
+    assert completed_partitions(out_dir) == set()
+    v = run_verify(lambda: rd.from_arrow(empty), out_dir).to_pandas()
+    assert len(v) == 0
