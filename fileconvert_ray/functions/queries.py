@@ -247,6 +247,71 @@ def q_tfidf_top_terms(sf_dir: str):
     return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_doc_len_percentile(sf_dir: str):
+    """percent_rank of every doc's token length within its source —
+    the per-record analogue of doc_len_quantiles, with NO global sort:
+    pass 1 reduces to a per-(source, len) histogram (O(sources x
+    distinct lens) — tiny, bounded domain), the driver turns it into
+    per-source cumulative-below tables, and pass 2 is a broadcast
+    lookup per batch.  pr = count(len < x) / (n - 1), the SQL
+    percent_rank definition, computed in exact ints then one rounded
+    division.  Oracle: the percent_rank window function itself."""
+    import ray
+
+    ds = tokseq_dataset(sf_dir)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        denc = src.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        si = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = pc.cast(batch.column("n_tok"), pa.int64()).to_numpy(zero_copy_only=False)
+        key = si * 1_000_000 + ln  # lens are small by construction
+        uk, cnt = np.unique(key, return_counts=True)
+        names = denc.dictionary.to_pylist()
+        return pa.Table.from_pydict({
+            "source": pa.array([names[int(k // 1_000_000)] for k in uk]),
+            "len": pa.array(uk % 1_000_000),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = _sum_groupby(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "len"], ["cnt"],
+    ).to_pandas()  # O(sources x distinct lens)
+    tables = {}
+    for src, sub in agg.groupby("source"):
+        sub = sub.sort_values("len")
+        lens = sub["len"].to_numpy(dtype=np.int64)
+        cnts = sub["cnt"].to_numpy(dtype=np.int64)
+        below = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+        tables[src] = (lens, below, int(cnts.sum()))
+    t_ref = ray.put(tables)
+
+    def pr(batch: pa.Table) -> pa.Table:
+        tabs = ray.get(t_ref)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        ln = pc.cast(batch.column("n_tok"), pa.int64()).to_numpy(zero_copy_only=False)
+        out = np.zeros(len(ln))
+        for s in np.unique(src):
+            lens, below, n = tabs[s]
+            m = src == s
+            idx = np.searchsorted(lens, ln[m])
+            out[m] = below[idx] / max(n - 1, 1)
+        out = np.floor(out * 1e6 + 0.5) / 1e6  # half-away, DuckDB round parity
+        return pa.Table.from_pydict({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "source": batch.column("source"),
+            "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+            "pr": pa.array(out),
+        })
+
+    return ds.map_batches(pr, batch_format="pyarrow", zero_copy_batch=True)
+
+
 DOC_LEN_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -1434,6 +1499,30 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_hourly_approx_users(sf_dir: str):
+    """Distinct users per hour via the mergeable HLL sketch — the
+    windowed-sketch composition (per-hour registers, max-merge
+    groupby): shuffle moves O(hours x 2^p) bytes regardless of event
+    count.  At these per-hour cardinalities (<< 2^p) the estimator is
+    in its linear-counting regime; the property test pins the error
+    envelope and rows-only covers the randomized estimate."""
+    import ray.data as rd
+
+    from .sketches import hll_distinct_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def hourly(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "hour": pa.array((micros // 3_600_000_000).astype(np.int64)),
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+        })
+
+    wide = ds.map_batches(hourly, batch_format="pyarrow", zero_copy_batch=True)
+    return hll_distinct_by(wide, "hour", "user_id", p=14)
+
+
 def q_user_retention(sf_dir: str):
     """Hour-over-hour retention: per hour h, how many distinct users
     were active in BOTH h-1 and h — the standard engagement metric.
@@ -1681,6 +1770,7 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "token_bigrams": q_token_bigrams,
     "doc_len_quantiles": q_doc_len_quantiles,
+    "doc_len_percentile": q_doc_len_percentile,
     "stratified_sample": q_stratified_sample,
     "token_idf": q_token_idf,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1712,6 +1802,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "user_retention": q_user_retention,
     "user_funnel": q_user_funnel,
+    "hourly_approx_users": q_hourly_approx_users,
     "events_asof": q_events_asof,
     "order_lineitem_join": q_order_lineitem_join,
     "orders_without_lineitem": q_orders_without_lineitem,
@@ -2103,6 +2194,14 @@ ORACLE_SQL = {
                cast(floor(epoch(ts) / 3600) as bigint) as hour,
                cast(count(*) as bigint) as n
         from events group by event_type, hour
+    """,
+    "doc_len_percentile": """
+        with t as (select doc_id, source,
+                          cast(len(string_split(text, ' ')) as bigint) as n_tok
+                   from documents)
+        select doc_id, source, n_tok,
+               round(percent_rank() over (partition by source order by n_tok), 6) as pr
+        from t
     """,
     "user_funnel": """
         with u as (select distinct user_id from events),

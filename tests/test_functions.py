@@ -996,3 +996,23 @@ def test_user_funnel_partial_stages(ray_session, tmp_path):
     pq_.write_table(t, str(d / "events.parquet"))
     out = q_user_funnel(str(d)).to_pandas().sort_values("user_id")
     assert out.stage.tolist() == [0, 1, 1, 2, 3]
+
+
+def test_hourly_approx_users_matches_exact(ray_session, sf_dir):
+    """hourly_approx_users (HLL p=14) vs exact per-hour distinct: at
+    sf0.001 every hour's cardinality is far inside the linear-counting
+    regime, so estimates should be within 2% (usually exact)."""
+    import duckdb
+
+    from fileconvert_ray.functions.queries import q_hourly_approx_users
+
+    est = q_hourly_approx_users(sf_dir).to_pandas().set_index("hour")["approx_distinct"]
+    exact = duckdb.sql(
+        f"""select cast(floor(epoch(ts) / 3600) as bigint) as hour,
+                   count(distinct user_id) as n
+            from read_parquet('{sf_dir}/events.parquet') group by 1"""
+    ).df().set_index("hour")["n"]
+    assert len(est) == len(exact)
+    for h, n in exact.items():
+        err = abs(int(est[h]) - int(n)) / max(1, int(n))
+        assert err < 0.02, (h, int(est[h]), int(n))
