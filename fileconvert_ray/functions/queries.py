@@ -23,6 +23,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -312,6 +313,65 @@ def q_doc_len_percentile(sf_dir: str):
     return ds.map_batches(pr, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc unigram cross-entropy vs the corpus LM — the classic
+    cheap perplexity proxy for training-data quality scoring: docs of
+    rare tokens score high, boilerplate scores low.
+
+    Two passes, both streaming: (1) corpus token counts — per-batch
+    np.unique partial, groupby-sum moves O(vocab) rows; (2) the
+    O(vocab) -ln p LUT is broadcast once via ray.put and every doc's
+    mean surprisal is a flat `take` + np.add.reduceat over its token
+    offsets.  No (doc, token) pair ever crosses the exchange.  Oracle:
+    unnest + count + avg(ln) in SQL, rounded to 6 dp on both sides."""
+    import ray
+
+    ds = tokseq_dataset(sf_dir)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        tok, c = np.unique(flat, return_counts=True)
+        return pa.Table.from_pydict(
+            {"token": pa.array(tok), "c": pa.array(c.astype(np.int64))}
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], ["c"],
+    ).to_pandas()  # O(vocab) rows
+    vocab_hi = int(agg["token"].max()) + 1
+    total = float(agg["c"].sum())
+    neg_logp = np.zeros(vocab_hi, dtype=np.float64)
+    neg_logp[agg["token"].to_numpy(dtype=np.int64)] = np.log(total) - np.log(
+        agg["c"].to_numpy(dtype=np.float64)
+    )
+    lut_ref = ray.put(neg_logp)
+
+    def xent(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        sums = np.add.reduceat(lut[flat], starts) if len(flat) else np.zeros(0)
+        sums = np.where(n_tok > 0, sums, 0.0)  # reduceat repeats on empty segments
+        x = sums / np.maximum(n_tok, 1)
+        x = np.floor(x * 1e6 + 0.5) / 1e6  # half-away, DuckDB round parity
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "xent": pa.array(x),
+            }
+        )
+
+    return ds.map_batches(xent, batch_format="pyarrow", zero_copy_batch=True)
+
+
 DOC_LEN_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -359,6 +419,93 @@ def q_doc_len_quantiles(sf_dir: str):
         {
             "source": pa.array(rows["source"], type=pa.string()),
             **{name: pa.array(rows[name], type=pa.int64()) for name in qnames},
+        }
+    )
+
+
+PRICE_QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.99)
+_PQ_BUCKETS = 1 << 16
+
+
+def q_price_quantiles(sf_dir: str):
+    """EXACT quantiles of a continuous double column (l_extendedprice)
+    with no global sort — the selection problem at 100 TB.
+
+    doc_len_quantiles exploits a bounded value domain; a continuous
+    column has none, so this uses histogram refinement instead:
+    pass 1 computes min/max, pass 2 bins every value into 2^16 equal
+    buckets (per-batch np.bincount partial -> groupby-sum moves
+    O(buckets) rows), the driver's cumsum locates the bucket holding
+    each target rank, and pass 3 collects ONLY the values inside those
+    buckets (~n/2^16 rows each) with a pushed-down filter and selects
+    the exact order statistic in memory.  Three streaming scans,
+    O(buckets) driver state, zero shuffle of data rows.  Rank rule:
+    sorted[ceil(q*n)-1] — DuckDB percentile_disc; returned values are
+    actual elements, so the float compare is exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    path = f"{sf_dir}/lineitem.parquet"
+
+    def scan():
+        return rd.read_parquet(path, columns=["l_extendedprice"])
+
+    stats = scan().aggregate(Min("l_extendedprice"), Max("l_extendedprice"))
+    lo, hi = float(stats["min(l_extendedprice)"]), float(stats["max(l_extendedprice)"])
+    width = (hi - lo) / _PQ_BUCKETS or 1.0
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, _PQ_BUCKETS - 1)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(ub), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    h = (
+        _sum_groupby(
+            scan().map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+            ["bucket"], ["cnt"],
+        )
+        .to_pandas()
+        .sort_values("bucket")
+    )  # O(buckets) rows
+    buckets = h["bucket"].to_numpy(dtype=np.int64)
+    cum = h["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1])
+    # target rank -> (bucket, rank within bucket), all on the tiny histogram
+    want: dict[int, list[tuple[float, int]]] = {}
+    for q in PRICE_QUANTILES:
+        rank = max(int(np.ceil(q * n)), 1)  # 1-indexed global order statistic
+        i = int(np.searchsorted(cum, rank))
+        before = int(cum[i - 1]) if i else 0
+        want.setdefault(int(buckets[i]), []).append((q, rank - before))
+    need = sorted(want)
+    lo_edges = [lo + b * width for b in need]
+
+    def grab(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, _PQ_BUCKETS - 1)
+        m = np.isin(b, need)
+        return pa.Table.from_pydict({"v": pa.array(v[m]), "b": pa.array(b[m])})
+
+    got = (
+        scan()
+        .filter(expr=f"l_extendedprice >= {min(lo_edges)}")  # row-group pruning
+        .map_batches(grab, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ~len(need) * n / 2^16 rows — tiny by construction
+    )
+    out_q, out_v = [], []
+    for b, targets in want.items():
+        vals = np.sort(got.loc[got["b"] == b, "v"].to_numpy())
+        for q, r in targets:
+            out_q.append(q)
+            out_v.append(float(vals[r - 1]))
+    order = np.argsort(out_q)
+    return pa.Table.from_pydict(
+        {
+            "q": pa.array(np.asarray(out_q)[order], type=pa.float64()),
+            "value": pa.array(np.asarray(out_v)[order], type=pa.float64()),
         }
     )
 
@@ -443,6 +590,53 @@ def q_lang_stats(sf_dir: str):
         ),
         ["lang"],
         ["n_docs"],
+    )
+
+
+def q_source_lang_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): doc count + char sum at three
+    grains — (source, lang), (source), and grand total.  Scale shape:
+    ONE distributed groupby at the finest grain; the coarser levels
+    are derived from that O(sources x langs) table on the driver, so
+    no extra pass and no second shuffle (the standard OLAP rollup
+    trick).  Null grouping slots are the literal 'ALL' so the value
+    hash can't trip on NULL/NaN.  Oracle: DuckDB ROLLUP with the same
+    coalesce."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            }
+        )
+
+    fine = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"], ["n_docs", "sum_chars"],
+    ).to_pandas()  # O(sources x langs)
+    per_source = (
+        fine.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+        .assign(lang="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "source": ["ALL"],
+            "lang": ["ALL"],
+            "n_docs": [fine["n_docs"].sum()],
+            "sum_chars": [fine["sum_chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, per_source, total], ignore_index=True)
+    return pa.Table.from_pandas(
+        out[["source", "lang", "n_docs", "sum_chars"]], preserve_index=False
     )
 
 
@@ -1228,6 +1422,91 @@ def q_orders_left_lineitem(sf_dir: str):
     return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
+SHIP_CUTOFF = "1998-06-01"
+SHIP_SEGMENT = "BUILDING"
+SHIP_TOP_K = 10
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: the canonical multi-join analytics pipeline —
+    customer (segment filter) ⋈ orders (date filter) ⋈ lineitem (date
+    filter) -> revenue per order -> global top-10.
+
+    Scale composition: the customer membership check is a SEMI
+    hash_join (only the customer key column crosses that exchange);
+    the orders side then meets lineitem in one INNER hash_join (both
+    sides big).  Filters are applied before every exchange, reads are
+    column-pruned, revenue is summed in exact 1e-4-dollar int64 units
+    (cents x discount-complement-cents) so the float compare can't
+    drift, and the global top-10 is per-batch partial top-k -> a tiny
+    driver merge — the aggregated table never sorts globally.  Oracle:
+    the literal Q3 SQL with the same integer revenue."""
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    cutoff = np.datetime64(SHIP_CUTOFF).astype("datetime64[us]").astype(np.int64)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == SHIP_SEGMENT),  # row-group pushdown
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(np.datetime64(SHIP_CUTOFF, "us"))),
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    building_orders = hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_custkey"], n_buckets=16, mode="semi",
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        m = ship > cutoff
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        dcomp = np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64())
+                .to_numpy(zero_copy_only=False)[m],
+                "rev_e4": pa.array(cents * dcomp),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        building_orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderdate"], n_buckets=32,
+    )
+    per_order = _sum_groupby(joined, ["l_orderkey", "r_o_orderdate"], ["rev_e4"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        rv = batch.column("rev_e4").to_numpy(zero_copy_only=False)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -rv))[:SHIP_TOP_K]
+        return batch.take(pa.array(order))
+
+    top = (
+        per_order.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(blocks x k) rows
+        .sort_values(["rev_e4", "l_orderkey"], ascending=[False, True])
+        .head(SHIP_TOP_K)
+        .rename(columns={"r_o_orderdate": "o_orderdate"})
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def q_events_in_windows(sf_dir: str):
     """Range join: every event inside the 30-minute window following
     any purchase by the same user (functions/joins.py interval_join —
@@ -1770,9 +2049,11 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "token_bigrams": q_token_bigrams,
     "doc_len_quantiles": q_doc_len_quantiles,
+    "price_quantiles": q_price_quantiles,
     "doc_len_percentile": q_doc_len_percentile,
     "stratified_sample": q_stratified_sample,
     "token_idf": q_token_idf,
+    "token_entropy": q_token_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "distinct_sources": q_distinct_sources,
@@ -1782,6 +2063,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_regex": q_token_count_regex,
     "lang_stats": q_lang_stats,
+    "source_lang_rollup": q_source_lang_rollup,
     "lang_id": q_lang_id,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1805,6 +2087,7 @@ QUERIES = {
     "hourly_approx_users": q_hourly_approx_users,
     "events_asof": q_events_asof,
     "order_lineitem_join": q_order_lineitem_join,
+    "shipping_priority": q_shipping_priority,
     "orders_without_lineitem": q_orders_without_lineitem,
     "orders_full_customer": q_orders_full_customer,
     "orders_semi_lineitem": q_orders_semi_lineitem,
@@ -1876,6 +2159,47 @@ ORACLE_SQL = {
            percentile_disc(0.90) within group (order by n_chars) as p90,
            percentile_disc(0.99) within group (order by n_chars) as p99
     from documents group by source
+    """,
+    "price_quantiles": """
+    select * from (
+        select 0.01 as q, percentile_disc(0.01) within group (order by l_extendedprice) as value from lineitem
+        union all
+        select 0.25, percentile_disc(0.25) within group (order by l_extendedprice) from lineitem
+        union all
+        select 0.50, percentile_disc(0.50) within group (order by l_extendedprice) from lineitem
+        union all
+        select 0.75, percentile_disc(0.75) within group (order by l_extendedprice) from lineitem
+        union all
+        select 0.99, percentile_disc(0.99) within group (order by l_extendedprice) from lineitem
+    ) order by q
+    """,
+    "token_entropy": """
+    with tok as (select doc_id, unnest(string_split(text, ' ')) as word from documents),
+    f as (select word, cast(count(*) as double) as c from tok group by word),
+    n as (select cast(count(*) as double) as total from tok)
+    select t.doc_id, round(avg(ln(n.total) - ln(f.c)), 6) as xent
+    from tok t join f using (word), n
+    group by t.doc_id
+    """,
+    "source_lang_rollup": """
+    select coalesce(source, 'ALL') as source, coalesce(lang, 'ALL') as lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as sum_chars
+    from documents group by rollup(source, lang)
+    """,
+    "shipping_priority": f"""
+    select l_orderkey, o_orderdate,
+           cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                    * cast(round((1 - l_discount) * 100) as bigint)) as bigint) as rev_e4
+    from customer
+    join orders on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = '{SHIP_SEGMENT}'
+      and o_orderdate < timestamp '{SHIP_CUTOFF}'
+      and l_shipdate > timestamp '{SHIP_CUTOFF}'
+    group by l_orderkey, o_orderdate
+    order by rev_e4 desc, l_orderkey
+    limit {SHIP_TOP_K}
     """,
     "distinct_sources": "select distinct source from documents",
     "top_docs_by_len": """

@@ -1016,3 +1016,26 @@ def test_hourly_approx_users_matches_exact(ray_session, sf_dir):
     for h, n in exact.items():
         err = abs(int(est[h]) - int(n)) / max(1, int(n))
         assert err < 0.02, (h, int(est[h]), int(n))
+
+
+def test_price_quantiles_edges(ray_session, tmp_path):
+    """Histogram-refinement exact quantiles: constant column (zero
+    range -> width fallback) and a duplicate-heavy skewed column must
+    both return actual elements at the percentile_disc ranks."""
+    import pyarrow.parquet as pq_
+
+    from fileconvert_ray.functions.queries import PRICE_QUANTILES, q_price_quantiles
+
+    d1 = tmp_path / "const"; d1.mkdir()
+    pq_.write_table(pa.table({"l_extendedprice": [7.5] * 100}), str(d1 / "lineitem.parquet"))
+    out = q_price_quantiles(str(d1)).to_pandas()
+    assert (out["value"] == 7.5).all() and len(out) == len(PRICE_QUANTILES)
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([np.full(5000, 10.0), rng.uniform(0, 1000, 5000)])
+    d2 = tmp_path / "skew"; d2.mkdir()
+    pq_.write_table(pa.table({"l_extendedprice": vals}), str(d2 / "lineitem.parquet"))
+    out = q_price_quantiles(str(d2)).to_pandas().set_index("q")["value"]
+    sv = np.sort(vals)
+    for q in PRICE_QUANTILES:
+        assert out[q] == sv[max(int(np.ceil(q * len(sv))), 1) - 1], q
