@@ -1041,6 +1041,86 @@ def q_token_pmi(sf_dir: str):
     return q_token_bigrams(sf_dir).map_batches(pmi, batch_format="pyarrow")
 
 
+def q_bigram_lm_score(sf_dir: str):
+    """Per-document add-one-smoothed bigram LM log-score — the
+    model-based quality-filter shape (CCNet/KenLM style): train an
+    n-gram LM on the corpus, score every document by its mean
+    log P(t_i | t_{i-1}), keep/weight docs by score.
+
+    Two composed stages, no new exchange: (1) the existing
+    O(distinct-bigrams) partial-count pipeline trains the model (at a
+    web-scale vocab the broadcast model is pruned to counts >= 2 or
+    CM-sketched first — here exact and tiny); (2) the model ships once
+    via ray.put and scoring is embarrassingly parallel.  Float-parity
+    discipline: each pair's log-prob is rounded to 6 decimals and
+    scaled to an int64 "micronat", per-doc sums are integer-exact
+    (np.add.at), so summation ORDER cannot flip the final rounding —
+    the one double division happens once per doc on both sides.
+    """
+    import ray
+
+    from ..sources.tokseq import build_vocab
+
+    big = pa.Table.from_pandas(q_token_bigrams(sf_dir).to_pandas(), preserve_index=False)
+    t1 = big.column("t1").to_numpy().astype(np.int64)
+    t2 = big.column("t2").to_numpy().astype(np.int64)
+    c12 = big.column("cnt").to_numpy().astype(np.int64)
+    keys = t1 << np.int64(32) | t2
+    order = np.argsort(keys)
+    keys, c12 = keys[order], c12[order]
+    vmax = int(t1.max()) + 1 if len(t1) else 1
+    ctx = np.zeros(vmax, dtype=np.int64)
+    np.add.at(ctx, t1, c12)  # = count of t1 in non-final position
+    n_vocab = float(len(build_vocab(sf_dir)))  # V in add-one smoothing
+    model = ray.put((keys, c12, ctx, n_vocab))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys_s, c12_s, ctx_s, V = ray.get(model)
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.clip(n_tok - 1, 0, None)
+        keep = pairs > 0
+        if len(flat) < 2 or not keep.any():
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_pairs": pa.array([], type=pa.int64()),
+                    "lm_score": pa.array([], type=pa.float64()),
+                }
+            )
+        key = flat[:-1] << np.int64(32) | flat[1:]
+        ends = np.cumsum(n_tok)
+        row_ends = ends[:-1]
+        row_ends = row_ends[(row_ends > 0) & (row_ends < len(flat))]
+        mask = np.ones(len(key), dtype=bool)
+        mask[row_ends - 1] = False
+        key = key[mask]
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), pairs)
+        idx = np.searchsorted(keys_s, key)
+        # model is trained on this corpus, so every observed pair exists
+        logp = np.log((c12_s[idx] + 1.0) / (ctx_s[key >> np.int64(32)] + V))
+        mn = np.copysign(np.floor(np.abs(logp) * 1e6 + 0.5), logp).astype(np.int64)
+        acc = np.zeros(len(n_tok), dtype=np.int64)
+        np.add.at(acc, row, mn)
+        sc = acc[keep].astype(np.float64) / pairs[keep] / 1e6
+        sc = np.copysign(np.floor(np.abs(sc) * 1e6 + 0.5), sc) / 1e6
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids.filter(pa.array(keep)) if not keep.all() else ids,
+                "n_pairs": pa.array(pairs[keep]),
+                "lm_score": pa.array(sc, type=pa.float64()),
+            }
+        )
+
+    return tokseq_dataset(sf_dir).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination — flag corpus docs sharing any word
     3-gram with an eval set (here: doc_id < 10), reporting how many
@@ -2099,6 +2179,7 @@ QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "decontaminate": q_decontaminate,
     "token_pmi": q_token_pmi,
+    "bigram_lm_score": q_bigram_lm_score,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
@@ -2141,6 +2222,25 @@ ORACLE_SQL = {
           where w2 is not null group by w1, w2)
     select cast(v1.token as bigint) as t1, cast(v2.token as bigint) as t2, c.cnt as cnt
     from c join v v1 on c.w1 = v1.word join v v2 on c.w2 = v2.word
+    """,
+    "bigram_lm_score": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w, generate_subscripts(ws, 1) as i from d),
+    p as (select doc_id, w as w1, lead(w) over (partition by doc_id order by i) as w2
+          from u),
+    pp as (select doc_id, w1, w2 from p where w2 is not null),
+    bc as (select w1, w2, cast(count(*) as bigint) as c12 from pp group by w1, w2),
+    cc as (select w1, cast(sum(c12) as bigint) as ctx from bc group by w1),
+    vn as (select cast(count(*) as double) as vsz from v),
+    m as (select pp.doc_id,
+                 cast(round(ln((bc.c12 + 1) / (cc.ctx + vn.vsz)), 6) * 1000000
+                      as bigint) as mn
+          from pp join bc using (w1, w2) join cc using (w1), vn)
+    select cast(doc_id as bigint) as doc_id,
+           cast(count(*) as bigint) as n_pairs,
+           round(cast(sum(mn) as double) / count(*) / 1000000.0, 6) as lm_score
+    from m group by doc_id
     """,
     "token_idf": _VOCAB_CTE
     + """,
