@@ -1121,6 +1121,104 @@ def q_bigram_lm_score(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic 2-iteration Lloyd k-means over the embeddings
+    table (k=4, init = embeddings of vec_id 0..3); oracle = the same
+    protocol written as SQL (cross-join argmin with rounded distances,
+    rounded centroid updates)."""
+    import ray.data as rd
+
+    from .similarity import kmeans_clusters
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_clusters(ds, k=4, iters=2)
+
+
+def q_dup_trigram_fraction(sf_dir: str):
+    """Per-doc fraction of trigram occurrences whose trigram appears in
+    MORE THAN ONE document corpus-wide — the cross-document complement
+    of ``repetition_ratio`` (within-doc) and the boilerplate /
+    template-text signal a training pipeline filters on.
+
+    Stage 1 trains nothing: the per-batch partial emits each doc's
+    DISTINCT trigrams once (docs never straddle blocks, so summing the
+    partials gives exact document frequency), and the tiny groupby
+    moves O(distinct trigrams).  Stage 2 broadcasts ONLY the
+    duplicated-trigram keys (df > 1) via ray.put — at web scale this
+    set is pruned by df or replaced by a Bloom filter; membership per
+    occurrence is one searchsorted, no Python loops.  Trigrams pack
+    into one int64 (3 x 21 bits), valid for any vocab < 2^21; beyond
+    that the void-row path from repetition_ratio applies.
+    """
+    import ray
+
+    ds = tokseq_dataset(sf_dir)
+
+    def _tri_keys(batch: pa.Table):
+        """(row_ids, packed trigram keys) for every valid occurrence."""
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 3:
+            return n_tok, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        valid = (pos + 2 < ends)[:-2]
+        assert flat.max() < (1 << 21), "trigram packing needs vocab < 2^21"
+        key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)[:-2]
+        return n_tok, row[valid], key[valid]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, row, key = _tri_keys(batch)
+        pair = np.unique(np.stack([row, key], axis=1).view([("", np.int64)] * 2))
+        k = pair.view(np.int64).reshape(-1, 2)[:, 1] if len(pair) else np.zeros(0, np.int64)
+        uniq, df = np.unique(k, return_counts=True)
+        return pa.Table.from_pydict(
+            {"tri": pa.array(uniq), "df": pa.array(df.astype(np.int64))}
+        )
+
+    dfagg = _sum_groupby(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tri"],
+        ["df"],
+    )
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("df"), 1)).select(["tri"])
+
+    dup = dfagg.map_batches(only_dup, batch_format="pyarrow").to_pandas()
+    dup_keys = ray.put(np.sort(dup["tri"].to_numpy().astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys_s = ray.get(dup_keys)
+        n_tok, row, key = _tri_keys(batch)
+        n_tri = np.maximum(n_tok - 2, 0)
+        keep = n_tri > 0
+        idx = np.searchsorted(keys_s, key)
+        idx[idx == len(keys_s)] = 0 if len(keys_s) else 0
+        hit = (keys_s[idx] == key) if len(keys_s) else np.zeros(len(key), bool)
+        n_dup = np.zeros(len(n_tok), dtype=np.int64)
+        np.add.at(n_dup, row[hit], 1)
+        frac = n_dup[keep].astype(np.float64) / n_tri[keep]
+        frac = np.floor(frac * 1e6 + 0.5) / 1e6  # half-away, values >= 0
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids.filter(pa.array(keep)) if not keep.all() else ids,
+                "n_tri": pa.array(n_tri[keep]),
+                "n_dup": pa.array(n_dup[keep]),
+                "dup_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return tokseq_dataset(sf_dir).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination — flag corpus docs sharing any word
     3-gram with an eval set (here: doc_id < 10), reporting how many
@@ -2180,6 +2278,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "token_pmi": q_token_pmi,
     "bigram_lm_score": q_bigram_lm_score,
+    "dup_trigram_fraction": q_dup_trigram_fraction,
+    "kmeans_clusters": q_kmeans_clusters,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
@@ -2241,6 +2341,47 @@ ORACLE_SQL = {
            cast(count(*) as bigint) as n_pairs,
            round(cast(sum(mn) as double) / count(*) / 1000000.0, 6) as lm_score
     from m group by doc_id
+    """,
+    "kmeans_clusters": """
+    with e as (select vec_id, cast(embedding as double[]) as v from embeddings),
+    eu as (select vec_id, unnest(v) as x, generate_subscripts(v, 1) as j from e),
+    c0 as (select vec_id as cid, v from e where vec_id < 4),
+    cu0 as (select cid, unnest(v) as c, generate_subscripts(v, 1) as j from c0),
+    d1 as (select eu.vec_id, cu0.cid,
+                  round(sum((eu.x - cu0.c) * (eu.x - cu0.c)), 6) as d2
+           from eu join cu0 using (j) group by eu.vec_id, cu0.cid),
+    a1 as (select vec_id, cid from (
+             select vec_id, cid,
+                    row_number() over (partition by vec_id order by d2, cid) as rn
+             from d1) t where rn = 1),
+    cu1 as (select a1.cid, eu.j, round(avg(eu.x), 6) as c
+            from a1 join eu using (vec_id) group by a1.cid, eu.j),
+    dd2 as (select eu.vec_id, cu1.cid,
+                   round(sum((eu.x - cu1.c) * (eu.x - cu1.c)), 6) as d2
+            from eu join cu1 on eu.j = cu1.j group by eu.vec_id, cu1.cid),
+    a2 as (select vec_id, cid from (
+             select vec_id, cid,
+                    row_number() over (partition by vec_id order by d2, cid) as rn
+             from dd2) t where rn = 1)
+    select cast(vec_id as bigint) as vec_id, cast(cid as bigint) as cluster from a2
+    """,
+    "dup_trigram_fraction": """
+    with d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    t as (select doc_id, w1,
+                 lead(w1, 1) over (partition by doc_id order by i) as w2,
+                 lead(w1, 2) over (partition by doc_id order by i) as w3
+          from u),
+    tt as (select doc_id, w1, w2, w3 from t where w3 is not null),
+    df as (select w1, w2, w3, count(distinct doc_id) as df
+           from tt group by w1, w2, w3),
+    j as (select tt.doc_id, case when df.df > 1 then 1 else 0 end as dup
+          from tt join df using (w1, w2, w3))
+    select cast(doc_id as bigint) as doc_id,
+           cast(count(*) as bigint) as n_tri,
+           cast(sum(dup) as bigint) as n_dup,
+           round(cast(sum(dup) as bigint) / count(*), 6) as dup_frac
+    from j group by doc_id
     """,
     "token_idf": _VOCAB_CTE
     + """,

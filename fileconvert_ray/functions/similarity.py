@@ -327,3 +327,99 @@ def lsh_dup_pairs(ds, dim: int, threshold: float = 0.95, planes: int = 12, seed:
 
         pairs = _dedup_pair_stream(pairs)
     return pairs
+
+
+def kmeans_clusters(ds, k: int = 4, iters: int = 2, *, id_col: str = "vec_id",
+                    emb_col: str = "embedding"):
+    """Deterministic Lloyd k-means over an embedding column — the
+    corpus-clustering stage of a curation pipeline (domain balancing,
+    cluster-based sampling).
+
+    Distributed shape: centroids broadcast via ``ray.put`` each round;
+    per batch one vectorized argmin assignment plus O(k x d) partial
+    (cluster, dim, sum, count) rows; the groupby exchange moves
+    O(batches x k x d) scalars and the embedding payload never
+    shuffles.  The driver folds only the k x d centroid table.
+
+    Determinism / oracle-parity protocol (mirrors the DuckDB SQL):
+    init = the embeddings of the k smallest ids; squared-L2 distances
+    rounded to 6 decimals with ties broken by lowest cluster id;
+    centroid updates rounded to 6 decimals; clusters that lose all
+    members drop out.  Rounding makes both sides agree despite float
+    summation-order differences.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    init = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b.column(id_col), k)).select([id_col, emb_col]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    cids = init[id_col].to_numpy().astype(np.int64)
+    cent = np.stack([np.asarray(v, dtype=np.float64) for v in init[emb_col]])
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # same elementwise formula as the SQL: sum_j (x_j - c_j)^2
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        d2 = np.floor(d2 * 1e6 + 0.5) / 1e6  # >= 0: half-away == half-up
+        return d2.argmin(axis=1)  # first min == lowest cluster id
+
+    for _ in range(iters - 1):
+        cent_ref = ray.put((cids, cent))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cids_s, c = ray.get(cent_ref)
+            m = _emb_matrix(batch, emb_col)
+            a = _assign(m, c)
+            rows = {"cluster": [], "dim": [], "s": [], "n": []}
+            for ci in range(len(cids_s)):  # k iterations of vectorized ops
+                sel = m[a == ci]
+                if not len(sel):
+                    continue
+                s = sel.sum(axis=0)
+                rows["cluster"].extend([int(cids_s[ci])] * m.shape[1])
+                rows["dim"].extend(range(m.shape[1]))
+                rows["s"].extend(s.tolist())
+                rows["n"].extend([len(sel)] * m.shape[1])
+            return pa.Table.from_pydict(
+                {
+                    "cluster": pa.array(rows["cluster"], type=pa.int64()),
+                    "dim": pa.array(rows["dim"], type=pa.int64()),
+                    "s": pa.array(rows["s"], type=pa.float64()),
+                    "n": pa.array(rows["n"], type=pa.int64()),
+                }
+            )
+
+        upd = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()  # O(k x d) rows
+            .sort_values(["cluster", "dim"])
+        )
+        cids = upd["cluster"].to_numpy()[:: cent.shape[1]].astype(np.int64)
+        cent = _r6(
+            (upd["s"].to_numpy() / upd["n"].to_numpy()).reshape(len(cids), cent.shape[1])
+        )
+
+    cent_ref = ray.put((cids, cent))
+
+    def label(batch: pa.Table) -> pa.Table:
+        cids_s, c = ray.get(cent_ref)
+        m = _emb_matrix(batch, emb_col)
+        a = _assign(m, c)
+        return pa.Table.from_pydict(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "cluster": pa.array(cids_s[a], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)

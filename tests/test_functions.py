@@ -1073,3 +1073,92 @@ def test_bigram_lm_score_tiny_corpus(ray_session, tmp_path):
     exp1 = r6(mn(p_ab) / 1 / 1e6)
     assert out.loc[0, "n_pairs"] == 3 and out.loc[0, "lm_score"] == exp0
     assert out.loc[1, "n_pairs"] == 1 and out.loc[1, "lm_score"] == exp1
+
+
+def test_dup_trigram_fraction_planted(ray_session, tmp_path):
+    """Cross-doc duplicate-trigram fraction: a trigram shared by two
+    docs counts for both; a trigram repeated only WITHIN one doc does
+    not; docs shorter than 3 tokens are dropped."""
+    import pyarrow.parquet as pq_
+
+    from fileconvert_ray.functions.queries import q_dup_trigram_fraction
+
+    d = tmp_path / "tri"; d.mkdir()
+    pq_.write_table(
+        pa.table({
+            "doc_id": [0, 1, 2, 3],
+            # doc0/doc1 share "x y z"; doc2 repeats "p q r" twice but
+            # only within itself; doc3 is too short
+            "text": ["x y z a b", "c x y z", "p q r p q r", "a b"],
+            "source": ["s"] * 4,
+        }),
+        str(d / "documents.parquet"),
+    )
+    out = q_dup_trigram_fraction(str(d)).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1, 2]
+    # doc0: trigrams xyz,yza,zab -> 1 dup of 3
+    assert out.loc[0, "n_tri"] == 3 and out.loc[0, "n_dup"] == 1
+    assert out.loc[0, "dup_frac"] == round(1 / 3, 6)
+    # doc1: cxy,xyz -> 1 of 2
+    assert out.loc[1, "n_tri"] == 2 and out.loc[1, "n_dup"] == 1
+    # doc2: within-doc repetition only -> df == 1 everywhere
+    assert out.loc[2, "n_dup"] == 0
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Well-separated planted clusters are recovered exactly, and every
+    point's label equals its nearest final centroid (Lloyd invariant)."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    pts = np.concatenate(
+        [c + 0.1 * rng.standard_normal((50, 3)) for c in centers]
+    ).astype(np.float32)
+    # put one point of each planted cluster at ids 0..2 so init hits all
+    order = np.concatenate([[0, 50, 100], np.delete(np.arange(150), [0, 50, 100])])
+    pts = pts[order]
+    t = pa.table({
+        "vec_id": np.arange(150, dtype=np.int64),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+    })
+    out = (
+        kmeans_clusters(rd.from_arrow(t), k=3, iters=3)
+        .to_pandas().sort_values("vec_id")
+    )
+    lab = out["cluster"].to_numpy()
+    # planted membership: ids 0,3..51 from cluster A, etc.
+    true = np.empty(150, dtype=np.int64)
+    inv = np.argsort(order)
+    for g in range(3):
+        true[inv[g * 50:(g + 1) * 50]] = g
+    # labels are cluster ids (=init vec_ids 0,1,2); planted groups map 1:1
+    for g in range(3):
+        assert len(set(lab[true == g])) == 1
+    assert len(set(lab)) == 3
+
+
+def test_kmeans_drops_empty_cluster(ray_session):
+    """Two coincident init centroids: the higher id never wins a point
+    (ties break low), loses all members, and drops out of the model."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.similarity import kmeans_clusters
+
+    pts = np.array([[0.0, 0.0], [5.0, 5.0], [0.1, 0.0], [5.1, 5.0]], dtype=np.float32)
+    t = pa.table({
+        "vec_id": np.arange(4, dtype=np.int64),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+    })
+    out = kmeans_clusters(rd.from_arrow(t), k=2, iters=3).to_pandas()
+    assert set(out["cluster"]) == {0, 1}  # both survive here
+    # coincident-init case: ids 0 and 1 identical -> cluster 1 empty
+    pts2 = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]], dtype=np.float32)
+    t2 = pa.table({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": pa.array(list(pts2), type=pa.list_(pa.float32())),
+    })
+    out2 = kmeans_clusters(rd.from_arrow(t2), k=2, iters=3).to_pandas()
+    assert set(out2["cluster"]) == {0}
