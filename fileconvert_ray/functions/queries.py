@@ -2196,6 +2196,37 @@ def q_decode_stats(sf_dir: str):
     return _sum_groupby(ds.map_batches(widen, batch_format="pyarrow"), ["source"], ["n_docs", "sum_tok"])
 
 
+def q_decode_filtered(sf_dir: str):
+    """Predicate-pushdown decode: encode the corpus, then read it back
+    with a (source, n_tok-range) predicate.  The manifest zone maps
+    prune whole partitions before any container opens — source pruning
+    is exact (partitions are keyed by source), the n_tok range prunes
+    via per-partition min/max — and a vectorized residual filter keeps
+    semantics exact.  Oracle: the same predicate over the ORIGINAL
+    documents, so a pruning bug (dropping a partition that matched)
+    breaks row count, not just values."""
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..stages.decoder import decode_dataset
+
+    out = _job_dir(sf_dir, "decfilt")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir), EncodeConfig(out_dir=out, target_partition_tokens=50_000)
+    ).materialize()
+    ds = decode_dataset(out, sources=["src0", "src3", "src7"], min_n_tok=25, max_n_tok=80)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -2292,6 +2323,7 @@ QUERIES = {
     "csv_export_roundtrip": q_csv_export_roundtrip,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
+    "decode_filtered": q_decode_filtered,
 }
 
 _VOCAB_CTE = """
@@ -2518,6 +2550,14 @@ ORACLE_SQL = {
     """,
     "orc_scan": """
         select cast(doc_id as varchar) as doc_id, source, n_chars from documents
+    """,
+    "decode_filtered": """
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           source
+    from documents
+    where source in ('src0', 'src3', 'src7')
+      and len(string_split(text, ' ')) between 25 and 80
     """,
     "decode_stats": """
         select source,

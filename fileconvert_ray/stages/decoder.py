@@ -14,6 +14,7 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..codecs import EncodedColumn, decode_array
@@ -138,14 +139,65 @@ def read_partition(container_path: str) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
-def decode_dataset(out_dir: str):
-    """All completed partitions as a streaming decoded Dataset (E9)."""
+def prune_partitions(
+    out_dir: str,
+    *,
+    sources: list[str] | None = None,
+    min_n_tok: int | None = None,
+    max_n_tok: int | None = None,
+) -> tuple[list[str], int]:
+    """Zone-map partition pruning: (surviving part_ids, total completed).
+
+    Every partition records its source (exact — partitions are keyed by
+    (source, bucket)) and, when encoded through a decoded path, a
+    ``zones`` entry with n_tok min/max.  A partition survives when the
+    predicate could match it; partitions without zones always survive
+    (pruning is an optimization, never a filter).  O(partitions) driver
+    work — one manifest directory listing."""
+    from ..state.manifest import read_manifest_entries
+
+    entries = read_manifest_entries(out_dir)
+    keep = []
+    for pid, rec in sorted(entries.items()):
+        if sources is not None and rec.get("source") not in sources:
+            continue
+        z = rec.get("zones", {}).get("n_tok")
+        if z is not None:
+            lo, hi = z
+            if min_n_tok is not None and hi < min_n_tok:
+                continue
+            if max_n_tok is not None and lo > max_n_tok:
+                continue
+        keep.append(pid)
+    return keep, len(entries)
+
+
+def decode_dataset(
+    out_dir: str,
+    *,
+    sources: list[str] | None = None,
+    min_n_tok: int | None = None,
+    max_n_tok: int | None = None,
+):
+    """Completed partitions as a streaming decoded Dataset (E9).
+
+    With a predicate, manifest zone maps prune whole partitions before
+    any container is opened (prune_partitions), and the surviving rows
+    are filtered vectorized after decode — the residual filter keeps
+    semantics exact while the zone maps cut the I/O."""
     import ray.data as rd
 
     from ..state.manifest import JobDirs, completed_partitions
 
     dirs = JobDirs(out_dir)
-    paths = [dirs.container_path(p) for p in sorted(completed_partitions(out_dir))]
+    filtered = sources is not None or min_n_tok is not None or max_n_tok is not None
+    if filtered:
+        part_ids, _ = prune_partitions(
+            out_dir, sources=sources, min_n_tok=min_n_tok, max_n_tok=max_n_tok
+        )
+    else:
+        part_ids = sorted(completed_partitions(out_dir))
+    paths = [dirs.container_path(p) for p in part_ids]
 
     def decode(batch: pa.Table):
         # one task per container file; GENERATOR udf — each encoded
@@ -153,7 +205,23 @@ def decode_dataset(out_dir: str):
         # memory is one chunk, not the whole partition (streamed row
         # groups via iter_partition_chunks)
         for p in batch.column("path").to_pylist():
-            yield from iter_partition_chunks(p)
+            for t in iter_partition_chunks(p):
+                if filtered:
+                    mask = np.ones(t.num_rows, dtype=bool)
+                    nt = t.column("n_tok").to_numpy(zero_copy_only=False)
+                    if min_n_tok is not None:
+                        mask &= nt >= min_n_tok
+                    if max_n_tok is not None:
+                        mask &= nt <= max_n_tok
+                    if sources is not None:
+                        mask &= pc.is_in(
+                            t.column("source"), value_set=pa.array(sources)
+                        ).to_numpy(zero_copy_only=False)
+                    if not mask.all():
+                        t = t.filter(pa.array(mask))
+                    if t.num_rows == 0:
+                        continue
+                yield t
 
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         decode, batch_format="pyarrow", batch_size=1

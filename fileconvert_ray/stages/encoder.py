@@ -643,13 +643,28 @@ class PartitionWriter:
             s = int(h.sum(dtype=np.uint64))
         return {"n_rows": decoded.num_rows, "hsum": s}
 
+    def _zones(self, decoded: pa.Table) -> dict:
+        """Partition zone map — min/max of n_tok and doc_id, recorded in
+        the manifest so a filtered decode can prune whole partitions
+        without opening their containers (the classic zone-map /
+        small-materialized-aggregate design; at 100 TB a predicate like
+        ``n_tok >= 4096`` skips most of the fleet's container reads)."""
+        zones: dict = {}
+        for col in ("n_tok", "doc_id"):
+            mm = pc.min_max(decoded.column(col)).as_py()
+            if mm["min"] is not None:
+                lo, hi = mm["min"], mm["max"]
+                zones[col] = [int(lo), int(hi)] if col == "n_tok" else [lo, hi]
+        return zones
+
     def finalize_raw(self, decoded: pa.Table, part_id: str, source: str) -> pa.Table:
         """One partition's raw tokseq rows -> digest, final encode,
         atomic container + manifest; returns the metrics row."""
         t0 = time.perf_counter()
         digest = self._digest(decoded)
+        zones = self._zones(decoded)
         group = self._encode_decoded(decoded, part_id, source)
-        return self._write_container(group, digest, t0)
+        return self._write_container(group, digest, t0, zones=zones)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -657,6 +672,7 @@ class PartitionWriter:
             return pa.Table.from_pydict({k: [] for k in self.METRICS_SCHEMA.names}, schema=self.METRICS_SCHEMA)
         encoded_final = False
         digest = None
+        zones = None
         if "staged_path" in group.column_names:
             part_id = group.column("part_id")[0].as_py()
             source = group.column("source")[0].as_py()
@@ -666,6 +682,7 @@ class PartitionWriter:
             else:
                 # raw staged rows: encode exactly once, right here
                 digest = self._digest(loaded)
+                zones = self._zones(loaded)
                 group = self._encode_decoded(loaded, part_id, source)
                 encoded_final = True
         group = group.combine_chunks()
@@ -678,10 +695,11 @@ class PartitionWriter:
             source = group.column("source")[0].as_py()
             decoded = decode_container_table(group)
             digest = self._digest(decoded)
+            zones = self._zones(decoded)
             group = self._encode_decoded(decoded, part_id, source)
-        return self._write_container(group, digest, t0)
+        return self._write_container(group, digest, t0, zones=zones)
 
-    def _write_container(self, group: pa.Table, digest, t0: float) -> pa.Table:
+    def _write_container(self, group: pa.Table, digest, t0: float, zones: dict | None = None) -> pa.Table:
         part_id = group.column("part_id")[0].as_py()
         tmp = os.path.join(self.dirs.tmp, f"{part_id}-{uuid.uuid4().hex}.parquet")
         # payloads are codec-compressed already; container stays raw.
@@ -724,6 +742,8 @@ class PartitionWriter:
         }
         if digest is not None:
             record["digest"] = digest
+        if zones:
+            record["zones"] = zones
         write_manifest_entry(self.dirs, part_id, record)  # LAST: marks completion
         return pa.Table.from_pydict(
             {

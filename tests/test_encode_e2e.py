@@ -332,3 +332,35 @@ def test_encode_empty_input(ray_session, out_dir):
     assert completed_partitions(out_dir) == set()
     v = run_verify(lambda: rd.from_arrow(empty), out_dir).to_pandas()
     assert len(v) == 0
+
+
+def test_zone_map_pruning_and_filtered_decode(ray_session, sf_dir, out_dir):
+    """Manifest zone maps: every completed partition records its source
+    and n_tok min/max; prune_partitions skips non-matching partitions;
+    decode_dataset with a predicate equals decode-everything-then-filter."""
+    import numpy as np
+
+    from fileconvert_ray.stages.decoder import decode_dataset, prune_partitions
+
+    run_encode(
+        lambda: tokseq_dataset(sf_dir), EncodeConfig(out_dir=out_dir, target_partition_tokens=2000)
+    ).materialize()
+    entries = read_manifest_entries(out_dir)
+    assert entries and all("zones" in r and "n_tok" in r["zones"] for r in entries.values())
+
+    kept, total = prune_partitions(out_dir, sources=["src0"], min_n_tok=60)
+    assert 0 < len(kept) < total  # pruning actually skips partitions
+    assert all(entries[p]["source"] == "src0" for p in kept)
+    assert all(entries[p]["zones"]["n_tok"][1] >= 60 for p in kept)
+
+    got = (
+        decode_dataset(out_dir, sources=["src0"], min_n_tok=60)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    ref = decode_dataset(out_dir).to_pandas()
+    ref = ref[(ref["source"] == "src0") & (ref["n_tok"] >= 60)]
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["n_tok"].tolist() == ref["n_tok"].tolist()
+    for a, b in zip(got["tokens"], ref["tokens"]):
+        assert np.array_equal(a, b)
