@@ -640,6 +640,179 @@ def q_source_lang_rollup(sf_dir: str):
     )
 
 
+def q_source_lang_cube(sf_dir: str):
+    """GROUP BY CUBE(source, lang): all four grains from ONE
+    distributed groupby at the finest grain — the lang-only and
+    grand-total levels are driver-side folds of the O(sources x langs)
+    fine table, same zero-extra-shuffle trick as the rollup."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            }
+        )
+
+    fine = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"], ["n_docs", "sum_chars"],
+    ).to_pandas()  # O(sources x langs)
+    per_source = (
+        fine.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+        .assign(lang="ALL")
+    )
+    per_lang = (
+        fine.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+        .assign(source="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "source": ["ALL"],
+            "lang": ["ALL"],
+            "n_docs": [fine["n_docs"].sum()],
+            "sum_chars": [fine["sum_chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, per_source, per_lang, total], ignore_index=True)
+    return pa.Table.from_pandas(
+        out[["source", "lang", "n_docs", "sum_chars"]], preserve_index=False
+    )
+
+
+def q_doc_len_ntile(sf_dir: str):
+    """NTILE(4) per source over (n_chars, doc_id) — the quartile-bucket
+    window.  One groupby(source); inside each group a single argsort
+    and a closed-form tile assignment (first n%k tiles one element
+    larger), no per-row Python.  Ties are impossible because doc_id
+    breaks them, so both sides are deterministic."""
+    import ray.data as rd
+
+    K = 4
+
+    def tiles(group: pa.Table) -> pa.Table:
+        n_chars = group.column("n_chars").to_numpy(zero_copy_only=False)
+        ids = pc.cast(group.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, n_chars))
+        n = len(ids)
+        size, rem = divmod(n, K)
+        r = np.empty(n, dtype=np.int64)
+        r[order] = np.arange(n)
+        cut = rem * (size + 1)
+        tile = np.where(r < cut, r // max(size + 1, 1), rem + (r - cut) // max(size, 1))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids),
+                "source": group.column("source"),
+                "tile": pa.array(tile + 1),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    return ds.groupby("source").map_groups(tiles, batch_format="pyarrow")
+
+
+def q_len_tok_corr(sf_dir: str):
+    """Per-source Pearson correlation between n_chars and word count —
+    computed from INTEGER moment sums (n, Sx, Sy, Sxy, Sxx, Syy) that
+    are exact under any summation order, so the Ray and SQL sides agree
+    bit-for-bit after one identical float expression at the end.  (At
+    web scale the int64 moments overflow around Sxx ~ 9e18; the scale
+    path centers by an approximate mean first or uses float Welford —
+    the exchange shape is identical.)"""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        y = pc.list_value_length(pc.split_pattern(text, " ")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], ["n", "sx", "sy", "sxy", "sxx", "syy"],
+    ).to_pandas()  # O(sources)
+    n = agg["n"].to_numpy()
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxy, sxx, syy = agg["sxy"].to_numpy(), agg["sxx"].to_numpy(), agg["syy"].to_numpy()
+    num = (n * sxy - sx * sy).astype(np.float64)
+    den = np.sqrt((n * sxx - sx * sx).astype(np.float64) * (n * syy - sy * sy).astype(np.float64))
+    r = num / den
+    r = np.copysign(np.floor(np.abs(r) * 1e6 + 0.5), r) / 1e6
+    return pa.Table.from_pydict(
+        {"source": pa.array(agg["source"]), "corr_len_tok": pa.array(r, type=pa.float64())}
+    )
+
+
+def q_viewer_buyer_sets(sf_dir: str):
+    """Set operations over event-type membership: classify every user
+    as 'both' (view INTERSECT purchase), 'view_only' (view EXCEPT
+    purchase) or 'purchase_only'.  Per-batch partials OR the membership
+    bits batch-locally, then ONE groupby(user).max per bit — the
+    exchange moves O(distinct users per batch), never event rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type").to_pylist()
+        v = np.array([t == "view" for t in et], dtype=np.int64)
+        p = np.array([t == "purchase" for t in et], dtype=np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        vv = np.zeros(len(uu), dtype=np.int64)
+        pp = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(vv, inv, v)
+        np.maximum.at(pp, inv, p)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(uu), "v": pa.array(vv), "p": pa.array(pp)}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("v", alias_name="v"), Max("p", alias_name="p"))
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        p = batch.column("p").to_numpy(zero_copy_only=False)
+        keep = (v + p) > 0
+        op = np.where(v & p, "both", np.where(v > 0, "view_only", "purchase_only"))
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").filter(pa.array(keep)),
+                "op": pa.array(op[keep].tolist(), type=pa.string()),
+            }
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -2273,6 +2446,10 @@ QUERIES = {
     "token_count_regex": q_token_count_regex,
     "lang_stats": q_lang_stats,
     "source_lang_rollup": q_source_lang_rollup,
+    "source_lang_cube": q_source_lang_cube,
+    "doc_len_ntile": q_doc_len_ntile,
+    "len_tok_corr": q_len_tok_corr,
+    "viewer_buyer_sets": q_viewer_buyer_sets,
     "lang_id": q_lang_id,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -2459,6 +2636,44 @@ ORACLE_SQL = {
            cast(count(*) as bigint) as n_docs,
            cast(sum(n_chars) as bigint) as sum_chars
     from documents group by rollup(source, lang)
+    """,
+    "source_lang_cube": """
+    select coalesce(source, 'ALL') as source, coalesce(lang, 'ALL') as lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as sum_chars
+    from documents group by cube(source, lang)
+    """,
+    "doc_len_ntile": """
+    select cast(doc_id as bigint) as doc_id, source,
+           cast(ntile(4) over (partition by source order by n_chars, doc_id)
+                as bigint) as tile
+    from documents
+    """,
+    "len_tok_corr": """
+    with m as (select source,
+                      cast(count(*) as bigint) as n,
+                      cast(sum(n_chars) as bigint) as sx,
+                      cast(sum(len(string_split(text, ' '))) as bigint) as sy,
+                      cast(sum(n_chars * len(string_split(text, ' '))) as bigint) as sxy,
+                      cast(sum(n_chars * n_chars) as bigint) as sxx,
+                      cast(sum(len(string_split(text, ' '))
+                               * len(string_split(text, ' '))) as bigint) as syy
+               from documents group by source)
+    select source,
+           round(cast(n * sxy - sx * sy as double)
+                 / sqrt(cast(n * sxx - sx * sx as double)
+                        * cast(n * syy - sy * sy as double)), 6) as corr_len_tok
+    from m
+    """,
+    "viewer_buyer_sets": """
+    with v as (select distinct user_id from events where event_type = 'view'),
+    p as (select distinct user_id from events where event_type = 'purchase')
+    select user_id, 'both' as op from (select user_id from v intersect select user_id from p)
+    union all
+    select user_id, 'view_only' as op from (select user_id from v except select user_id from p)
+    union all
+    select user_id, 'purchase_only' as op
+    from (select user_id from p except select user_id from v)
     """,
     "shipping_priority": f"""
     select l_orderkey, o_orderdate,

@@ -1162,3 +1162,49 @@ def test_kmeans_drops_empty_cluster(ray_session):
     })
     out2 = kmeans_clusters(rd.from_arrow(t2), k=2, iters=3).to_pandas()
     assert set(out2["cluster"]) == {0}
+
+
+def test_ntile_tile_size_law(ray_session, tmp_path):
+    """NTILE(k): first n%k tiles are one element larger; exactly k tiles."""
+    import pyarrow.parquet as pq_
+
+    from fileconvert_ray.functions.queries import q_doc_len_ntile
+
+    d = tmp_path / "nt"; d.mkdir()
+    n = 10  # 10 = 4*2 + 2 -> tile sizes 3,3,2,2
+    pq_.write_table(
+        pa.table({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": ["s"] * n,
+            "n_chars": np.arange(n, dtype=np.int64) * 7 % 13,
+        }),
+        str(d / "documents.parquet"),
+    )
+    out = q_doc_len_ntile(str(d)).to_pandas()
+    sizes = out.groupby("tile").size()
+    assert sizes.tolist() == [3, 3, 2, 2]
+
+
+def test_corr_exact_on_linear_data(ray_session, tmp_path):
+    """Pearson r from integer moments: perfectly linear -> 1.0 (and
+    -1.0 for a negative slope)."""
+    import pyarrow.parquet as pq_
+
+    from fileconvert_ray.functions.queries import q_len_tok_corr
+
+    d = tmp_path / "corr"; d.mkdir()
+    words_up = [" ".join(["w"] * (3 * i + 2)) for i in range(1, 9)]
+    words_dn = [" ".join(["w"] * (40 - 2 * i)) for i in range(1, 9)]
+    pq_.write_table(
+        pa.table({
+            "doc_id": np.arange(16, dtype=np.int64),
+            "source": ["up"] * 8 + ["dn"] * 8,
+            "text": words_up + words_dn,
+            # n_chars linear in word count with positive slope
+            "n_chars": np.array([3 * i + 2 for i in range(1, 9)]
+                                + [2 * i for i in range(1, 9)], dtype=np.int64),
+        }),
+        str(d / "documents.parquet"),
+    )
+    out = q_len_tok_corr(str(d)).to_pandas().set_index("source")["corr_len_tok"]
+    assert out["up"] == 1.0 and out["dn"] == -1.0
