@@ -423,6 +423,91 @@ def q_doc_len_quantiles(sf_dir: str):
     )
 
 
+def q_doc_len_quantiles_cont(sf_dir: str):
+    """Interpolated (percentile_cont) per-source quantiles — same
+    bounded-histogram plan as the discrete variant (the exchange moves
+    O(sources x distinct lengths) rows, no global sort); the driver
+    reads BOTH neighbors of the fractional rank h = (n-1)q off the
+    cumsum and interpolates a + (b-a)*(h-floor(h)) exactly as DuckDB
+    does, rounded to 6 to absorb libm ULPs."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.Table.from_pydict(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "n_chars"], ["cnt"]
+    ).to_pandas()
+    qs = (0.25, 0.5, 0.75)
+    rows: dict[str, list] = {"source": [], "c25": [], "c50": [], "c75": []}
+    for source, grp in hist.groupby("source", sort=True):
+        grp = grp.sort_values("n_chars")
+        vals = grp["n_chars"].to_numpy().astype(np.float64)
+        cum = grp["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        rows["source"].append(source)
+        for q, name in zip(qs, ("c25", "c50", "c75")):
+            h = (n - 1) * q
+            lo = int(np.floor(h))
+            a = vals[np.searchsorted(cum, lo + 1)]
+            b = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)]
+            v = a + (b - a) * (h - lo)
+            rows[name].append(np.floor(abs(v) * 1e6 + 0.5) / 1e6)
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(rows["source"], type=pa.string()),
+            **{k: pa.array(rows[k], type=pa.float64()) for k in ("c25", "c50", "c75")},
+        }
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT: hour x event_type count matrix as wide columns — the
+    long->wide reshape.  Per-batch partials count each type into its
+    own column (one np.unique over (hour, type-code) packed keys), so
+    the groupby-sum exchange moves O(hours) wide rows, never events."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    tmap = {t: i for i, t in enumerate(EVENT_TYPES)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = ts.astype(np.int64) // 3_600_000_000
+        code = np.array([tmap[t] for t in batch.column("event_type").to_pylist()],
+                        dtype=np.int64)
+        key = hour * len(EVENT_TYPES) + code
+        uniq, cnt = np.unique(key, return_counts=True)
+        uh = uniq // len(EVENT_TYPES)
+        uc = uniq % len(EVENT_TYPES)
+        hours = np.unique(uh)
+        mat = np.zeros((len(hours), len(EVENT_TYPES)), dtype=np.int64)
+        mat[np.searchsorted(hours, uh), uc] = cnt
+        return pa.Table.from_pydict(
+            {
+                "hour": pa.array(hours),
+                **{f"n_{t}": pa.array(mat[:, i]) for t, i in tmap.items()},
+            }
+        )
+
+    return _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour"], [f"n_{t}" for t in EVENT_TYPES],
+    )
+
+
 PRICE_QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.99)
 _PQ_BUCKETS = 1 << 16
 
@@ -2341,6 +2426,72 @@ def q_csv_export_roundtrip(sf_dir: str):
     return rd.read_csv(base)
 
 
+def q_cms_token_counts(sf_dir: str):
+    """Count-min sketch token counts, sized for determinism: depth 4 x
+    width 2^16 over a vocab of at most tens of thousands makes the
+    probability that some item collides in ALL four rows ~1e-12, and
+    the hash seed is fixed — so the sketch equals the exact histogram
+    and the exact-count SQL is a true oracle.  The distributed shape is
+    the honest sketch shape regardless: one counter block per batch,
+    sharded elementwise-sum merge, O(shards) rows to the driver."""
+    from ..sources.tokseq import build_vocab
+    from .sketches import cms_estimate, cms_merge_build
+
+    def flat(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.Table.from_pydict(
+            {"token": pc.cast(col.flatten(), pa.int64())}
+        )
+
+    fds = tokseq_dataset(sf_dir).map_batches(
+        flat, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sketch = cms_merge_build(fds, "token", depth=4, width=1 << 16)
+    items = np.arange(len(build_vocab(sf_dir)), dtype=np.int64)
+    return pa.Table.from_pydict(
+        {
+            "token": pa.array(items),
+            "cnt": pa.array(cms_estimate(sketch, items)),
+        }
+    )
+
+
+def q_jsonl_export_roundtrip(sf_dir: str):
+    """JSONL sink+source fidelity with a VALUE oracle: events ->
+    ds.write_json (newline-delimited) -> ds.read_json -> hash-compared
+    against SQL over the original parquet.  Timestamps ride as epoch
+    microseconds (int64) so the JSON text round-trips bit-exactly —
+    the same canonicalization the containers use for temporal types."""
+    import ray.data as rd
+
+    base = _job_dir(sf_dir, "jsonexp")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch.column("event_id"),
+                "ts_us": pa.array(ts.astype(np.int64)),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .write_json(base)
+    )
+    return rd.read_json(base)
+
+
 def q_decode_stats(sf_dir: str):
     """E9 as a streaming consumer: encode the tokseq table, then read
     the encoded containers back as a Dataset (decode_dataset) and
@@ -2431,6 +2582,8 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "token_bigrams": q_token_bigrams,
     "doc_len_quantiles": q_doc_len_quantiles,
+    "doc_len_quantiles_cont": q_doc_len_quantiles_cont,
+    "events_pivot": q_events_pivot,
     "price_quantiles": q_price_quantiles,
     "doc_len_percentile": q_doc_len_percentile,
     "stratified_sample": q_stratified_sample,
@@ -2498,6 +2651,8 @@ QUERIES = {
     "encode_metrics": q_encode_metrics,
     "csv_roundtrip": q_csv_roundtrip,
     "csv_export_roundtrip": q_csv_export_roundtrip,
+    "jsonl_export_roundtrip": q_jsonl_export_roundtrip,
+    "cms_token_counts": q_cms_token_counts,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -2516,6 +2671,11 @@ ORACLE_SQL = {
                cast(sum(len(string_split(text, ' '))) as bigint) as sum_tok,
                cast(sum(len(string_split(text, ' '))) as bigint)::double / count(*) as avg_tok
         from documents group by source
+    """,
+    "cms_token_counts": _VOCAB_CTE
+    + """,
+    c as (select word, cast(count(*) as bigint) as cnt from w group by word)
+    select cast(v.token as bigint) as token, c.cnt as cnt from v join c using (word)
     """,
     "token_histogram": _VOCAB_CTE
     + """,
@@ -2600,6 +2760,22 @@ ORACLE_SQL = {
     n as (select cast(count(*) as double) as n from documents)
     select cast(v.token as bigint) as token, df.df as df, round(ln(n.n / df.df), 6) as idf
     from v join df using (word), n
+    """,
+    "doc_len_quantiles_cont": """
+    select source,
+           round(percentile_cont(0.25) within group (order by n_chars), 6) as c25,
+           round(percentile_cont(0.50) within group (order by n_chars), 6) as c50,
+           round(percentile_cont(0.75) within group (order by n_chars), 6) as c75
+    from documents group by source
+    """,
+    "events_pivot": """
+    select cast(floor(epoch(ts) / 3600) as bigint) as hour,
+           cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
+           cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_error,
+           cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
+           cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup,
+           cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view
+    from events group by hour
     """,
     "doc_len_quantiles": """
     select source,
@@ -2802,6 +2978,10 @@ ORACLE_SQL = {
     """,
     "csv_export_roundtrip": """
         select doc_id, text, lang, source, n_chars from documents
+    """,
+    "jsonl_export_roundtrip": """
+        select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id, event_type
+        from events
     """,
     "bloom_orders_filter": """
         select o_orderkey, o_totalprice from orders o

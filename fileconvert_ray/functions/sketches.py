@@ -399,3 +399,79 @@ def bloom_contains(bitmap: np.ndarray, col, *, k: int = 4) -> np.ndarray:
     pos = _bloom_positions(h, m_bits, k)
     bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return bits.all(axis=1)
+
+
+# ------------------------------------------------------------- count-min
+
+def _cms_rows(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Double-hashed row indices, shape (depth, n): (h1 + i*h2) mod w
+    (Cormode & Muthukrishnan 2005; Kirsch-Mitzenmacher double hashing)."""
+    h1 = h % np.uint64(width)
+    h2 = splitmix64(h ^ np.uint64(0x9E3779B97F4A7C15)) % np.uint64(width)
+    h2 = h2 | np.uint64(1)  # odd -> full-period stride
+    return np.stack(
+        [((h1 + np.uint64(i) * h2) % np.uint64(width)).astype(np.int64)
+         for i in range(depth)]
+    )
+
+
+def cms_merge_build(ds, value_col: str, *, depth: int = 4, width: int = 2048,
+                    shards: int = 16) -> np.ndarray:
+    """Count-min sketch over an int column, the mergeable way: each
+    batch reduces to ONE depth x width int64 counter block (a binary
+    row), a groupby(shard) elementwise-sums blocks in parallel (the
+    tree merge — O(shards) rows reach the driver no matter the corpus
+    size), and the driver folds the last few.  Returns the (depth,
+    width) counter matrix; ``cms_estimate`` answers point queries with
+    the one-sided guarantee true <= est <= true + eps*N."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        rows = _cms_rows(splitmix64(uniq.astype(np.uint64)), depth, width)
+        block = np.zeros((depth, width), dtype=np.int64)
+        for i in range(depth):
+            np.add.at(block[i], rows[i], cnt)
+        # deterministic per-batch spread: derived from content, not
+        # batch order, so retries land on the same shard
+        seed = np.uint64(len(v)) ^ np.bitwise_xor.reduce(
+            splitmix64(v.astype(np.uint64)), initial=np.uint64(0)
+        )
+        shard = int(splitmix64(np.array([seed], dtype=np.uint64))[0] % shards)
+        return pa.Table.from_pydict(
+            {"shard": pa.array([shard], type=pa.int64()),
+             "_cms": pa.array([block.tobytes()], type=pa.binary())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for b in group.column("_cms").to_pylist():
+            acc += np.frombuffer(b, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {"shard": [group.column("shard")[0].as_py()],
+             "_cms": pa.array([acc.tobytes()], type=pa.binary())}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()  # <= shards rows
+    )
+    acc = np.zeros(depth * width, dtype=np.int64)
+    for b in merged["_cms"]:
+        acc += np.frombuffer(b, dtype=np.int64)
+    return acc.reshape(depth, width)
+
+
+def cms_estimate(sketch: np.ndarray, items: np.ndarray) -> np.ndarray:
+    """Point-query estimates: min over rows of the hashed counters."""
+    depth, width = sketch.shape
+    rows = _cms_rows(splitmix64(items.astype(np.int64).astype(np.uint64)), depth, width)
+    est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(depth):
+        est = np.minimum(est, sketch[i][rows[i]])
+    return est

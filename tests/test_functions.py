@@ -1208,3 +1208,31 @@ def test_corr_exact_on_linear_data(ray_session, tmp_path):
     )
     out = q_len_tok_corr(str(d)).to_pandas().set_index("source")["corr_len_tok"]
     assert out["up"] == 1.0 and out["dn"] == -1.0
+
+
+def test_cms_guarantee_and_split_invariance(ray_session):
+    """Count-min with a deliberately small width (collisions certain):
+    estimates are never below the true count and respect the eps*N
+    upper bound; the merged sketch is identical however rows are split
+    into batches (mergeability)."""
+    import ray.data as rd
+
+    from fileconvert_ray.functions.sketches import cms_estimate, cms_merge_build
+
+    rng = np.random.default_rng(17)
+    vals = (rng.pareto(1.1, 20_000) * 3).astype(np.int64) % 500
+    t = pa.table({"token": vals})
+    sk1 = cms_merge_build(rd.from_arrow(t), "token", depth=4, width=64)
+    # different block split -> same sketch (content-deterministic)
+    parts = [pa.table({"token": vals[i::3]}) for i in range(3)]
+    sk2 = cms_merge_build(
+        rd.from_arrow(pa.concat_tables(parts)), "token", depth=4, width=64
+    )
+    assert np.array_equal(sk1, sk2)
+
+    items, true = np.unique(vals, return_counts=True)
+    est = cms_estimate(sk1, items)
+    assert (est >= true).all()  # one-sided error, always
+    eps_n = np.e / 64 * len(vals)
+    frac_bad = float(np.mean(est - true > eps_n))
+    assert frac_bad < 0.02  # P(err > eps*N) <= e^-depth per item
