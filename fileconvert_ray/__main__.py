@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("input", help="the encode job's input parquet")
     v.add_argument("--out", required=True, help="the encode out dir")
     v.add_argument("--mode", choices=["exact", "hash", "manifest"], default="hash")
+    v.add_argument("--by", choices=["partition", "source"], default="partition",
+                   help="hash-mode granularity; 'source' survives compaction")
+
+    m = sub.add_parser("compact", help="rewrite small partitions into target-size containers")
+    m.add_argument("out_dir", help="the encode out dir")
+    m.add_argument("--target-tokens", type=int, default=4_000_000)
 
     d = sub.add_parser("decode", help="decode containers back to tokseq parquet")
     d.add_argument("out_dir", help="the encode out dir")
@@ -150,7 +156,7 @@ def main(argv: list[str] | None = None) -> int:
 
             v = run_verify(
                 (lambda: rd.read_parquet(args.input)) if args.mode != "manifest" else None,
-                args.out, mode=args.mode,
+                args.out, mode=args.mode, by=args.by,
             ).to_pandas()
             ok = bool(v["ok"].all()) and len(v) > 0
             print(json.dumps({
@@ -158,6 +164,14 @@ def main(argv: list[str] | None = None) -> int:
                 "n_mismatch": int(v["n_mismatch"].sum()),
             }))
             return 0 if ok else 1
+        elif args.cmd == "compact":
+            from fileconvert_ray.pipelines.compact_job import run_compact
+
+            m = run_compact(args.out_dir, target_tokens=args.target_tokens).to_pandas()
+            print(json.dumps({
+                "ok": True, "rewritten": int(len(m)),
+                "n_rows": int(m["n_rows"].sum()) if len(m) else 0,
+            }))
         elif args.cmd == "decode":
             from fileconvert_ray.stages.decoder import decode_dataset
 

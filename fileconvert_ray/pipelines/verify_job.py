@@ -158,11 +158,17 @@ def make_verifier(out_dir: str):
     return verify_group
 
 
-def _hash_partial(batch: pa.Table, plan: dict) -> pa.Table:
-    """(part_id, n_rows, hsum) partial for one batch of originals."""
-    batch = make_assigner(plan)(batch)
+def _hash_partial(batch: pa.Table, plan: dict | None) -> pa.Table:
+    """(part_id, n_rows, hsum) partial for one batch of originals.
+    plan=None keys the digests by SOURCE instead of part_id — the
+    row-hash sum is additive, so source granularity is invariant to
+    any repartitioning (compaction, re-bucketing) of the output."""
+    if plan is not None:
+        batch = make_assigner(plan)(batch)
+        pid = batch.column("part_id")
+    else:
+        pid = batch.column("source")
     h = row_hashes(batch)
-    pid = batch.column("part_id")
     if isinstance(pid, pa.ChunkedArray):
         pid = pid.combine_chunks()
     denc = pid.dictionary_encode()
@@ -212,12 +218,16 @@ def _container_digest(batch: pa.Table, out_dir: str) -> pa.Table:
     return pa.Table.from_pydict(rows)
 
 
-def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
+def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partition"):
     """Returns the per-partition verify Dataset; any ok=False is a failure.
 
     mode="exact": per-row alignment via a part_id shuffle (tests).
     mode="hash": shuffle-free streaming digest comparison vs the
-    original input (scale path).
+    original input (scale path).  by="partition" compares at encode
+    partition granularity (requires the output to still match
+    plan.json); by="source" compares per-SOURCE digests — the row-hash
+    sum is additive, so this stays valid after compaction or any other
+    repartitioning of the containers.
     mode="manifest": container decode vs the digests recorded in the
     encode manifests — no input re-read (audit/resume checks;
     ``ds_factory`` may be None).
@@ -297,7 +307,7 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
     # Python (round-1 verdict, What's wrong #6)
     partials = ds_factory().map_batches(
         _hash_partial, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None, fn_kwargs={"plan": plan},
+        batch_size=None, fn_kwargs={"plan": plan if by == "partition" else None},
     )
     batches = [
         b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow") if b.num_rows
@@ -322,7 +332,13 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
             expected[p] = [int(n), int(s)]
 
     # pass B: one decode task per container (no shuffle; parallel tasks)
-    part_ids = sorted(expected)
+    if by == "source":
+        from ..state.manifest import read_manifest_entries
+
+        entries = read_manifest_entries(out_dir)
+        part_ids = sorted(entries)
+    else:
+        part_ids = sorted(expected)
     # one block per partition: from_items defaults to a single block,
     # which would serialize all container decodes into one task
     parts_ds = rd.from_items(
@@ -341,6 +357,29 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact"):
             b.column("readable").to_pylist(),
         ):
             got[p] = (int(n), int(s) % (1 << 64), r)
+
+    if by == "source":
+        # roll the per-container digests up to source granularity —
+        # the additive hash-sum makes this exact under any partitioning
+        got_src: dict[str, list] = {}
+        for p in part_ids:
+            src = entries[p]["source"]
+            n, s, r = got.get(p, (0, 0, False))
+            acc = got_src.setdefault(src, [0, 0, True])
+            acc[0] += n
+            acc[1] = (acc[1] + s) % (1 << 64)
+            acc[2] = acc[2] and r
+        keys = sorted(set(expected) | set(got_src))
+        out = {"part_id": [], "n_rows": [], "ok": [], "n_mismatch": []}
+        for src in keys:
+            n_exp, h_exp = expected.get(src, [0, 0])
+            n_got, h_got, readable = got_src.get(src, (0, 0, False))
+            ok = readable and n_got == n_exp and h_got == h_exp
+            out["part_id"].append(src)
+            out["n_rows"].append(n_exp)
+            out["ok"].append(ok)
+            out["n_mismatch"].append(0 if ok else max(n_exp, n_got))
+        return rd.from_arrow(pa.Table.from_pydict(out, schema=VERIFY_SCHEMA))
 
     out = {"part_id": [], "n_rows": [], "ok": [], "n_mismatch": []}
     for p in part_ids:

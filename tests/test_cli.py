@@ -96,3 +96,23 @@ def test_cli_pack_and_dedup(tmp_path):
     dout = str(tmp_path / "dedup")
     r = run_cli("dedup", dsrc, "--out", dout, "--strategy", "join")
     assert r["ok"] and r["survivors"] == 20
+
+
+def test_cli_compact_then_source_verify(tmp_path):
+    """encode with tiny partitions -> compact -> partition count drops;
+    verify --mode hash --by source stays green from a fresh process."""
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    shard_dir = tmp_path / "toks"
+    shard_dir.mkdir()
+    pq.write_table(synth_rows(0, 400), str(shard_dir / "part-0.parquet"))
+    enc = str(tmp_path / "enc")
+    r = run_cli("encode", str(shard_dir), "--out", enc,
+                "--target-partition-tokens", "20000")
+    parts_before = r["partitions"]
+    assert parts_before > 4
+    rc = run_cli("compact", enc, "--target-tokens", "200000")
+    assert rc["ok"] and rc["rewritten"] > 0
+    rv = run_cli("verify", str(shard_dir), "--out", enc,
+                 "--mode", "hash", "--by", "source")
+    assert rv["ok"] and rv["n_mismatch"] == 0

@@ -364,3 +364,83 @@ def test_zone_map_pruning_and_filtered_decode(ray_session, sf_dir, out_dir):
     assert got["n_tok"].tolist() == ref["n_tok"].tolist()
     for a, b in zip(got["tokens"], ref["tokens"]):
         assert np.array_equal(a, b)
+
+
+def test_compaction_preserves_rows_and_reduces_partitions(ray_session, sf_dir, out_dir):
+    """Compacting many small partitions into target-size containers
+    keeps every row bit-identical (hash verify vs the ORIGINAL input
+    still green), reduces the partition count, and is idempotent."""
+    from fileconvert_ray.pipelines.compact_job import plan_compaction, run_compact
+
+    factory = lambda: tokseq_dataset(sf_dir)
+    run_encode(factory, EncodeConfig(out_dir=out_dir, target_partition_tokens=1500)).materialize()
+    before = completed_partitions(out_dir)
+    assert len(before) > 10  # plenty of small partitions
+
+    m = run_compact(out_dir, target_tokens=8000).to_pandas()
+    after = completed_partitions(out_dir)
+    assert len(after) < len(before)
+    assert len(m) > 0 and set(m["part_id"]) <= after
+    # zones + digest ride along on compacted partitions
+    recs = read_manifest_entries(out_dir)
+    for pid in m["part_id"]:
+        assert "zones" in recs[pid] and "digest" in recs[pid]
+
+    # partition-granularity hash verify is invalidated by design
+    # (boundaries moved); source granularity is repartition-invariant
+    v = run_verify(factory, out_dir, mode="hash", by="source").to_pandas()
+    assert bool(v.ok.all()) and len(v) > 0
+    vm = run_verify(None, out_dir, mode="manifest").to_pandas()
+    assert bool(vm.ok.all())
+
+    again = run_compact(out_dir, target_tokens=8000).to_pandas()
+    assert len(again) == 0  # idempotent: nothing left to rewrite
+
+
+def test_compaction_crash_recovery(ray_session, sf_dir, out_dir):
+    """Intent-record replay: a 'crash' after the new manifest lands is
+    finished forward (olds removed); a crash before it rolls back (new
+    container removed, olds untouched); verify stays green both times."""
+    import json
+
+    from fileconvert_ray.pipelines.compact_job import (
+        compact_group,
+        plan_compaction,
+        recover_compaction,
+    )
+    from fileconvert_ray.state.manifest import JobDirs, _atomic_write_bytes
+    from fileconvert_ray.stages.decoder import read_partition
+    from fileconvert_ray.stages.encoder import PartitionWriter
+
+    factory = lambda: tokseq_dataset(sf_dir)
+    run_encode(factory, EncodeConfig(out_dir=out_dir, target_partition_tokens=1500)).materialize()
+    groups = plan_compaction(out_dir, 8000)
+    assert len(groups) >= 2
+    dirs = JobDirs(out_dir)
+    idir = os.path.join(out_dir, "compact")
+    os.makedirs(idir, exist_ok=True)
+
+    # crash AFTER step 2: intent + new manifest exist, olds not deleted
+    g1 = groups[0]
+    _atomic_write_bytes(os.path.join(idir, f"{g1['gid']}.json"),
+                        json.dumps({"olds": g1["olds"]}).encode())
+    decoded = pa.concat_tables(
+        [read_partition(dirs.container_path(p)) for p in g1["olds"]]
+    ).combine_chunks()
+    PartitionWriter(out_dir).finalize_raw(decoded, g1["gid"], g1["source"])
+
+    # crash BEFORE the new manifest: intent + orphan container only
+    g2 = groups[1]
+    _atomic_write_bytes(os.path.join(idir, f"{g2['gid']}.json"),
+                        json.dumps({"olds": g2["olds"]}).encode())
+    with open(dirs.container_path(g2["gid"]), "wb") as f:
+        f.write(b"garbage half-written container")
+
+    r = recover_compaction(out_dir)
+    assert r == {"finished": 1, "rolled_back": 1}
+    done = completed_partitions(out_dir)
+    assert g1["gid"] in done and not (set(g1["olds"]) & done)
+    assert g2["gid"] not in done and set(g2["olds"]) <= done
+    assert not os.path.exists(dirs.container_path(g2["gid"]))
+    v = run_verify(factory, out_dir, mode="hash", by="source").to_pandas()
+    assert bool(v.ok.all())
