@@ -157,6 +157,56 @@ def bigram_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def q_token_skipgrams(sf_dir: str):
+    """Skip-gram co-occurrence counts (window +1/+2, word2vec-style):
+    ordered (center, context) pairs where the context sits 1 or 2
+    positions to the right.  Same shape as bigrams — per-batch packed
+    np.unique partials, the exchange moves O(distinct pairs) — with the
+    distance-2 pairs boundary-masked so pairs never span documents."""
+    ds = tokseq_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.Table.from_pydict(
+            {
+                "t1": pa.array([], type=pa.int64()),
+                "t2": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        keys = []
+        for d in (1, 2):
+            if len(flat) <= d:
+                continue
+            valid = (pos + d < ends)[:-d]
+            keys.append((flat[:-d] << np.int64(32) | flat[d:])[valid])
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "t1": pa.array(uniq >> np.int64(32)),
+                "t2": pa.array(uniq & np.int64(0xFFFFFFFF)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t1", "t2"],
+        ["cnt"],
+    )
+
+
 def q_token_idf(sf_dir: str):
     """Document frequency + IDF per token (TF-IDF's corpus-wide half).
 
@@ -1376,6 +1426,153 @@ def q_bigram_lm_score(sf_dir: str):
 
     return tokseq_dataset(sf_dir).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (long form: label, dim, c) — the
+    class-prototype computation behind centroid classifiers and
+    cluster-balanced sampling.  Per-batch partial sums per (label, dim)
+    keep the exchange at O(labels x d) rows; one rounded division at
+    the end on both sides."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .similarity import _emb_matrix
+
+        m = _emb_matrix(batch, "embedding")
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uu), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        d = m.shape[1]
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(np.repeat(uu, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uu))),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "dim"], ["s", "n"],
+    ).to_pandas()  # O(labels x d)
+    c = agg["s"].to_numpy() / agg["n"].to_numpy()
+    c = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5), c) / 1e6
+    return pa.Table.from_pydict(
+        {
+            "label": pa.array(agg["label"].to_numpy().astype(np.int64)),
+            "dim": pa.array(agg["dim"].to_numpy().astype(np.int64)),
+            "c": pa.array(c, type=pa.float64()),
+        }
+    )
+
+
+def q_events_value_norm(sf_dir: str):
+    """Per-group min-max feature scaling: vnorm = (v - min)/(max - min)
+    within each event_type.  Two passes, the first a tiny min/max
+    aggregate broadcast to the second — the standard normalization
+    stage in front of model training.  min/max of doubles are exact,
+    so the single rounded division agrees with SQL bit-for-bit."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    mm = ds.groupby("event_type").aggregate(
+        Min("value", alias_name="lo"), Max("value", alias_name="hi")
+    ).to_pandas()  # O(event types)
+    lut = {r.event_type: (r.lo, r.hi) for r in mm.itertuples()}
+    lut_ref = ray.put(lut)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        et = batch.column("event_type").to_pylist()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        lo = np.array([lu[t][0] for t in et])
+        hi = np.array([lu[t][1] for t in et])
+        rng = hi - lo
+        out = np.where(rng > 0, (v - lo) / np.where(rng > 0, rng, 1.0), 0.0)
+        out = np.floor(out * 1e6 + 0.5) / 1e6  # vnorm >= 0
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "vnorm": pa.array(out, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_value_share(sf_dir: str):
+    """Share-of-total (ratio_to_report): each event_type's fraction of
+    total value.  Values sum as exact int64 cents (no float summation
+    order anywhere); one rounded double division at the end."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents.astype(np.int64)),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], ["cents"],
+    ).to_pandas()
+    cents = agg["cents"].to_numpy()
+    share = cents.astype(np.float64) / float(cents.sum())
+    share = np.copysign(np.floor(np.abs(share) * 1e6 + 0.5), share) / 1e6
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(agg["event_type"]),
+            "cents": pa.array(cents),
+            "share": pa.array(share, type=pa.float64()),
+        }
+    )
+
+
+def q_doc_len_mode(sf_dir: str):
+    """Per-source modal document length (lowest value wins ties) — read
+    off the same bounded (source, n_chars) histogram as the quantile
+    family; the exchange moves O(sources x distinct lengths) rows."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.Table.from_pydict(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "n_chars"], ["cnt"]
+    ).to_pandas()
+    hist = hist.sort_values(["source", "cnt", "n_chars"], ascending=[True, False, True])
+    top = hist.groupby("source", as_index=False).first()
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(top["source"], type=pa.string()),
+            "mode_len": pa.array(top["n_chars"].to_numpy().astype(np.int64)),
+            "cnt": pa.array(top["cnt"].to_numpy().astype(np.int64)),
+        }
     )
 
 
@@ -2641,6 +2838,11 @@ QUERIES = {
     "bigram_lm_score": q_bigram_lm_score,
     "dup_trigram_fraction": q_dup_trigram_fraction,
     "kmeans_clusters": q_kmeans_clusters,
+    "label_centroids": q_label_centroids,
+    "events_value_norm": q_events_value_norm,
+    "value_share": q_value_share,
+    "doc_len_mode": q_doc_len_mode,
+    "token_skipgrams": q_token_skipgrams,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
@@ -2710,6 +2912,51 @@ ORACLE_SQL = {
            cast(count(*) as bigint) as n_pairs,
            round(cast(sum(mn) as double) / count(*) / 1000000.0, 6) as lm_score
     from m group by doc_id
+    """,
+    "label_centroids": """
+    with e as (select label, cast(embedding as double[]) as v from embeddings),
+    eu as (select label, unnest(v) as x, generate_subscripts(v, 1) as j from e)
+    select cast(label as bigint) as label, cast(j as bigint) as dim,
+           round(avg(x), 6) as c
+    from eu group by label, j
+    """,
+    "events_value_norm": """
+    with mm as (select event_type, min(value) as lo, max(value) as hi
+                from events group by event_type)
+    select e.event_id, e.event_type,
+           round(case when mm.hi > mm.lo
+                      then (e.value - mm.lo) / (mm.hi - mm.lo) else 0 end, 6) as vnorm
+    from events e join mm using (event_type)
+    """,
+    "value_share": """
+    with c as (select event_type,
+                      cast(sum(cast(round(value * 100) as bigint)) as bigint) as cents
+               from events group by event_type),
+    t as (select cast(sum(cents) as double) as total from c)
+    select c.event_type, c.cents, round(c.cents / t.total, 6) as share
+    from c, t
+    """,
+    "doc_len_mode": """
+    select source, mode_len, cnt from (
+      select source, n_chars as mode_len, cast(count(*) as bigint) as cnt,
+             row_number() over (partition by source
+                                order by count(*) desc, n_chars asc) as rn
+      from documents group by source, n_chars) t
+    where rn = 1
+    """,
+    "token_skipgrams": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    p as (select w1, lead(w1, 1) over (partition by doc_id order by i) as wa,
+                 lead(w1, 2) over (partition by doc_id order by i) as wb
+          from u),
+    pairs as (select w1, wa as w2 from p where wa is not null
+              union all
+              select w1, wb as w2 from p where wb is not null),
+    c as (select w1, w2, cast(count(*) as bigint) as cnt from pairs group by w1, w2)
+    select cast(v1.token as bigint) as t1, cast(v2.token as bigint) as t2, c.cnt as cnt
+    from c join v v1 on c.w1 = v1.word join v v2 on c.w2 = v2.word
     """,
     "kmeans_clusters": """
     with e as (select vec_id, cast(embedding as double[]) as v from embeddings),
