@@ -2774,6 +2774,211 @@ def q_encode_metrics(sf_dir: str):
     return run_encode(factory, EncodeConfig(out_dir=out, target_partition_tokens=200_000))
 
 
+# ------------------------------------- training-data curation ops
+
+C4_MIN_WORDS, C4_MAX_WORDS, C4_MIN_STOP = 25, 90, 0.02
+
+
+def q_c4_quality_filter(sf_dir: str):
+    """Composed rule-based document filter (C4 / Gopher style): keep
+    docs with C4_MIN_WORDS <= n_words <= C4_MAX_WORDS and
+    stop_ratio >= C4_MIN_STOP.  Signals and filter run FUSED in one
+    ``map_batches`` pass over the pruned (doc_id, text) read — no
+    second scan, no shuffle; the output streams straight to the sink.
+    Float parity is exact: both sides divide the same two integers, so
+    the threshold compare can't diverge."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        nw = q.column("n_words").to_numpy(zero_copy_only=False)
+        sr = q.column("stop_ratio").to_numpy(zero_copy_only=False)
+        keep = (nw >= C4_MIN_WORDS) & (nw <= C4_MAX_WORDS) & (sr >= C4_MIN_STOP)
+        return q.select(["doc_id", "n_words", "stop_ratio"]).filter(pa.array(keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SPLIT_TEST_CUT = format(16**6 // 20, "06x")  # 5% test
+SPLIT_VAL_CUT = format(2 * 16**6 // 20, "06x")  # next 5% val
+
+
+def q_train_test_split(sf_dir: str):
+    """Deterministic train/val/test assignment from a content-hash of
+    the doc id (md5 hex prefix vs fixed integer cuts) — reproducible
+    across runs, cluster sizes and shard orders, and leakage-free
+    under re-partitioning (the assignment depends only on the id).
+    Shuffle-free single pass.  md5 is the oracle-parity concession
+    (same as seeded_shuffle); the scale path swaps in the vectorized
+    FNV from util/hashing with identical structure."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        h = [hashlib.md5(s.encode()).hexdigest()[:6] for s in ids]
+        split = [
+            "test" if x < SPLIT_TEST_CUT else ("val" if x < SPLIT_VAL_CUT else "train")
+            for x in h
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, type=pa.string()), "split": pa.array(split)}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TEMP_ALPHA, TEMP_TOTAL = 0.7, 200
+
+
+def q_temperature_sample(sf_dir: str):
+    """Temperature-based source sampling (the multilingual-corpus
+    p^alpha rebalance): per-source weight = chars_s^alpha normalized,
+    target_s = floor(TOTAL * w_s + 0.5) docs, then a deterministic
+    md5-prefix cut keeps ~target_s docs from each source.  Pass 1 is a
+    tiny groupby (O(sources) rows to the driver); the single float
+    step (pow) collapses to an INTEGER target before anything touches
+    per-doc data, so the per-doc filter is pure integer/hex compare —
+    the same plan at any scale, and SQL-expressible end to end."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow"), ["source"], ["chars", "n"]
+    ).to_pandas()  # O(sources)
+    w = np.power(counts["chars"].to_numpy().astype(np.float64), TEMP_ALPHA)
+    target = np.floor(TEMP_TOTAL * w / w.sum() + 0.5).astype(np.int64)
+    cuts = {
+        s: format(min((int(t) * 16**6) // max(int(n), 1), 16**6 - 1), "06x")
+        for s, t, n in zip(counts["source"], target, counts["n"])
+    }
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        srcs = batch.column("source").to_pylist()
+        keep = pa.array(
+            [
+                hashlib.md5(s.encode()).hexdigest()[:6] < cuts[src]
+                for s, src in zip(ids.to_pylist(), srcs)
+            ]
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": ids.filter(keep), "source": batch.column("source").filter(keep)}
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dup_span_coverage(sf_dir: str):
+    """Span-level duplicate coverage (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per doc, the fraction
+    of TOKEN POSITIONS lying inside at least one cross-document-
+    duplicated trigram occurrence — the signal behind span-trimming
+    dedup (vs dup_trigram_fraction, which counts duplicated trigram
+    occurrences, not the union of tokens they cover).
+
+    Shape: stage 1 reuses the dup_trigram df aggregate (per-doc
+    distinct trigrams -> tiny groupby, O(distinct trigrams) moves);
+    stage 2 broadcasts only the duplicated keys and computes the
+    per-doc covered-position UNION with a difference array (+1 at each
+    hit start, -1 past its end, one cumsum, reduceat over doc
+    boundaries) — O(tokens) per batch, no interval lists, no Python
+    loops.  Docs too short for a trigram report coverage 0."""
+    import ray
+
+    ds = tokseq_dataset(sf_dir)
+
+    def _tri(batch: pa.Table):
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 3:
+            return n_tok, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        valid = (pos + 2 < ends)[:-2]
+        assert flat.max() < (1 << 21), "trigram packing needs vocab < 2^21"
+        key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)[:-2]
+        return n_tok, row[valid], key[valid]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, row, key = _tri(batch)
+        pair = np.unique(np.stack([row, key], axis=1).view([("", np.int64)] * 2))
+        k = pair.view(np.int64).reshape(-1, 2)[:, 1] if len(pair) else np.zeros(0, np.int64)
+        uniq, df = np.unique(k, return_counts=True)
+        return pa.Table.from_pydict({"tri": pa.array(uniq), "df": pa.array(df.astype(np.int64))})
+
+    dfagg = _sum_groupby(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tri"], ["df"],
+    )
+    dup = dfagg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("df"), 1)).select(["tri"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # O(duplicated trigrams); scale path: bloom/semi-join
+    dup_keys = ray.put(np.sort(dup["tri"].to_numpy().astype(np.int64)))
+
+    def cover(batch: pa.Table) -> pa.Table:
+        keys_s = ray.get(dup_keys)
+        n_tok, row, key = _tri(batch)
+        total = int(n_tok.sum())
+        starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        if len(keys_s) and len(key):
+            idx = np.searchsorted(keys_s, key)
+            idx[idx == len(keys_s)] = 0
+            hit = keys_s[idx] == key
+        else:
+            hit = np.zeros(len(key), bool)
+        # map each (valid-masked) trigram occurrence back to its flat
+        # token index: occurrences were emitted in flat order, so the
+        # valid mask's set bits ARE their flat positions
+        if total >= 3:
+            ends = np.repeat(np.cumsum(n_tok), n_tok)
+            allpos = np.arange(total, dtype=np.int64)
+            flat_idx = np.flatnonzero((allpos + 2 < ends)[:-2])
+        else:
+            flat_idx = np.zeros(0, np.int64)
+        h = flat_idx[hit]
+        delta = np.zeros(total + 3, dtype=np.int64)
+        np.add.at(delta, h, 1)
+        np.add.at(delta, h + 3, -1)
+        covered_flat = (np.cumsum(delta)[:total] > 0).astype(np.int64)
+        if total:
+            cov = np.add.reduceat(covered_flat, np.minimum(starts, total - 1)) * (n_tok > 0)
+        else:
+            cov = np.zeros(len(n_tok), dtype=np.int64)
+        frac = np.where(n_tok > 0, cov / np.maximum(n_tok, 1), 0.0)
+        frac = np.floor(frac * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pa.array(n_tok),
+                "n_cov": pa.array(cov),
+                "cov_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return tokseq_dataset(sf_dir).map_batches(
+        cover, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -2843,6 +3048,10 @@ QUERIES = {
     "value_share": q_value_share,
     "doc_len_mode": q_doc_len_mode,
     "token_skipgrams": q_token_skipgrams,
+    "c4_quality_filter": q_c4_quality_filter,
+    "train_test_split": q_train_test_split,
+    "temperature_sample": q_temperature_sample,
+    "dup_span_coverage": q_dup_span_coverage,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
@@ -2935,6 +3144,62 @@ ORACLE_SQL = {
     t as (select cast(sum(cents) as double) as total from c)
     select c.event_type, c.cents, round(c.cents / t.total, 6) as share
     from c, t
+    """,
+    "c4_quality_filter": f"""
+    with q as (select cast(doc_id as varchar) as doc_id,
+        cast(len(string_split(text, ' ')) as bigint) as n_words,
+        cast(len(list_filter(string_split(text, ' '), x -> x in ('a', 'the')))
+             as bigint)::double / len(string_split(text, ' ')) as stop_ratio
+      from documents)
+    select doc_id, n_words, stop_ratio from q
+    where n_words between {C4_MIN_WORDS} and {C4_MAX_WORDS}
+      and stop_ratio >= {C4_MIN_STOP}
+    """,
+    "train_test_split": f"""
+    select cast(doc_id as varchar) as doc_id,
+           case when substr(md5(cast(doc_id as varchar)), 1, 6) < '{SPLIT_TEST_CUT}'
+                then 'test'
+                when substr(md5(cast(doc_id as varchar)), 1, 6) < '{SPLIT_VAL_CUT}'
+                then 'val' else 'train' end as split
+    from documents
+    """,
+    "temperature_sample": f"""
+    with c as (select source, cast(sum(n_chars) as double) as chars,
+                      cast(count(*) as bigint) as n
+               from documents group by source),
+    w as (select source, n, pow(chars, {TEMP_ALPHA}) as w from c),
+    t as (select source, n,
+                 cast(floor({TEMP_TOTAL} * w / (select sum(w) from w) + 0.5) as bigint) as tgt
+          from w),
+    cut as (select source,
+                   printf('%06x', least(tgt * 16777216 // n, 16777215)) as cut
+            from t)
+    select cast(d.doc_id as varchar) as doc_id, d.source
+    from documents d join cut using (source)
+    where substr(md5(cast(d.doc_id as varchar)), 1, 6) < cut.cut
+    """,
+    "dup_span_coverage": """
+    with d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    t as (select doc_id, i, w1,
+                 lead(w1, 1) over (partition by doc_id order by i) as w2,
+                 lead(w1, 2) over (partition by doc_id order by i) as w3
+          from u),
+    tt as (select doc_id, i, w1, w2, w3 from t where w3 is not null),
+    df as (select w1, w2, w3, count(distinct doc_id) as df
+           from tt group by w1, w2, w3),
+    hits as (select tt.doc_id, tt.i from tt join df using (w1, w2, w3)
+             where df.df > 1),
+    covered as (select distinct doc_id, i + o as p
+                from hits, (select unnest([0, 1, 2]) as o)),
+    cov as (select doc_id, cast(count(*) as bigint) as n_cov
+            from covered group by doc_id),
+    nt as (select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tok
+           from documents)
+    select cast(nt.doc_id as bigint) as doc_id, nt.n_tok,
+           coalesce(cov.n_cov, 0) as n_cov,
+           round(coalesce(cov.n_cov, 0) / nt.n_tok, 6) as cov_frac
+    from nt left join cov using (doc_id)
     """,
     "doc_len_mode": """
     select source, mode_len, cnt from (

@@ -1236,3 +1236,32 @@ def test_cms_guarantee_and_split_invariance(ray_session):
     eps_n = np.e / 64 * len(vals)
     frac_bad = float(np.mean(est - true > eps_n))
     assert frac_bad < 0.02  # P(err > eps*N) <= e^-depth per item
+
+
+def test_dup_span_coverage_union_semantics(ray_session, tmp_path):
+    """Coverage must be the UNION of covered token positions, not the
+    occurrence count: two docs sharing overlapping trigrams ("x y z a"
+    shares both "x y z" and "y z a") cover 4 positions, not 6."""
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.functions.queries import q_dup_span_coverage
+
+    texts = [
+        "x y z a b",  # shares "x y z" and "y z a" with doc 1 -> covers 0..3
+        "x y z a c",  # same two shared trigrams -> covers 0..3
+        "p q r s t",  # unique -> coverage 0
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_dup_span_coverage(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_cov"] == 4 and out.loc[1, "n_cov"] == 4
+    assert out.loc[2, "n_cov"] == 0 and out.loc[2, "cov_frac"] == 0.0
+    assert abs(out.loc[0, "cov_frac"] - 0.8) < 1e-9
