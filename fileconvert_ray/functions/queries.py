@@ -2979,6 +2979,151 @@ def q_dup_span_coverage(sf_dir: str):
     )
 
 
+CHUNK_L, CHUNK_S = 32, 24  # window / stride (overlap = L - S)
+
+
+def chunk_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch sliding-window chunker over a tokseq batch (module
+    level so tests can drive it on hand-built tables)."""
+    col = batch.column("tokens")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = np.maximum((n_tok + CHUNK_S - 1) // CHUNK_S, (n_tok > 0).astype(np.int64))
+    row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_chunks)
+    # chunk index within its doc: global arange minus each doc's base
+    base = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+    cidx = np.arange(int(n_chunks.sum()), dtype=np.int64) - base[row]
+    s = cidx * CHUNK_S
+    e = np.minimum(s + CHUNK_L, n_tok[row])
+    doc_start = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+    csum = np.concatenate(([0], np.cumsum(flat)))
+    tok_sum = csum[doc_start[row] + e] - csum[doc_start[row] + s]
+    ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids[row]),
+            "chunk_idx": pa.array(cidx),
+            "start": pa.array(s),
+            "n_chunk_tok": pa.array(e - s),
+            "tok_sum": pa.array(tok_sum),
+        }
+    )
+
+
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking of token sequences (long-document prep
+    for a fixed context window): each doc yields chunks starting at
+    0, S, 2S, ... < n_tok, each up to L tokens.  Fully vectorized —
+    chunk starts via one repeat+arange, chunk token sums via prefix
+    sums over the flat token buffer (no window materialization, no
+    Python loops), so cost is O(tokens + chunks) per batch and the op
+    never shuffles.  tok_sum makes chunk contents value-hashable
+    against the SQL oracle without shipping token lists."""
+    return tokseq_dataset(sf_dir).map_batches(
+        chunk_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_source_kl(sf_dir: str):
+    """Per-source KL divergence of the token distribution vs the whole
+    corpus — the domain-shift / source-weighting diagnostic.  One
+    distributed groupby over (source, token) partial counts moves
+    O(sources x vocab) rows; the divergence fold happens on the driver
+    over that small table.  Each ln term is scaled to integer 1e-9
+    units BEFORE summing (both sides), so float summation order can
+    never flip the rounded result."""
+    ds = tokseq_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = batch.column("source")
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        denc = srcs.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        sidx = np.repeat(denc.indices.to_numpy(zero_copy_only=False).astype(np.int64), n_tok)
+        key = (sidx << np.int64(32)) | flat
+        uniq, cnt = np.unique(key, return_counts=True)
+        labels = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(labels[(uniq >> np.int64(32)).astype(np.int64)], type=pa.string()),
+                "token": pa.array(uniq & np.int64(0xFFFFFFFF)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    st = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "token"], ["cnt"],
+    ).to_pandas()  # O(sources x vocab)
+    n_s = st.groupby("source")["cnt"].transform("sum").to_numpy().astype(np.float64)
+    c_t = st.groupby("token")["cnt"].transform("sum").to_numpy().astype(np.float64)
+    nn = float(st["cnt"].sum())
+    c = st["cnt"].to_numpy().astype(np.float64)
+    term = (c / n_s) * np.log((c * nn) / (n_s * c_t))
+    ti = np.copysign(np.floor(np.abs(term) * 1e9 + 0.5), term).astype(np.int64)
+    out = st.assign(ti=ti).groupby("source", as_index=False)["ti"].sum()
+    kl = out["ti"].to_numpy().astype(np.float64) / 1e9
+    kl = np.copysign(np.floor(np.abs(kl) * 1e6 + 0.5), kl) / 1e6
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(out["source"], type=pa.string()),
+            "kl": pa.array(kl, type=pa.float64()),
+        }
+    )
+
+
+OOV_TOP_K = 10
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary rate against the corpus's top-K most
+    frequent tokens (tokenizer-truncation analysis): pass 1 is the
+    token histogram (O(vocab) rows move), the driver takes the top K
+    by (count desc, token asc) and broadcasts the tiny id set via
+    ``ray.put``; pass 2 scores each doc with one sorted ``np.isin`` —
+    shuffle-free over the corpus."""
+    import ray
+
+    hist = q_token_histogram(sf_dir).to_pandas()  # O(vocab)
+    hist = hist.sort_values(["cnt", "token"], ascending=[False, True], ignore_index=True)
+    vocab_ref = ray.put(np.sort(hist["token"].to_numpy()[:OOV_TOP_K].astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        iv = ray.get(vocab_ref)
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        oov = ~np.isin(flat, iv, assume_unique=False)
+        n_oov = np.zeros(len(n_tok), dtype=np.int64)
+        np.add.at(n_oov, row[oov], 1)
+        frac = np.where(n_tok > 0, n_oov / np.maximum(n_tok, 1), 0.0)
+        frac = np.floor(frac * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pa.array(n_tok),
+                "n_oov": pa.array(n_oov),
+                "oov_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return tokseq_dataset(sf_dir).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -3052,6 +3197,9 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "temperature_sample": q_temperature_sample,
     "dup_span_coverage": q_dup_span_coverage,
+    "chunk_documents": q_chunk_documents,
+    "oov_rate": q_oov_rate,
+    "source_kl": q_source_kl,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
@@ -3200,6 +3348,62 @@ ORACLE_SQL = {
            coalesce(cov.n_cov, 0) as n_cov,
            round(coalesce(cov.n_cov, 0) / nt.n_tok, 6) as cov_frac
     from nt left join cov using (doc_id)
+    """,
+    "chunk_documents": _VOCAB_CTE
+    + f""",
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u2 as (select uw.doc_id, uw.i, v.token
+           from (select doc_id, unnest(ws) as word,
+                        generate_subscripts(ws, 1) as i from d) uw
+           join v on uw.word = v.word),
+    starts as (select doc_id, unnest(generate_series(0, len(ws) - 1, {CHUNK_S})) as s
+               from d),
+    c as (select st.doc_id, st.s // {CHUNK_S} as chunk_idx, st.s as start,
+                 cast(count(*) as bigint) as n_chunk_tok,
+                 cast(sum(u2.token) as bigint) as tok_sum
+          from starts st join u2 on u2.doc_id = st.doc_id
+               and u2.i > st.s and u2.i <= st.s + {CHUNK_L}
+          group by st.doc_id, st.s)
+    select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
+           cast(start as bigint) as start, n_chunk_tok, tok_sum
+    from c
+    """,
+    "source_kl": _VOCAB_CTE
+    + """,
+    u as (select uw.source, v.token
+          from (select source, unnest(string_split(text, ' ')) as word
+                from documents) uw
+          join v using (word)),
+    st as (select source, token, cast(count(*) as double) as c
+           from u group by source, token),
+    sums as (select source, sum(c) as n_s from st group by source),
+    tots as (select token, sum(c) as c_t from st group by token),
+    nn as (select sum(c) as n from st),
+    terms as (select st.source,
+                     (st.c / s.n_s) * ln((st.c * nn.n) / (s.n_s * t.c_t)) as term
+              from st join sums s using (source) join tots t using (token), nn),
+    ti as (select source,
+                  cast(floor(abs(term) * 1e9 + 0.5) as bigint)
+                  * (case when term < 0 then -1 else 1 end) as q
+           from terms)
+    select source, round(sign(sum(q)) * floor(abs(sum(q) / 1e9) * 1e6 + 0.5) / 1e6, 6) as kl
+    from ti group by source
+    """,
+    "oov_rate": _VOCAB_CTE
+    + f""",
+    u as (select doc_id, v.token
+          from (select doc_id, unnest(string_split(text, ' ')) as word from documents) uw
+          join v using (word)),
+    hist as (select token, count(*) as cnt from u group by token),
+    topk as (select token from hist
+             order by cnt desc, token asc limit {OOV_TOP_K}),
+    s as (select doc_id, cast(count(*) as bigint) as n_tok,
+                 cast(count(*) filter (where token not in (select token from topk))
+                      as bigint) as n_oov
+          from u group by doc_id)
+    select cast(doc_id as bigint) as doc_id, n_tok, n_oov,
+           round(n_oov / n_tok, 6) as oov_frac
+    from s
     """,
     "doc_len_mode": """
     select source, mode_len, cnt from (
@@ -3391,7 +3595,7 @@ ORACLE_SQL = {
                cast(count(*) as bigint) as n_docs
         from documents group by source
     """,
-    "text_quality": """
+    "text_quality": r"""
         select cast(doc_id as varchar) as doc_id,
                cast(length(text) as bigint) as n_chars,
                cast(len(string_split(text, ' ')) as bigint) as n_words,

@@ -1265,3 +1265,28 @@ def test_dup_span_coverage_union_semantics(ray_session, tmp_path):
     assert out.loc[0, "n_cov"] == 4 and out.loc[1, "n_cov"] == 4
     assert out.loc[2, "n_cov"] == 0 and out.loc[2, "cov_frac"] == 0.0
     assert abs(out.loc[0, "cov_frac"] - 0.8) < 1e-9
+
+
+def test_chunk_batch_windows_and_sums():
+    """Hand-checked sliding windows: L=32/S=24 over 50 tokens gives
+    chunks [0:32], [24:50], [48:50]; empty docs yield no chunks; sums
+    come off the prefix-sum path exactly."""
+    from fileconvert_ray.functions.queries import CHUNK_L, CHUNK_S, chunk_batch
+
+    assert (CHUNK_L, CHUNK_S) == (32, 24)
+    toks = list(range(50))
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["7", "8", "9"]),
+            "tokens": pa.array([toks, [], [5, 6]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([50, 0, 2], type=pa.int32()),
+        }
+    )
+    t = chunk_batch(batch).to_pandas()
+    d7 = t[t.doc_id == 7].sort_values("chunk_idx")
+    assert list(d7.start) == [0, 24, 48]
+    assert list(d7.n_chunk_tok) == [32, 26, 2]
+    assert list(d7.tok_sum) == [sum(toks[0:32]), sum(toks[24:50]), sum(toks[48:50])]
+    assert (t.doc_id == 8).sum() == 0  # empty doc -> no chunks
+    d9 = t[t.doc_id == 9]
+    assert len(d9) == 1 and int(d9.n_chunk_tok.iloc[0]) == 2 and int(d9.tok_sum.iloc[0]) == 11
