@@ -90,6 +90,17 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--key", default="text", help="content column")
     u.add_argument("--id", default="doc_id", help="id column (smallest survives)")
     u.add_argument("--strategy", choices=["broadcast", "join"], default="broadcast")
+
+    r = sub.add_parser(
+        "curate",
+        help="end-to-end curation: exact dedup -> quality filter -> "
+        "train/val/test split -> tokenize+encode+verify the train split",
+    )
+    r.add_argument("input", help="documents parquet (dir or file)")
+    r.add_argument("--out", required=True)
+    r.add_argument("--no-encode", action="store_true",
+                   help="stop after writing the split document sets")
+    r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
     return p
 
 
@@ -217,6 +228,14 @@ def main(argv: list[str] | None = None) -> int:
 
             n = pds.dataset(args.out).count_rows()
             print(json.dumps({"ok": True, "out": args.out, "survivors": int(n)}))
+        elif args.cmd == "curate":
+            from fileconvert_ray.pipelines.curate_job import run_curate
+
+            print(json.dumps(run_curate(
+                args.input, args.out,
+                encode=not args.no_encode,
+                target_partition_tokens=args.target_partition_tokens,
+            )))
     finally:
         ray.shutdown()
     return 0

@@ -1,0 +1,123 @@
+"""End-to-end curation pipeline: exact dedup -> rule-based quality
+filter -> deterministic train/val/test split -> (optionally) tokenize,
+encode and hash-verify the train split.
+
+One composition of the engine's own stages, exposed as the ``curate``
+CLI subcommand (SURVEY.md §3.2).  Everything streams: the dedup id set
+is the only driver-held state (see functions/dedup.py for the join
+strategy when even that is too big), the filter and split are
+shuffle-free per-batch maps, and the single write is hive-partitioned
+by split so downstream jobs read only their slice.  The split column
+depends only on the doc id, so re-running curation with more data
+never migrates an old doc across splits (leakage-free growth).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rules():
+    # canonical rule constants live next to their oracle SQL
+    from ..functions.queries import (
+        C4_MAX_WORDS,
+        C4_MIN_STOP,
+        C4_MIN_WORDS,
+        SPLIT_TEST_CUT,
+        SPLIT_VAL_CUT,
+    )
+
+    return C4_MIN_WORDS, C4_MAX_WORDS, C4_MIN_STOP, SPLIT_TEST_CUT, SPLIT_VAL_CUT
+
+
+def curate_batch(batch: pa.Table) -> pa.Table:
+    """Quality-filter FULL document rows and append the split column —
+    one fused pass, no extra read of text."""
+    from ..functions.textstats import quality_batch
+
+    min_w, max_w, min_stop, test_cut, val_cut = _rules()
+    q = quality_batch(batch)
+    nw = q.column("n_words").to_numpy(zero_copy_only=False)
+    sr = q.column("stop_ratio").to_numpy(zero_copy_only=False)
+    keep = (nw >= min_w) & (nw <= max_w) & (sr >= min_stop)
+    kept = batch.filter(pa.array(keep))
+    ids = pc.cast(kept.column("doc_id"), pa.string()).to_pylist()
+    h = [hashlib.md5(s.encode()).hexdigest()[:6] for s in ids]
+    split = ["test" if x < test_cut else ("val" if x < val_cut else "train") for x in h]
+    return kept.append_column("split", pa.array(split, type=pa.string()))
+
+
+def run_curate(
+    input_path: str,
+    out_dir: str,
+    *,
+    encode: bool = True,
+    target_partition_tokens: int = 4_000_000,
+) -> dict:
+    """Returns a JSON-able summary of every stage's row/token counts."""
+    import ray.data as rd
+
+    from ..functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(input_path)
+    n_in = ds.count()
+    surv = exact_dedup(ds, key="text", id_col="doc_id")
+    curated = surv.map_batches(curate_batch, batch_format="pyarrow", zero_copy_batch=True)
+    curated_dir = f"{out_dir}/curated"
+    curated.write_parquet(curated_dir, partition_cols=["split"])
+
+    import pyarrow.dataset as pds
+
+    splits = {}
+    for s in ("train", "val", "test"):
+        try:
+            splits[s] = int(pds.dataset(f"{curated_dir}/split={s}").count_rows())
+        except FileNotFoundError:
+            splits[s] = 0
+    out = {
+        "ok": True,
+        "n_input": int(n_in),
+        "n_curated": int(sum(splits.values())),
+        "splits": splits,
+        "out": out_dir,
+    }
+    if not encode or splits["train"] == 0:
+        return out
+
+    # tokenize + encode + hash-verify the train split
+    from ..sources.tokseq import tokenize_batch
+    from .encode_job import EncodeConfig, run_encode
+    from .verify_job import run_verify
+
+    train_dir = f"{curated_dir}/split=train"
+    words: set[str] = set()
+    for frag in pds.dataset(train_dir).to_batches(columns=["text"]):
+        flat = pc.list_flatten(pc.split_pattern(frag.column(0), " "))
+        words.update(flat.to_pylist())
+    vmap = {w: i for i, w in enumerate(sorted(words))}
+
+    def factory():
+        return rd.read_parquet(train_dir, columns=["doc_id", "text", "source"]).map_batches(
+            tokenize_batch, batch_format="pyarrow", zero_copy_batch=True,
+            fn_kwargs={"vocab": vmap},
+        )
+
+    enc_dir = f"{out_dir}/encoded"
+    m = run_encode(
+        factory, EncodeConfig(out_dir=enc_dir, target_partition_tokens=target_partition_tokens)
+    ).to_pandas()
+    v = run_verify(factory, enc_dir, mode="hash").to_pandas()
+    out.update(
+        {
+            "encoded_partitions": int(len(m)),
+            "n_tokens": int(m["n_tokens"].sum()),
+            "encoded_bytes": int(m["encoded_bytes"].sum()),
+            "verify_ok": bool(v["ok"].all()) and len(v) > 0,
+        }
+    )
+    out["ok"] = out["verify_ok"]
+    return out

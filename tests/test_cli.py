@@ -116,3 +116,35 @@ def test_cli_compact_then_source_verify(tmp_path):
     rv = run_cli("verify", str(shard_dir), "--out", enc,
                  "--mode", "hash", "--by", "source")
     assert rv["ok"] and rv["n_mismatch"] == 0
+
+
+def test_cli_curate_end_to_end(tmp_path):
+    """curate = dedup -> quality filter -> split -> encode(train) ->
+    hash-verify, one subprocess.  Split assignment must match the
+    oracle rule (md5 hex cut) and the train split must round-trip."""
+    out = str(tmp_path / "cur")
+    r = run_cli(
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--target-partition-tokens", "5000",
+    )
+    assert r["ok"] and r["verify_ok"]
+    assert r["n_input"] == 500
+    assert r["n_curated"] == sum(r["splits"].values()) > 0
+    assert r["splits"]["train"] > r["splits"]["val"] + r["splits"]["test"]
+    assert r["encoded_partitions"] > 0 and r["n_tokens"] > 0
+    # curated output is hive-partitioned by split and keeps full rows
+    t = pq.read_table(f"{out}/curated/split=train")
+    assert {"doc_id", "text", "source"} <= set(t.column_names)
+    # no doc crosses splits; filter boundaries respected
+    import hashlib
+
+    from fileconvert_ray.functions.queries import (
+        C4_MAX_WORDS,
+        C4_MIN_WORDS,
+        SPLIT_TEST_CUT,
+    )
+
+    nw = [len(s.split(" ")) for s in t.column("text").to_pylist()]
+    assert min(nw) >= C4_MIN_WORDS and max(nw) <= C4_MAX_WORDS
+    for d in t.column("doc_id").to_pylist()[:50]:
+        assert hashlib.md5(str(d).encode()).hexdigest()[:6] >= SPLIT_TEST_CUT
