@@ -3026,6 +3026,39 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_user_paths(sf_dir: str):
+    """Per-user ordered event path (order-sensitive grouped string
+    concatenation — the clickstream "path analysis" shape): one
+    groupby(user) shuffle of (user_id, ts, event_id, event_type); each
+    group sorts by (ts, event_id) and joins types with '->'.  The join
+    itself is one Python str.join per GROUP (O(users) joins total, the
+    output is a string per user), never per event."""
+    import ray.data as rd
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("path", pa.string())]
+    )
+
+    def path(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        uid = g.column("user_id")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "user_id": [uid],
+                "n_events": [g.num_rows],
+                "path": ["->".join(g.column("event_type").to_pylist())],
+            },
+            schema=schema,
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return ds.groupby("user_id").map_groups(path, batch_format="pyarrow")
+
+
 def q_source_kl(sf_dir: str):
     """Per-source KL divergence of the token distribution vs the whole
     corpus — the domain-shift / source-weighting diagnostic.  One
@@ -3200,6 +3233,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "oov_rate": q_oov_rate,
     "source_kl": q_source_kl,
+    "user_paths": q_user_paths,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
@@ -3367,6 +3401,11 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "user_paths": """
+    select user_id, cast(count(*) as bigint) as n_events,
+           string_agg(event_type, '->' order by ts, event_id) as path
+    from events group by user_id
     """,
     "source_kl": _VOCAB_CTE
     + """,
