@@ -68,6 +68,12 @@ def run_curate(
     surv = exact_dedup(ds, key="text", id_col="doc_id")
     curated = surv.map_batches(curate_batch, batch_format="pyarrow", zero_copy_batch=True)
     curated_dir = f"{out_dir}/curated"
+    # a re-run must not APPEND a second copy of every curated file; the
+    # curated set is cheap to rebuild, so wipe and rewrite it — the
+    # expensive encode stage below keeps partition-level resume
+    import shutil
+
+    shutil.rmtree(curated_dir, ignore_errors=True)
     curated.write_parquet(curated_dir, partition_cols=["split"])
 
     import pyarrow.dataset as pds
@@ -111,11 +117,18 @@ def run_curate(
         factory, EncodeConfig(out_dir=enc_dir, target_partition_tokens=target_partition_tokens)
     ).to_pandas()
     v = run_verify(factory, enc_dir, mode="hash").to_pandas()
+    # on a fully-resumed re-run the metrics table is empty (every
+    # partition was skipped) — totals then come from the manifest,
+    # which is authoritative either way
+    from ..state.manifest import read_manifest_entries
+
+    ents = read_manifest_entries(enc_dir)
     out.update(
         {
             "encoded_partitions": int(len(m)),
-            "n_tokens": int(m["n_tokens"].sum()),
-            "encoded_bytes": int(m["encoded_bytes"].sum()),
+            "total_partitions": int(len(ents)),
+            "n_tokens": int(sum(e["n_tokens"] for e in ents.values())),
+            "encoded_bytes": int(sum(e["container_bytes"] for e in ents.values())),
             "verify_ok": bool(v["ok"].all()) and len(v) > 0,
         }
     )

@@ -148,3 +148,15 @@ def test_cli_curate_end_to_end(tmp_path):
     assert min(nw) >= C4_MIN_WORDS and max(nw) <= C4_MAX_WORDS
     for d in t.column("doc_id").to_pylist()[:50]:
         assert hashlib.md5(str(d).encode()).hexdigest()[:6] >= SPLIT_TEST_CUT
+
+    # re-run into the SAME out dir: curated counts must not double
+    # (rewrite, not append) and the encode stage must fully resume
+    r2 = run_cli(
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--target-partition-tokens", "5000",
+    )
+    assert r2["ok"] and r2["verify_ok"]
+    assert r2["splits"] == r["splits"] and r2["n_curated"] == r["n_curated"]
+    assert r2["encoded_partitions"] == 0  # all partitions skipped via manifest
+    assert r2["total_partitions"] == r["total_partitions"] > 0
+    assert r2["n_tokens"] == r["n_tokens"]
