@@ -1290,3 +1290,49 @@ def test_chunk_batch_windows_and_sums():
     assert (t.doc_id == 8).sum() == 0  # empty doc -> no chunks
     d9 = t[t.doc_id == 9]
     assert len(d9) == 1 and int(d9.n_chunk_tok.iloc[0]) == 2 and int(d9.tok_sum.iloc[0]) == 11
+
+
+def test_chunk_batch_property_coverage():
+    """Property (hypothesis): for any doc lengths/tokens, the emitted
+    windows tile each doc exactly — starts are 0,S,2S,..., every window
+    is non-empty and within bounds, consecutive windows overlap by
+    L - S (until the tail), and per-chunk sums reconcile with a direct
+    recomputation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fileconvert_ray.functions.queries import CHUNK_L, CHUNK_S, chunk_batch
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=2**20), min_size=0, max_size=150),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(docs):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in range(len(docs))]),
+                "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+                "n_tok": pa.array([len(d) for d in docs], type=pa.int32()),
+            }
+        )
+        t = chunk_batch(batch).to_pandas()
+        for i, d in enumerate(docs):
+            rows = t[t.doc_id == i].sort_values("chunk_idx")
+            if not d:
+                assert len(rows) == 0
+                continue
+            exp_starts = list(range(0, len(d), CHUNK_S))
+            assert list(rows.start) == exp_starts
+            for _, r in rows.iterrows():
+                seg = d[r.start : r.start + CHUNK_L]
+                assert r.n_chunk_tok == len(seg) > 0
+                assert r.tok_sum == sum(seg)
+            # tail coverage: the last window must reach the doc end
+            last = rows.iloc[-1]
+            assert last.start + last.n_chunk_tok == len(d)
+
+    check()
