@@ -3026,6 +3026,111 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-group z-score standardization ((v - mean) / stddev_pop per
+    event_type) — min-max's sibling and the other standard feature
+    scaler.  Moments accumulate as EXACT int64 cent sums (sum, sum of
+    squares) in one tiny groupby, so mean/variance are bit-identical
+    to SQL's over the same integers; one rounded division per row in
+    the shuffle-free second pass."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "s": pa.array(cents),
+                "s2": pa.array(cents * cents),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], ["s", "s2", "n"],
+    ).to_pandas()  # O(event types)
+    stats = {}
+    for et, s, s2, n in zip(agg["event_type"], agg["s"], agg["s2"], agg["n"]):
+        mean = float(s) / float(n) / 100.0
+        var = (float(s2) / 10000.0 - float(n) * mean * mean) / float(n)
+        stats[et] = (mean, np.sqrt(var) if var > 0 else 0.0)
+    ref = ray.put(stats)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        ets = batch.column("event_type").to_pylist()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)) / 100.0
+        mean = np.array([st[e][0] for e in ets])
+        sd = np.array([st[e][1] for e in ets])
+        z = np.where(sd > 0, (cents - mean) / np.where(sd > 0, sd, 1.0), 0.0)
+        z = np.copysign(np.floor(np.abs(z) * 1e6 + 0.5), z) / 1e6
+        return pa.Table.from_pydict(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "z": pa.array(z, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps' law): for every doc that
+    introduces at least one new token (in doc_id order), the count of
+    tokens it introduces and the cumulative vocabulary size — the
+    tokenizer-coverage diagnostic.  Shape: per-batch (token, min doc)
+    partials -> one O(vocab)-row groupby -> driver cumsum over at most
+    O(vocab) rows (every token has exactly one first doc), so nothing
+    O(corpus) ever reaches the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = tokseq_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        row_doc = np.repeat(ids, n_tok)
+        # per-batch (token, min doc): pack doc into low bits of sort key
+        key = (flat << np.int64(32)) | row_doc
+        key.sort()
+        tok = key >> np.int64(32)
+        first = np.concatenate(([True], np.diff(tok) != 0))
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(tok[first]),
+                "first_doc": pa.array((key[first] & np.int64(0xFFFFFFFF))),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+        .to_pandas()
+    )  # O(vocab)
+    counts = firsts.groupby("first_doc").size().sort_index()
+    new = counts.to_numpy().astype(np.int64)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(counts.index.to_numpy().astype(np.int64)),
+            "new_tokens": pa.array(new),
+            "cum_vocab": pa.array(np.cumsum(new)),
+        }
+    )
+
+
 def q_user_paths(sf_dir: str):
     """Per-user ordered event path (order-sensitive grouped string
     concatenation — the clickstream "path analysis" shape): one
@@ -3234,6 +3339,8 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "source_kl": q_source_kl,
     "user_paths": q_user_paths,
+    "events_zscore": q_events_zscore,
+    "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
     "approx_distinct_docs": q_approx_distinct_docs,
@@ -3401,6 +3508,39 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "events_zscore": """
+    with c as (select event_id, event_type,
+                      cast(round(value * 100) as bigint) as cents
+               from events),
+    m as (select event_type, sum(cents) as s, sum(cents * cents) as s2,
+                 cast(count(*) as bigint) as n
+          from c group by event_type),
+    st as (select event_type,
+                  cast(s as double) / n / 100.0 as mean,
+                  sqrt((cast(s2 as double) / 10000.0
+                        - n * (cast(s as double) / n / 100.0)
+                            * (cast(s as double) / n / 100.0)) / n) as sd
+           from m)
+    select c.event_id, c.event_type,
+           case when st.sd > 0 then
+                sign((c.cents / 100.0 - st.mean) / st.sd)
+                * floor(abs((c.cents / 100.0 - st.mean) / st.sd) * 1e6 + 0.5) / 1e6
+                else 0.0 end as z
+    from c join st using (event_type)
+    """,
+    "vocab_growth": _VOCAB_CTE
+    + """,
+    u as (select doc_id, v.token
+          from (select doc_id, unnest(string_split(text, ' ')) as word
+                from documents) uw
+          join v using (word)),
+    f as (select token, min(doc_id) as first_doc from u group by token),
+    g as (select first_doc as doc_id, cast(count(*) as bigint) as new_tokens
+          from f group by first_doc)
+    select cast(doc_id as bigint) as doc_id, new_tokens,
+           cast(sum(new_tokens) over (order by doc_id) as bigint) as cum_vocab
+    from g
     """,
     "user_paths": """
     select user_id, cast(count(*) as bigint) as n_events,

@@ -106,20 +106,46 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
     provides a column-pruned (source, n_tok) dataset for the stats pass
     — for parquet inputs that read is ~10x cheaper than the full scan.
     Returns the metrics Dataset."""
+    if not cfg.resume:
+        # resume=False means REBUILD: clear prior containers/manifests so
+        # part_ids from an older plan can't survive next to the new ones
+        # (decode reads every manifest entry — stale ids would duplicate)
+        import shutil
+
+        dirs = JobDirs(cfg.out_dir)
+        for d in (dirs.parts, dirs.manifest, dirs.staged, dirs.tmp):
+            shutil.rmtree(d, ignore_errors=True)
     JobDirs(cfg.out_dir).create()
 
     stats = source_stats((stats_factory or ds_factory)())
     plan = bucket_plan(stats, cfg.target_partition_tokens)
-    write_plan(
-        cfg.out_dir,
-        {
-            "buckets": plan,
-            "target_partition_tokens": cfg.target_partition_tokens,
-            "source_tokens": {k: int(v) for k, v in stats.items()},
-        },
-    )
+    plan_doc = {
+        "buckets": plan,
+        "target_partition_tokens": cfg.target_partition_tokens,
+        "source_tokens": {k: int(v) for k, v in stats.items()},
+    }
 
     done = frozenset(completed_partitions(cfg.out_dir)) if cfg.resume else frozenset()
+    if done:
+        # Resume is only sound against the SAME input and config: a
+        # grown/changed corpus reshuffles docs into part_ids that are
+        # already marked complete, and skipping those would silently
+        # drop the new rows (stale containers would still verify-fail,
+        # but only if the user runs verify).  Refuse loudly instead.
+        from ..state.manifest import read_plan
+
+        try:
+            prev = read_plan(cfg.out_dir)
+        except FileNotFoundError:
+            prev = None
+        if prev is not None and prev != plan_doc:
+            raise RuntimeError(
+                f"resume refused: {cfg.out_dir}/plan.json no longer matches the "
+                "input/config (source token counts or bucket plan changed). "
+                "Encode changed inputs into a fresh --out dir, or pass "
+                "resume=False (--no-resume) to rebuild this one."
+            )
+    write_plan(cfg.out_dir, plan_doc)
 
     import ray
 

@@ -444,3 +444,68 @@ def test_compaction_crash_recovery(ray_session, sf_dir, out_dir):
     assert not os.path.exists(dirs.container_path(g2["gid"]))
     v = run_verify(factory, out_dir, mode="hash", by="source").to_pandas()
     assert bool(v.ok.all())
+
+
+def test_resume_refuses_changed_input(ray_session, sf_dir, out_dir, tmp_path):
+    """Resuming against a GROWN corpus must fail loudly, not silently
+    skip new docs that hash into already-completed part_ids."""
+    import shutil
+
+    import pytest
+
+    small = str(tmp_path / "small")
+    os.makedirs(small)
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    pq.write_table(t.slice(0, 400), f"{small}/documents.parquet")
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=5_000, encode_concurrency=(1, 4))
+    run_encode(lambda: tokseq_dataset(small), cfg).materialize()
+    assert len(read_manifest_entries(out_dir)) > 0
+
+    grown = str(tmp_path / "grown")
+    os.makedirs(grown)
+    pq.write_table(t, f"{grown}/documents.parquet")  # 100 more docs
+    with pytest.raises(RuntimeError, match="resume refused"):
+        run_encode(lambda: tokseq_dataset(grown), cfg).materialize()
+
+    # same input again -> resume remains a clean no-op
+    m = run_encode(lambda: tokseq_dataset(small), cfg).to_pandas()
+    assert len(m) == 0
+
+    # --no-resume rebuilds the out dir for the grown input
+    shutil.rmtree(out_dir)
+    cfg2 = EncodeConfig(
+        out_dir=out_dir, target_partition_tokens=5_000, encode_concurrency=(1, 4), resume=False
+    )
+    run_encode(lambda: tokseq_dataset(grown), cfg2).materialize()
+    v = run_verify(lambda: tokseq_dataset(grown), out_dir).to_pandas()
+    assert v["ok"].all() and len(v) > 0
+
+
+def test_no_resume_rebuild_clears_stale_partitions(ray_session, sf_dir, out_dir, tmp_path):
+    """resume=False must REBUILD: containers/manifests from a previous
+    (different) plan may not survive, or decode would read stale ids."""
+    big = str(tmp_path / "big")
+    small = str(tmp_path / "small2")
+    os.makedirs(big); os.makedirs(small)
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    pq.write_table(t, f"{big}/documents.parquet")
+    pq.write_table(t.slice(0, 120), f"{small}/documents.parquet")
+
+    # tiny target -> many buckets per source, so the rebuild (bigger
+    # target, fewer docs) has strictly fewer part_ids to leave stale
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=500, encode_concurrency=(1, 4))
+    run_encode(lambda: tokseq_dataset(big), cfg).materialize()
+    ids_big = set(read_manifest_entries(out_dir))
+
+    cfg2 = EncodeConfig(
+        out_dir=out_dir, target_partition_tokens=50_000, encode_concurrency=(1, 4), resume=False
+    )
+    run_encode(lambda: tokseq_dataset(small), cfg2).materialize()
+    ids_small = set(read_manifest_entries(out_dir))
+    assert ids_small
+    assert ids_big - ids_small  # the big run HAD extra partitions to clear
+    # nothing from the big run lingers in parts/ or manifest/
+    on_disk = {f[:-8] for f in os.listdir(os.path.join(out_dir, "parts")) if f.endswith(".parquet")}
+    assert on_disk == ids_small
+    v = run_verify(lambda: tokseq_dataset(small), out_dir).to_pandas()
+    assert v["ok"].all() and len(v) == len(ids_small)
