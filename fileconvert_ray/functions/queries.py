@@ -3026,6 +3026,39 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 quantization of embeddings (ANN-index prep):
+    per-vector scale = max|x| / 127, q_i = round-half-away(x_i/scale).
+    Shuffle-free, one vectorized matrix pass per batch; reports the
+    per-vector scale (rounded) plus integer checksums of the quantized
+    codes so the whole code vector is value-hashable without shipping
+    lists.  Parity is exact: scale and codes derive from the same
+    float64 ops on both sides."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        from .similarity import _emb_matrix
+
+        m = _emb_matrix(batch, "embedding")  # (n, d) float64
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        x = m / safe[:, None]
+        q = (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+                "scale": pa.array(np.floor(scale * 1e9 + 0.5) / 1e9, type=pa.float64()),
+                "q_sum": pa.array(q.sum(axis=1)),
+                "q_abs_sum": pa.array(np.abs(q).sum(axis=1)),
+                "q_max": pa.array(q.max(axis=1)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_events_zscore(sf_dir: str):
     """Per-group z-score standardization ((v - mean) / stddev_pop per
     event_type) — min-max's sibling and the other standard feature
@@ -3340,6 +3373,7 @@ QUERIES = {
     "source_kl": q_source_kl,
     "user_paths": q_user_paths,
     "events_zscore": q_events_zscore,
+    "embedding_quantize": q_embedding_quantize,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
@@ -3508,6 +3542,22 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "embedding_quantize": """
+    with e as (select vec_id, cast(embedding as double[]) as v from embeddings),
+    eu as (select vec_id, unnest(v) as x from e),
+    s as (select vec_id, max(abs(x)) / 127.0 as scale from eu group by vec_id),
+    q as (select eu.vec_id,
+                 sign(eu.x / (case when s.scale > 0 then s.scale else 1 end))
+                 * floor(abs(eu.x / (case when s.scale > 0 then s.scale else 1 end)) + 0.5) as qi
+          from eu join s using (vec_id))
+    select q.vec_id,
+           floor(s.scale * 1e9 + 0.5) / 1e9 as scale,
+           cast(sum(q.qi) as bigint) as q_sum,
+           cast(sum(abs(q.qi)) as bigint) as q_abs_sum,
+           cast(max(q.qi) as bigint) as q_max
+    from q join s using (vec_id)
+    group by q.vec_id, s.scale
     """,
     "events_zscore": """
     with c as (select event_id, event_type,
