@@ -12,6 +12,9 @@
         [--order-col doc_id] [--buckets N]
     python -m fileconvert_ray dedup    IN_DIR --out DIR [--key text]
         [--id doc_id] [--strategy broadcast|join]
+    python -m fileconvert_ray compact  OUT_DIR [--target-tokens N]
+    python -m fileconvert_ray curate   DOCS_DIR --out DIR [--no-encode]
+        [--target-partition-tokens N]
 
 The CLI owns its Ray session (the library never calls ray.init).
 """
