@@ -3026,6 +3026,65 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_centroid_classify(sf_dir: str):
+    """Nearest-centroid classification accuracy per label (the
+    prototype-classifier eval behind embedding-quality dashboards):
+    centroids come from the tiny O(labels x d) aggregate (the
+    label_centroids op, values rounded to 1e-6 on BOTH sides so the
+    distance inputs are bit-identical), broadcast once via ``ray.put``;
+    each batch computes squared distances against all L centroids
+    vectorized and partial-counts (label, n, n_correct) — the final
+    groupby moves O(labels x batches) rows.  Ties break to the
+    smallest label, matching the SQL row_number order."""
+    import ray
+    import ray.data as rd
+
+    cent = q_label_centroids(sf_dir).to_pandas()
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    d = int(cent["dim"].max())
+    C = np.zeros((len(labels), d))
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    for lab, dim, c in zip(cent["label"], cent["dim"], cent["c"]):
+        C[lpos[int(lab)], int(dim) - 1] = float(c)
+    ref = ray.put((labels, C))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .similarity import _emb_matrix
+
+        labs, Cm = ray.get(ref)
+        m = _emb_matrix(batch, "embedding")
+        true = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = np.empty((len(m), len(labs)))
+        for j in range(len(labs)):  # L is tiny; each column is one vectorized pass
+            diff = m - Cm[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        pred = labs[np.argmin(d2, axis=1)]  # argmin ties -> first = smallest label
+        uu, inv = np.unique(true, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        nc = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(nc, inv, (pred == true).astype(np.int64))
+        return pa.Table.from_pydict(
+            {"label": pa.array(uu), "n": pa.array(n), "n_correct": pa.array(nc)}
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label"], ["n", "n_correct"],
+    ).to_pandas()  # O(labels)
+    acc = agg["n_correct"].to_numpy() / agg["n"].to_numpy()
+    acc = np.floor(acc * 1e6 + 0.5) / 1e6
+    return pa.Table.from_pydict(
+        {
+            "label": pa.array(agg["label"].to_numpy().astype(np.int64)),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+            "n_correct": pa.array(agg["n_correct"].to_numpy().astype(np.int64)),
+            "acc": pa.array(acc, type=pa.float64()),
+        }
+    )
+
+
 def q_embedding_quantize(sf_dir: str):
     """Symmetric int8 quantization of embeddings (ANN-index prep):
     per-vector scale = max|x| / 127, q_i = round-half-away(x_i/scale).
@@ -3374,6 +3433,7 @@ QUERIES = {
     "user_paths": q_user_paths,
     "events_zscore": q_events_zscore,
     "embedding_quantize": q_embedding_quantize,
+    "centroid_classify": q_centroid_classify,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
@@ -3542,6 +3602,29 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "centroid_classify": """
+    with e as (select vec_id, cast(label as bigint) as label,
+                      cast(embedding as double[]) as v from embeddings),
+    eu as (select vec_id, label, unnest(v) as x, generate_subscripts(v, 1) as j from e),
+    c as (select label as clabel, j, round(avg(x), 6) as c
+          from eu group by label, j),
+    dist as (select eu.vec_id, c.clabel,
+                    sum((eu.x - c.c) * (eu.x - c.c)) as d2
+             from eu join c on eu.j = c.j
+             group by eu.vec_id, c.clabel),
+    pred as (select vec_id, clabel,
+                    row_number() over (partition by vec_id
+                                       order by d2, clabel) as rn
+             from dist),
+    p1 as (select vec_id, clabel from pred where rn = 1),
+    lab as (select vec_id, cast(label as bigint) as label from embeddings)
+    select lab.label, cast(count(*) as bigint) as n,
+           cast(sum(case when p1.clabel = lab.label then 1 else 0 end) as bigint) as n_correct,
+           floor(sum(case when p1.clabel = lab.label then 1 else 0 end)::double
+                 / count(*) * 1e6 + 0.5) / 1e6 as acc
+    from lab join p1 using (vec_id)
+    group by lab.label
     """,
     "embedding_quantize": """
     with e as (select vec_id, cast(embedding as double[]) as v from embeddings),
