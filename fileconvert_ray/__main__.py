@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("decode", help="decode containers back to tokseq parquet")
     d.add_argument("out_dir", help="the encode out dir")
     d.add_argument("--to", required=True, help="directory for decoded parquet")
+    d.add_argument("--sources", default=None,
+                   help="comma-separated source filter (zone-map pruned)")
+    d.add_argument("--min-ntok", type=int, default=None)
+    d.add_argument("--max-ntok", type=int, default=None)
 
     k = sub.add_parser("pack", help="pack token sequences into fixed-length training rows")
     k.add_argument("input", help="directory/file of tokseq parquet shards")
@@ -189,7 +193,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from fileconvert_ray.stages.decoder import decode_dataset
 
-            decode_dataset(args.out_dir).write_parquet(args.to)
+            decode_dataset(
+                args.out_dir,
+                sources=args.sources.split(",") if args.sources else None,
+                min_n_tok=args.min_ntok,
+                max_n_tok=args.max_ntok,
+            ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
         elif args.cmd == "pack":
             import ray.data as rd

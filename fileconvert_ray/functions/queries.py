@@ -3026,6 +3026,49 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_token_degree(sf_dir: str):
+    """Co-occurrence graph degree: for each token, the number of
+    DISTINCT tokens appearing adjacent to it (either side) — the
+    node-degree statistic of the bigram graph, used for stopword-ish
+    hub detection.  Exact distributed distinct-count per key: per-batch
+    distinct undirected neighbor pairs (one np.unique over packed
+    int64s), the exchange moves O(distinct pairs), and the final count
+    is a groupby over first-seen pairs — no row-scale data moves."""
+    ds = tokseq_dataset(sf_dir)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = bigram_partial(batch)  # distinct (t1, t2, cnt) within batch
+        a = t.column("t1").to_numpy(zero_copy_only=False)
+        b = t.column("t2").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        key = np.unique((lo << np.int64(32)) | hi)
+        key = key[(key >> np.int64(32)) != (key & np.int64(0xFFFFFFFF))]  # drop self-loops
+        return pa.Table.from_pydict(
+            {
+                "lo": pa.array(key >> np.int64(32)),
+                "hi": pa.array(key & np.int64(0xFFFFFFFF)),
+                "one": pa.array(np.ones(len(key), dtype=np.int64)),
+            }
+        )
+
+    # groupby dedups pairs seen in several batches; sum>=1 each
+    uniq = _sum_groupby(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["lo", "hi"], ["one"],
+    ).to_pandas()  # O(distinct pairs) = O(vocab^2) bound, tiny vs corpus
+    deg: dict[int, int] = {}
+    for lo, hi in zip(uniq["lo"], uniq["hi"]):
+        deg[int(lo)] = deg.get(int(lo), 0) + 1
+        deg[int(hi)] = deg.get(int(hi), 0) + 1
+    toks = np.array(sorted(deg), dtype=np.int64)
+    return pa.Table.from_pydict(
+        {
+            "token": pa.array(toks),
+            "degree": pa.array(np.array([deg[t] for t in toks], dtype=np.int64)),
+        }
+    )
+
+
 def q_centroid_classify(sf_dir: str):
     """Nearest-centroid classification accuracy per label (the
     prototype-classifier eval behind embedding-quality dashboards):
@@ -3434,6 +3477,7 @@ QUERIES = {
     "events_zscore": q_events_zscore,
     "embedding_quantize": q_embedding_quantize,
     "centroid_classify": q_centroid_classify,
+    "token_degree": q_token_degree,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
@@ -3602,6 +3646,23 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "token_degree": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select uw.doc_id, uw.i, v.token
+          from (select doc_id, unnest(ws) as word,
+                       generate_subscripts(ws, 1) as i from d) uw
+          join v using (word)),
+    bi as (select a.token as t1, b.token as t2
+           from u a join u b on a.doc_id = b.doc_id and b.i = a.i + 1),
+    und as (select distinct least(t1, t2) as lo, greatest(t1, t2) as hi
+            from bi where t1 <> t2),
+    deg as (select lo as token, count(*) as c from und group by lo
+            union all
+            select hi as token, count(*) as c from und group by hi)
+    select cast(token as bigint) as token, cast(sum(c) as bigint) as degree
+    from deg group by token
     """,
     "centroid_classify": """
     with e as (select vec_id, cast(label as bigint) as label,
