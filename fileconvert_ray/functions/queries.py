@@ -3026,6 +3026,62 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_value_mad(sf_dir: str):
+    """Per-type median and median-absolute-deviation of event values —
+    the robust-statistics outlier baseline, computed EXACTLY with no
+    global sort: one (event_type, cents) histogram pass (groupby moves
+    O(types x distinct cents) rows), then BOTH order statistics come
+    off that same histogram on the driver (the |x - med| histogram is
+    a deterministic transform of it, so the second selection is free).
+    Everything stays int64 cents — no float anywhere.  Rank rule =
+    percentile_disc: smallest value whose cumulative count reaches
+    ceil(n/2)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"), "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return pa.Table.from_pydict(
+            {
+                "event_type": g.column("event_type"),
+                "cents": g.column("cents"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    h = _sum_groupby(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "cents"], ["cnt"],
+    ).to_pandas()  # O(types x distinct cents)
+
+    def select(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals)
+        v, c = vals[order], cnts[order]
+        cum = np.cumsum(c)
+        rank = -(-int(cum[-1]) // 2)  # ceil(n/2)
+        return int(v[np.searchsorted(cum, rank)])
+
+    out = {"event_type": [], "med_cents": [], "mad_cents": []}
+    for et, grp in h.groupby("event_type"):
+        vals = grp["cents"].to_numpy(dtype=np.int64)
+        cnts = grp["cnt"].to_numpy(dtype=np.int64)
+        med = select(vals, cnts)
+        out["event_type"].append(et)
+        out["med_cents"].append(med)
+        out["mad_cents"].append(select(np.abs(vals - med), cnts))
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "med_cents": pa.array(out["med_cents"], type=pa.int64()),
+            "mad_cents": pa.array(out["mad_cents"], type=pa.int64()),
+        }
+    )
+
+
 def q_token_degree(sf_dir: str):
     """Co-occurrence graph degree: for each token, the number of
     DISTINCT tokens appearing adjacent to it (either side) — the
@@ -3478,6 +3534,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "centroid_classify": q_centroid_classify,
     "token_degree": q_token_degree,
+    "value_mad": q_value_mad,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
@@ -3646,6 +3703,18 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "value_mad": """
+    with c as (select event_type, cast(round(value * 100) as bigint) as cents
+               from events),
+    m as (select event_type,
+                 percentile_disc(0.5) within group (order by cents) as med_cents
+          from c group by event_type)
+    select c.event_type, m.med_cents,
+           cast(percentile_disc(0.5) within group (order by abs(c.cents - m.med_cents))
+                as bigint) as mad_cents
+    from c join m using (event_type)
+    group by c.event_type, m.med_cents
     """,
     "token_degree": _VOCAB_CTE
     + """,
