@@ -3112,16 +3112,12 @@ def q_token_degree(sf_dir: str):
         ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
         ["lo", "hi"], ["one"],
     ).to_pandas()  # O(distinct pairs) = O(vocab^2) bound, tiny vs corpus
-    deg: dict[int, int] = {}
-    for lo, hi in zip(uniq["lo"], uniq["hi"]):
-        deg[int(lo)] = deg.get(int(lo), 0) + 1
-        deg[int(hi)] = deg.get(int(hi), 0) + 1
-    toks = np.array(sorted(deg), dtype=np.int64)
+    both = np.concatenate(
+        [uniq["lo"].to_numpy().astype(np.int64), uniq["hi"].to_numpy().astype(np.int64)]
+    )
+    toks, deg = np.unique(both, return_counts=True)
     return pa.Table.from_pydict(
-        {
-            "token": pa.array(toks),
-            "degree": pa.array(np.array([deg[t] for t in toks], dtype=np.int64)),
-        }
+        {"token": pa.array(toks), "degree": pa.array(deg.astype(np.int64))}
     )
 
 
@@ -3292,6 +3288,7 @@ def q_vocab_growth(sf_dir: str):
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
         ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        assert len(ids) == 0 or ids.max() < (1 << 32), "doc packing needs doc_id < 2^32"
         row_doc = np.repeat(ids, n_tok)
         # per-batch (token, min doc): pack doc into low bits of sort key
         key = (flat << np.int64(32)) | row_doc
