@@ -3026,6 +3026,83 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT word trigrams they share — the between-domain overlap
+    diagnostic behind source dedup/weighting decisions.
+
+    Shape: distinct (gram_hash, source) pairs via one groupby (moves
+    O(distinct pairs)); a second pass folds each gram's sources into a
+    64-bit mask (sum == OR because the first groupby made pairs
+    unique); pair counts then come from 190 vectorized mask tests per
+    batch — the exchange after that is O(sources^2) partials.  Nothing
+    O(corpus) reaches the driver.  Gram hashes stand in for gram
+    strings (the oracle compares true strings, so a collision would
+    surface as a mismatch, not hide)."""
+    import ray.data as rd
+
+    from .dedup import _word_kgram_hashes
+
+    srcs = sorted(
+        set(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+            .column("source")
+            .to_pylist()
+        )
+    )
+    assert len(srcs) <= 63, "bitmask fold needs <= 63 sources; shard the mask beyond"
+    sbit = {s: 1 << i for i, s in enumerate(srcs)}
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def gram_src(batch: pa.Table) -> pa.Table:
+        gh, n_sh = _word_kgram_hashes(batch.column("text").combine_chunks(), 3, seed=9)
+        rows = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+        bits = np.array(
+            [sbit[s] for s in batch.column("source").to_pylist()], dtype=np.int64
+        )[rows]
+        key = np.unique(
+            np.stack([gh.astype(np.int64), bits], axis=1).view([("", np.int64)] * 2)
+        ).view(np.int64).reshape(-1, 2)
+        return pa.Table.from_pydict(
+            {"gram": pa.array(key[:, 0]), "bit": pa.array(key[:, 1]), "one": pa.array(np.ones(len(key), dtype=np.int64))}
+        )
+
+    distinct = _sum_groupby(
+        ds.map_batches(gram_src, batch_format="pyarrow", zero_copy_batch=True),
+        ["gram", "bit"], ["one"],
+    )
+    masks = _sum_groupby(
+        distinct.map_batches(
+            lambda b: b.select(["gram", "bit"]).rename_columns(["gram", "mask"]),
+            batch_format="pyarrow",
+        ),
+        ["gram"], ["mask"],  # sum == OR: each (gram, bit) row is unique
+    )
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        m = batch.column("mask").to_numpy(zero_copy_only=False).astype(np.int64)
+        s1, s2, cnt = [], [], []
+        for i in range(len(srcs)):
+            mi = np.int64(1 << i)
+            hit_i = (m & mi) != 0
+            for j in range(i + 1, len(srcs)):
+                c = int(np.count_nonzero(hit_i & ((m & np.int64(1 << j)) != 0)))
+                if c:
+                    s1.append(srcs[i]); s2.append(srcs[j]); cnt.append(c)
+        return pa.Table.from_pydict(
+            {
+                "s1": pa.array(s1, type=pa.string()),
+                "s2": pa.array(s2, type=pa.string()),
+                "shared": pa.array(np.array(cnt, dtype=np.int64)),
+            }
+        )
+
+    return _sum_groupby(
+        masks.map_batches(pair_counts, batch_format="pyarrow"), ["s1", "s2"], ["shared"]
+    )
+
+
 def q_value_mad(sf_dir: str):
     """Per-type median and median-absolute-deviation of event values —
     the robust-statistics outlier baseline, computed EXACTLY with no
@@ -3532,6 +3609,7 @@ QUERIES = {
     "centroid_classify": q_centroid_classify,
     "token_degree": q_token_degree,
     "value_mad": q_value_mad,
+    "source_overlap": q_source_overlap,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
@@ -3700,6 +3778,20 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "source_overlap": """
+    with d as (select doc_id, source, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, source, unnest(ws) as w1,
+                 generate_subscripts(ws, 1) as i from d),
+    t as (select doc_id, source, w1,
+                 lead(w1, 1) over (partition by doc_id order by i) as w2,
+                 lead(w1, 2) over (partition by doc_id order by i) as w3
+          from u),
+    tt as (select distinct source, w1, w2, w3 from t where w3 is not null)
+    select a.source as s1, b.source as s2, cast(count(*) as bigint) as shared
+    from tt a join tt b using (w1, w2, w3)
+    where a.source < b.source
+    group by a.source, b.source
     """,
     "value_mad": """
     with c as (select event_type, cast(round(value * 100) as bigint) as cents
