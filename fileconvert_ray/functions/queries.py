@@ -1349,6 +1349,58 @@ def q_token_pmi(sf_dir: str):
     return q_token_bigrams(sf_dir).map_batches(pmi, batch_format="pyarrow")
 
 
+PMI_TOP_K, PMI_MIN_CNT = 3, 3
+
+
+def q_pmi_top_contexts(sf_dir: str):
+    """Top-K collocations per left token (phrase mining's ranked
+    output): among bigrams with cnt >= PMI_MIN_CNT, each t1's K highest
+    PMI contexts.  Pure composition — the distributed PMI table feeds
+    a per-batch segment top-K (one lexsort, no Python loops) and a
+    final per-group cut; the exchange after PMI moves O(t1 x K x
+    batches) rows.  Rank keys are the ROUNDED pmi values (identical on
+    both sides) with t2 as the tiebreak, so ordering can't diverge."""
+    pmi_ds = q_token_pmi(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("cnt"), PMI_MIN_CNT)
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "t1": pa.array([], type=pa.int64()),
+                    "t2": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        t1 = t.column("t1").to_numpy(zero_copy_only=False)
+        t2 = t.column("t2").to_numpy(zero_copy_only=False)
+        v = t.column("pmi").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t2, -v, t1))
+        t1s, t2s, vs = t1[order], t2[order], v[order]
+        seg = np.concatenate(([True], t1s[1:] != t1s[:-1]))
+        pos = np.arange(len(t1s)) - np.maximum.accumulate(
+            np.where(seg, np.arange(len(t1s)), 0)
+        )
+        keep2 = pos < PMI_TOP_K
+        return pa.Table.from_pydict(
+            {"t1": pa.array(t1s[keep2]), "t2": pa.array(t2s[keep2]), "pmi": pa.array(vs[keep2])}
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["pmi", "t2"], ascending=[False, True], ignore_index=True
+        ).head(PMI_TOP_K)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        pmi_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("t1")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def q_bigram_lm_score(sf_dir: str):
     """Per-document add-one-smoothed bigram LM log-score — the
     model-based quality-filter shape (CCNet/KenLM style): train an
@@ -3610,6 +3662,7 @@ QUERIES = {
     "token_degree": q_token_degree,
     "value_mad": q_value_mad,
     "source_overlap": q_source_overlap,
+    "pmi_top_contexts": q_pmi_top_contexts,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
     "bloom_orders_filter": q_bloom_orders_filter,
@@ -4532,6 +4585,19 @@ def _lang_id_oracle_sql() -> str:
 
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle_sql()
+
+# top-K PMI contexts = the token_pmi oracle wrapped in a ranked window
+# (rank keys are the ROUNDED pmi values, t2 tiebreak — same as the
+# engine's lexsort)
+ORACLE_SQL["pmi_top_contexts"] = f"""
+select t1, t2, pmi, rank from (
+  select t1, t2, pmi,
+         row_number() over (partition by t1 order by pmi desc, t2 asc) as rank
+  from ({ORACLE_SQL["token_pmi"]}) base
+  where cnt >= {PMI_MIN_CNT}
+) ranked
+where rank <= {PMI_TOP_K}
+"""
 
 # lsh_dup_pairs is exact-cosine-verified with recall ~1 at the
 # threshold (see q_lsh_dup_pairs) -> same oracle as the exact all-pairs
