@@ -3078,6 +3078,66 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-doc novelty: the fraction of a doc's DISTINCT word trigrams
+    whose FIRST appearance (by doc_id order) is this doc — the
+    data-valuation / contribution metric ("how much genuinely new
+    content does this doc add?").  Two exchanges, both O(distinct
+    gram-doc pairs): per-batch distinct (gram, doc) pairs -> groupby
+    gram marks each pair novel iff its doc IS the group min (a
+    self-join expressed as one map_groups, no broadcast) -> groupby
+    doc sums.  Nothing O(corpus) moves or lands on the driver."""
+    import ray.data as rd
+
+    from .dedup import _word_kgram_hashes
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        gh, n_sh = _word_kgram_hashes(batch.column("text").combine_chunks(), 3, seed=9)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        rows = np.repeat(ids, n_sh)
+        key = np.unique(
+            np.stack([gh.view(np.int64), rows], axis=1).view([("", np.int64)] * 2)
+        ).view(np.int64).reshape(-1, 2)
+        return pa.Table.from_pydict(
+            {"gram": pa.array(key[:, 0]), "doc_id": pa.array(key[:, 1])}
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        novel = (docs == docs.min()).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(docs),
+                "novel": pa.array(novel),
+                "n": pa.array(np.ones(len(docs), dtype=np.int64)),
+            }
+        )
+
+    marked = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    agg = _sum_groupby(marked, ["doc_id"], ["novel", "n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nv = batch.column("novel").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        frac = np.floor(nv / n * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tri": pa.array(n),
+                "n_novel": pa.array(nv),
+                "novelty": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: for every source pair, how
     many DISTINCT word trigrams they share — the between-domain overlap
@@ -3662,6 +3722,7 @@ QUERIES = {
     "token_degree": q_token_degree,
     "value_mad": q_value_mad,
     "source_overlap": q_source_overlap,
+    "doc_novelty": q_doc_novelty,
     "pmi_top_contexts": q_pmi_top_contexts,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
@@ -3831,6 +3892,25 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "doc_novelty": """
+    with d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    t as (select doc_id, w1,
+                 lead(w1, 1) over (partition by doc_id order by i) as w2,
+                 lead(w1, 2) over (partition by doc_id order by i) as w3
+          from u),
+    tt as (select distinct doc_id, w1, w2, w3 from t where w3 is not null),
+    f as (select w1, w2, w3, min(doc_id) as first_doc
+          from tt group by w1, w2, w3)
+    select cast(tt.doc_id as bigint) as doc_id,
+           cast(count(*) as bigint) as n_tri,
+           cast(sum(case when tt.doc_id = f.first_doc then 1 else 0 end)
+                as bigint) as n_novel,
+           floor(sum(case when tt.doc_id = f.first_doc then 1 else 0 end)::double
+                 / count(*) * 1e6 + 0.5) / 1e6 as novelty
+    from tt join f using (w1, w2, w3)
+    group by tt.doc_id
     """,
     "source_overlap": """
     with d as (select doc_id, source, string_split(text, ' ') as ws from documents),
