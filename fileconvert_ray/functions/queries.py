@@ -3078,6 +3078,51 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_doc_len_gini(sf_dir: str):
+    """Per-source Gini coefficient of document lengths — the skew /
+    inequality diagnostic behind partition-balance decisions.  Computed
+    EXACTLY from the bounded (source, n_chars) histogram: for a value
+    v with count c starting at cumulative 1-based rank p, its rank sum
+    is c*p + c*(c-1)/2 (ties commute in the Gini rank sum, so the
+    histogram form equals the row form), all int64 until one final
+    division mirrored verbatim in SQL.  Exchange: O(sources x distinct
+    lengths) rows; driver math O(same)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.Table.from_pydict(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    h = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "n_chars"], ["cnt"]
+    ).to_pandas()
+    out = {"source": [], "gini": []}
+    for src, grp in h.groupby("source"):
+        grp = grp.sort_values("n_chars")
+        v = grp["n_chars"].to_numpy(dtype=np.int64)
+        c = grp["cnt"].to_numpy(dtype=np.int64)
+        p = np.concatenate(([0], np.cumsum(c)))[:-1] + 1  # 1-based start rank
+        s = int((v * (c * p + c * (c - 1) // 2)).sum())
+        n, t = int(c.sum()), int((v * c).sum())
+        gini = 2.0 * s / (n * t) - (n + 1.0) / n
+        out["source"].append(src)
+        out["gini"].append(np.floor(gini * 1e6 + 0.5) / 1e6)
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(out["source"], type=pa.string()),
+            "gini": pa.array(out["gini"], type=pa.float64()),
+        }
+    )
+
+
 def q_doc_novelty(sf_dir: str):
     """Per-doc novelty: the fraction of a doc's DISTINCT word trigrams
     whose FIRST appearance (by doc_id order) is this doc — the
@@ -3723,6 +3768,7 @@ QUERIES = {
     "value_mad": q_value_mad,
     "source_overlap": q_source_overlap,
     "doc_novelty": q_doc_novelty,
+    "doc_len_gini": q_doc_len_gini,
     "pmi_top_contexts": q_pmi_top_contexts,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
@@ -3892,6 +3938,16 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "doc_len_gini": """
+    with r as (select source, n_chars,
+                      row_number() over (partition by source
+                                         order by n_chars) as rn
+               from documents)
+    select source,
+           floor((2.0 * sum(rn * n_chars) / (count(*) * sum(n_chars))
+                  - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 as gini
+    from r group by source
     """,
     "doc_novelty": """
     with d as (select doc_id, string_split(text, ' ') as ws from documents),
