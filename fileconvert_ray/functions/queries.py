@@ -3183,6 +3183,152 @@ def q_doc_novelty(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_longest_dup_span(sf_dir: str):
+    """Longest cross-document-duplicated span per doc (in tokens) —
+    dup_span_coverage's companion: coverage says HOW MUCH of a doc is
+    duplicated, this says how CONTIGUOUS the worst span is (the trigger
+    for span-trimming instead of whole-doc dropping).  Same two-stage
+    shape (distinct-trigram df aggregate, broadcast dup keys); the
+    per-doc longest run falls out of the same difference-array cumsum
+    with one extra boundary scan — still O(tokens) per batch, zero
+    Python loops.  SQL oracle: the classic gaps-and-islands
+    (p - row_number() grouping) over covered positions."""
+    import ray
+
+    ds = tokseq_dataset(sf_dir)
+
+    def _tri(batch: pa.Table):
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 3:
+            return n_tok, np.zeros(0, np.int64)
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        valid = (pos + 2 < ends)[:-2]
+        assert flat.max() < (1 << 21), "trigram packing needs vocab < 2^21"
+        key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+        return n_tok, key[valid]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 3:
+            return pa.Table.from_pydict(
+                {"tri": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
+            )
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        valid = (pos + 2 < ends)[:-2]
+        key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)[:-2]
+        pair = np.unique(
+            np.stack([row[valid], key[valid]], axis=1).view([("", np.int64)] * 2)
+        )
+        k = pair.view(np.int64).reshape(-1, 2)[:, 1] if len(pair) else np.zeros(0, np.int64)
+        uniq, df = np.unique(k, return_counts=True)
+        return pa.Table.from_pydict({"tri": pa.array(uniq), "df": pa.array(df.astype(np.int64))})
+
+    dup = (
+        _sum_groupby(
+            ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["tri"], ["df"],
+        )
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("df"), 1)).select(["tri"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    dup_keys = ray.put(np.sort(dup["tri"].to_numpy().astype(np.int64)))
+
+    def longest(batch: pa.Table) -> pa.Table:
+        keys_s = ray.get(dup_keys)
+        n_tok, key = _tri(batch)
+        total = int(n_tok.sum())
+        if len(keys_s) and len(key):
+            idx = np.searchsorted(keys_s, key)
+            idx[idx == len(keys_s)] = 0
+            hit = keys_s[idx] == key
+        else:
+            hit = np.zeros(len(key), bool)
+        if total >= 3:
+            ends = np.repeat(np.cumsum(n_tok), n_tok)
+            allpos = np.arange(total, dtype=np.int64)
+            flat_idx = np.flatnonzero((allpos + 2 < ends)[:-2])
+        else:
+            flat_idx = np.zeros(0, np.int64)
+        h = flat_idx[hit]
+        delta = np.zeros(total + 3, dtype=np.int64)
+        np.add.at(delta, h, 1)
+        np.add.at(delta, h + 3, -1)
+        cov = np.cumsum(delta)[:total] > 0
+        # covered runs, broken at doc boundaries: every run has exactly
+        # one start and one end, so starts/ends pair 1:1 in order
+        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        prev_cov = np.concatenate(([False], cov[:-1]))
+        next_cov = np.concatenate((cov[1:], [False]))
+        doc_brk = np.concatenate(([True], doc_of[1:] != doc_of[:-1]))
+        doc_brk_next = np.concatenate((doc_of[1:] != doc_of[:-1], [True]))
+        start = np.flatnonzero(cov & (~prev_cov | doc_brk))
+        stop = np.flatnonzero(cov & (~next_cov | doc_brk_next)) + 1
+        runlen = stop - start
+        best = np.zeros(len(n_tok), dtype=np.int64)
+        if len(start):
+            np.maximum.at(best, doc_of[start], runlen)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pa.array(n_tok),
+                "max_dup_run": pa.array(best),
+            }
+        )
+
+    return tokseq_dataset(sf_dir).map_batches(
+        longest, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust outlier detection: events whose |value - median| exceeds
+    3x the MAD of their event_type — the standard median/MAD filter in
+    front of feature pipelines.  Composes the value_mad aggregate (one
+    O(types x distinct cents) histogram exchange) with a shuffle-free
+    broadcast-threshold filter pass; the comparison is pure int64
+    (|cents - med| > 3*mad), so parity with SQL is exact with no float
+    anywhere."""
+    import ray
+    import ray.data as rd
+
+    mad = q_value_mad(sf_dir).to_pandas()  # O(types)
+    th = {
+        et: (int(m), 3 * int(d))
+        for et, m, d in zip(mad["event_type"], mad["med_cents"], mad["mad_cents"])
+    }
+    ref = ray.put(th)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        ets = batch.column("event_type").to_pylist()
+        med = np.array([t[e][0] for e in ets], dtype=np.int64)
+        cut = np.array([t[e][1] for e in ets], dtype=np.int64)
+        dev = np.abs(cents - med)
+        keep = dev > cut
+        out = batch.select(["event_id", "event_type"]).filter(pa.array(keep))
+        return out.append_column("dev_cents", pa.array(dev[keep]))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: for every source pair, how
     many DISTINCT word trigrams they share — the between-domain overlap
@@ -3769,6 +3915,8 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "doc_novelty": q_doc_novelty,
     "doc_len_gini": q_doc_len_gini,
+    "value_outliers": q_value_outliers,
+    "longest_dup_span": q_longest_dup_span,
     "pmi_top_contexts": q_pmi_top_contexts,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
@@ -3938,6 +4086,48 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "longest_dup_span": """
+    with d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    t as (select doc_id, i, w1,
+                 lead(w1, 1) over (partition by doc_id order by i) as w2,
+                 lead(w1, 2) over (partition by doc_id order by i) as w3
+          from u),
+    tt as (select doc_id, i, w1, w2, w3 from t where w3 is not null),
+    df as (select w1, w2, w3, count(distinct doc_id) as df
+           from tt group by w1, w2, w3),
+    hits as (select tt.doc_id, tt.i from tt join df using (w1, w2, w3)
+             where df.df > 1),
+    covered as (select distinct doc_id, i + o as p
+                from hits, (select unnest([0, 1, 2]) as o)),
+    isl as (select doc_id, p,
+                   p - row_number() over (partition by doc_id order by p) as grp
+            from covered),
+    runs as (select doc_id, cast(count(*) as bigint) as runlen
+             from isl group by doc_id, grp),
+    best as (select doc_id, max(runlen) as max_dup_run from runs group by doc_id),
+    nt as (select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tok
+           from documents)
+    select cast(nt.doc_id as bigint) as doc_id, nt.n_tok,
+           coalesce(best.max_dup_run, 0) as max_dup_run
+    from nt left join best using (doc_id)
+    """,
+    "value_outliers": """
+    with c as (select event_id, event_type,
+                      cast(round(value * 100) as bigint) as cents
+               from events),
+    m as (select event_type,
+                 percentile_disc(0.5) within group (order by cents) as med
+          from c group by event_type),
+    md as (select c.event_type,
+                  cast(percentile_disc(0.5) within group
+                       (order by abs(c.cents - m.med)) as bigint) as mad
+           from c join m using (event_type) group by c.event_type)
+    select c.event_id, c.event_type,
+           abs(c.cents - m.med) as dev_cents
+    from c join m using (event_type) join md using (event_type)
+    where abs(c.cents - m.med) > 3 * md.mad
     """,
     "doc_len_gini": """
     with r as (select source, n_chars,
