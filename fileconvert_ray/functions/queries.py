@@ -3183,6 +3183,104 @@ def q_doc_novelty(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_span_trim(sf_dir: str):
+    """Span-trimming dedup TRANSFORM (Lee et al. 2022's remediation,
+    not just the metric): drop every token position covered by a
+    cross-document-duplicated trigram and report what remains per doc
+    (count + token sum, making the surviving stream value-hashable
+    without shipping lists).  Same df-aggregate + broadcast shape as
+    dup_span_coverage; the trim itself is one boolean mask + reduceat
+    per batch."""
+    import ray
+
+    ds = tokseq_dataset(sf_dir)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 3:
+            return pa.Table.from_pydict(
+                {"tri": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
+            )
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        valid = (pos + 2 < ends)[:-2]
+        key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+        row = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)[:-2]
+        pair = np.unique(
+            np.stack([row[valid], key[valid]], axis=1).view([("", np.int64)] * 2)
+        )
+        k = pair.view(np.int64).reshape(-1, 2)[:, 1] if len(pair) else np.zeros(0, np.int64)
+        uniq, df = np.unique(k, return_counts=True)
+        return pa.Table.from_pydict({"tri": pa.array(uniq), "df": pa.array(df.astype(np.int64))})
+
+    dup = (
+        _sum_groupby(
+            ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["tri"], ["df"],
+        )
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("df"), 1)).select(["tri"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    dup_keys = ray.put(np.sort(dup["tri"].to_numpy().astype(np.int64)))
+
+    def trim(batch: pa.Table) -> pa.Table:
+        keys_s = ray.get(dup_keys)
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n_tok.sum())
+        if total >= 3:
+            ends = np.repeat(np.cumsum(n_tok), n_tok)
+            pos = np.arange(total, dtype=np.int64)
+            valid = (pos + 2 < ends)[:-2]
+            key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+            flat_idx = np.flatnonzero(valid)
+            kk = key[valid]
+            if len(keys_s) and len(kk):
+                idx = np.searchsorted(keys_s, kk)
+                idx[idx == len(keys_s)] = 0
+                h = flat_idx[keys_s[idx] == kk]
+            else:
+                h = np.zeros(0, np.int64)
+        else:
+            h = np.zeros(0, np.int64)
+        delta = np.zeros(total + 3, dtype=np.int64)
+        np.add.at(delta, h, 1)
+        np.add.at(delta, h + 3, -1)
+        cov = np.cumsum(delta)[:total] > 0
+        keepf = flat * ~cov
+        starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        if total:
+            sums = np.add.reduceat(keepf, np.minimum(starts, total - 1)) * (n_tok > 0)
+            kept = np.add.reduceat((~cov).astype(np.int64), np.minimum(starts, total - 1)) * (
+                n_tok > 0
+            )
+        else:
+            sums = np.zeros(len(n_tok), dtype=np.int64)
+            kept = np.zeros(len(n_tok), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pa.array(n_tok),
+                "n_keep": pa.array(kept),
+                "keep_tok_sum": pa.array(sums),
+            }
+        )
+
+    return tokseq_dataset(sf_dir).map_batches(
+        trim, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_longest_dup_span(sf_dir: str):
     """Longest cross-document-duplicated span per doc (in tokens) —
     dup_span_coverage's companion: coverage says HOW MUCH of a doc is
@@ -3917,6 +4015,7 @@ QUERIES = {
     "doc_len_gini": q_doc_len_gini,
     "value_outliers": q_value_outliers,
     "longest_dup_span": q_longest_dup_span,
+    "span_trim": q_span_trim,
     "pmi_top_contexts": q_pmi_top_contexts,
     "vocab_growth": q_vocab_growth,
     "kll_value_quantiles": q_kll_value_quantiles,
@@ -4086,6 +4185,38 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, cast(chunk_idx as bigint) as chunk_idx,
            cast(start as bigint) as start, n_chunk_tok, tok_sum
     from c
+    """,
+    "span_trim": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u2 as (select uw.doc_id, uw.i, v.token
+           from (select doc_id, unnest(ws) as word,
+                        generate_subscripts(ws, 1) as i from d) uw
+           join v using (word)),
+    t as (select doc_id, i, token,
+                 lead(token, 1) over (partition by doc_id order by i) as t2,
+                 lead(token, 2) over (partition by doc_id order by i) as t3
+          from u2),
+    tt as (select doc_id, i, token as t1, t2, t3 from t where t3 is not null),
+    df as (select t1, t2, t3, count(distinct doc_id) as df
+           from tt group by t1, t2, t3),
+    hits as (select tt.doc_id, tt.i from tt join df using (t1, t2, t3)
+             where df.df > 1),
+    covered as (select distinct doc_id, i + o as p
+                from hits, (select unnest([0, 1, 2]) as o)),
+    keep as (select u2.doc_id, u2.token
+             from u2 left join covered
+                  on u2.doc_id = covered.doc_id and u2.i = covered.p
+             where covered.p is null),
+    agg as (select doc_id, cast(count(*) as bigint) as n_keep,
+                   cast(sum(token) as bigint) as keep_tok_sum
+            from keep group by doc_id),
+    nt as (select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tok
+           from documents)
+    select cast(nt.doc_id as bigint) as doc_id, nt.n_tok,
+           coalesce(agg.n_keep, 0) as n_keep,
+           coalesce(agg.keep_tok_sum, 0) as keep_tok_sum
+    from nt left join agg using (doc_id)
     """,
     "longest_dup_span": """
     with d as (select doc_id, string_split(text, ' ') as ws from documents),
