@@ -3504,6 +3504,98 @@ def q_source_overlap(sf_dir: str):
     )
 
 
+def q_source_jaccard(sf_dir: str):
+    """Jaccard-normalized source overlap: |grams(A) ∩ grams(B)| /
+    |grams(A) ∪ grams(B)| per source pair — source_overlap's
+    scale-free form (comparable across sources of different sizes).
+    Same bitmask-fold pipeline; per-source distinct-gram totals fall
+    out of the same mask pass (one popcount-style test per source),
+    and the union denominator is |A| + |B| - shared, all int64 until
+    the one rounded division."""
+    import ray.data as rd
+
+    from .dedup import _word_kgram_hashes
+
+    srcs = sorted(
+        set(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+            .column("source")
+            .to_pylist()
+        )
+    )
+    assert len(srcs) <= 63, "bitmask fold needs <= 63 sources"
+    sbit = {s: 1 << i for i, s in enumerate(srcs)}
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def gram_src(batch: pa.Table) -> pa.Table:
+        gh, n_sh = _word_kgram_hashes(batch.column("text").combine_chunks(), 3, seed=9)
+        rows = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+        bits = np.array(
+            [sbit[s] for s in batch.column("source").to_pylist()], dtype=np.int64
+        )[rows]
+        key = np.unique(
+            np.stack([gh.view(np.int64), bits], axis=1).view([("", np.int64)] * 2)
+        ).view(np.int64).reshape(-1, 2)
+        return pa.Table.from_pydict(
+            {"gram": pa.array(key[:, 0]), "bit": pa.array(key[:, 1]),
+             "one": pa.array(np.ones(len(key), dtype=np.int64))}
+        )
+
+    distinct = _sum_groupby(
+        ds.map_batches(gram_src, batch_format="pyarrow", zero_copy_batch=True),
+        ["gram", "bit"], ["one"],
+    )
+    masks = _sum_groupby(
+        distinct.map_batches(
+            lambda b: b.select(["gram", "bit"]).rename_columns(["gram", "mask"]),
+            batch_format="pyarrow",
+        ),
+        ["gram"], ["mask"],
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        m = batch.column("mask").to_numpy(zero_copy_only=False).astype(np.int64)
+        s1, s2, cnt = [], [], []
+        hits = [(m & np.int64(1 << i)) != 0 for i in range(len(srcs))]
+        for i in range(len(srcs)):
+            # per-source distinct-gram total rides as a (s, s) row
+            c = int(np.count_nonzero(hits[i]))
+            if c:
+                s1.append(srcs[i]); s2.append(srcs[i]); cnt.append(c)
+            for j in range(i + 1, len(srcs)):
+                c = int(np.count_nonzero(hits[i] & hits[j]))
+                if c:
+                    s1.append(srcs[i]); s2.append(srcs[j]); cnt.append(c)
+        return pa.Table.from_pydict(
+            {"s1": pa.array(s1, type=pa.string()), "s2": pa.array(s2, type=pa.string()),
+             "shared": pa.array(np.array(cnt, dtype=np.int64))}
+        )
+
+    agg = _sum_groupby(
+        masks.map_batches(fold, batch_format="pyarrow"), ["s1", "s2"], ["shared"]
+    ).to_pandas()  # O(sources^2)
+    totals = {
+        r.s1: int(r.shared) for r in agg.itertuples() if r.s1 == r.s2
+    }
+    out = {"s1": [], "s2": [], "shared": [], "jaccard": []}
+    for r in agg.itertuples():
+        if r.s1 == r.s2:
+            continue
+        union = totals[r.s1] + totals[r.s2] - int(r.shared)
+        out["s1"].append(r.s1); out["s2"].append(r.s2)
+        out["shared"].append(int(r.shared))
+        out["jaccard"].append(float(np.floor(int(r.shared) / union * 1e6 + 0.5) / 1e6))
+    return pa.Table.from_pydict(
+        {
+            "s1": pa.array(out["s1"], type=pa.string()),
+            "s2": pa.array(out["s2"], type=pa.string()),
+            "shared": pa.array(np.array(out["shared"], dtype=np.int64)),
+            "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+        }
+    )
+
+
 def q_value_mad(sf_dir: str):
     """Per-type median and median-absolute-deviation of event values —
     the robust-statistics outlier baseline, computed EXACTLY with no
@@ -4011,6 +4103,7 @@ QUERIES = {
     "token_degree": q_token_degree,
     "value_mad": q_value_mad,
     "source_overlap": q_source_overlap,
+    "source_jaccard": q_source_jaccard,
     "doc_novelty": q_doc_novelty,
     "doc_len_gini": q_doc_len_gini,
     "value_outliers": q_value_outliers,
@@ -4288,6 +4381,26 @@ ORACLE_SQL = {
                  / count(*) * 1e6 + 0.5) / 1e6 as novelty
     from tt join f using (w1, w2, w3)
     group by tt.doc_id
+    """,
+    "source_jaccard": """
+    with d as (select doc_id, source, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, source, unnest(ws) as w1,
+                 generate_subscripts(ws, 1) as i from d),
+    t as (select doc_id, source, w1,
+                 lead(w1, 1) over (partition by doc_id order by i) as w2,
+                 lead(w1, 2) over (partition by doc_id order by i) as w3
+          from u),
+    tt as (select distinct source, w1, w2, w3 from t where w3 is not null),
+    tot as (select source, cast(count(*) as bigint) as n from tt group by source),
+    p as (select a.source as s1, b.source as s2,
+                 cast(count(*) as bigint) as shared
+          from tt a join tt b using (w1, w2, w3)
+          where a.source < b.source
+          group by a.source, b.source)
+    select p.s1, p.s2, p.shared,
+           floor(p.shared::double / (ta.n + tb.n - p.shared) * 1e6 + 0.5) / 1e6
+               as jaccard
+    from p join tot ta on p.s1 = ta.source join tot tb on p.s2 = tb.source
     """,
     "source_overlap": """
     with d as (select doc_id, source, string_split(text, ' ') as ws from documents),
