@@ -3922,6 +3922,49 @@ def q_user_paths(sf_dir: str):
     return ds.groupby("user_id").map_groups(path, batch_format="pyarrow")
 
 
+def q_interleave_sources(sf_dir: str):
+    """Deterministic source-interleaved training order (the data-mixing
+    stage): docs are rank-ordered WITHIN each source by a content hash
+    (reproducible shuffle), then position = rank * n_sources +
+    source_index round-robins the sources so a sequential reader sees
+    a balanced mix.  One groupby(source) exchange; the per-group rank
+    is a vectorized argsort; position arithmetic is pure int64.  md5 is
+    the oracle-parity concession (seeded_shuffle's documented
+    pattern); the scale path swaps the vectorized FNV."""
+    import hashlib
+
+    import ray.data as rd
+
+    srcs = sorted(
+        set(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+            .column("source")
+            .to_pylist()
+        )
+    )
+    sidx = {s: i for i, s in enumerate(srcs)}
+    n_src = len(srcs)
+
+    def rank(group: pa.Table) -> pa.Table:
+        ids = pc.cast(group.column("doc_id"), pa.string()).to_pylist()
+        hx = np.array([hashlib.md5(s.encode()).hexdigest() for s in ids])
+        order = np.argsort(hx, kind="stable")
+        rn = np.empty(len(ids), dtype=np.int64)
+        rn[order] = np.arange(len(ids), dtype=np.int64)
+        src = group.column("source")[0].as_py()
+        pos = rn * n_src + sidx[src]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "source": group.column("source"),
+                "pos": pa.array(pos),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return ds.groupby("source").map_groups(rank, batch_format="pyarrow")
+
+
 def q_source_kl(sf_dir: str):
     """Per-source KL divergence of the token distribution vs the whole
     corpus — the domain-shift / source-weighting diagnostic.  One
@@ -4096,6 +4139,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "oov_rate": q_oov_rate,
     "source_kl": q_source_kl,
+    "interleave_sources": q_interleave_sources,
     "user_paths": q_user_paths,
     "events_zscore": q_events_zscore,
     "embedding_quantize": q_embedding_quantize,
@@ -4521,6 +4565,19 @@ ORACLE_SQL = {
     select user_id, cast(count(*) as bigint) as n_events,
            string_agg(event_type, '->' order by ts, event_id) as path
     from events group by user_id
+    """,
+    "interleave_sources": """
+    with r as (select cast(doc_id as varchar) as doc_id, source,
+                      row_number() over (partition by source
+                                         order by md5(cast(doc_id as varchar)))
+                      - 1 as rn
+               from documents),
+    s as (select source, row_number() over (order by source) - 1 as si
+          from (select distinct source from documents)),
+    n as (select cast(count(*) as bigint) as n_src from s)
+    select r.doc_id, r.source,
+           cast(r.rn * n.n_src + s.si as bigint) as pos
+    from r join s using (source), n
     """,
     "source_kl": _VOCAB_CTE
     + """,
