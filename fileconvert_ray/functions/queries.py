@@ -3889,6 +3889,53 @@ def q_vocab_growth(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences (the
+    behavioral bigram model): consecutive event-type pairs within each
+    user's (ts, event_id)-ordered stream, counted corpus-wide.  One
+    groupby(user) exchange; per group the pair extraction is a sort +
+    one vectorized shift (no Python pair loops); the final count
+    aggregate moves O(types^2) rows."""
+    import ray.data as rd
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "t_from": pa.array([], type=pa.string()),
+                "t_to": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        et = g.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        denc = et.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (codes[:-1] << np.int64(32)) | codes[1:]
+        uniq, cnt = np.unique(key, return_counts=True)
+        labels = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {
+                "t_from": pa.array(labels[(uniq >> np.int64(32)).astype(np.int64)], type=pa.string()),
+                "t_to": pa.array(labels[(uniq & np.int64(0xFFFFFFFF)).astype(np.int64)], type=pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return _sum_groupby(
+        ds.groupby("user_id").map_groups(pairs, batch_format="pyarrow"),
+        ["t_from", "t_to"], ["cnt"],
+    )
+
+
 def q_user_paths(sf_dir: str):
     """Per-user ordered event path (order-sensitive grouped string
     concatenation — the clickstream "path analysis" shape): one
@@ -4141,6 +4188,7 @@ QUERIES = {
     "source_kl": q_source_kl,
     "interleave_sources": q_interleave_sources,
     "user_paths": q_user_paths,
+    "event_transitions": q_event_transitions,
     "events_zscore": q_events_zscore,
     "embedding_quantize": q_embedding_quantize,
     "centroid_classify": q_centroid_classify,
@@ -4560,6 +4608,15 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, new_tokens,
            cast(sum(new_tokens) over (order by doc_id) as bigint) as cum_vocab
     from g
+    """,
+    "event_transitions": """
+    with s as (select user_id, event_type,
+                      lead(event_type) over (partition by user_id
+                                             order by ts, event_id) as nxt
+               from events)
+    select event_type as t_from, nxt as t_to, cast(count(*) as bigint) as cnt
+    from s where nxt is not null
+    group by event_type, nxt
     """,
     "user_paths": """
     select user_id, cast(count(*) as bigint) as n_events,
