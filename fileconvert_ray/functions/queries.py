@@ -3889,6 +3889,54 @@ def q_vocab_growth(sf_dir: str):
     )
 
 
+def q_session_stats(sf_dir: str):
+    """Per-session aggregates (event count + exact value cents) on top
+    of 30-minute-gap sessionization — the session-level fact table a
+    product pipeline joins against.  One groupby(user) exchange; the
+    per-user scan is sort + diff + cumsum + one reduceat for the value
+    sums (int64 cents, so SQL parity is exact)."""
+    import ray.data as rd
+
+    GAP = 30 * 60 * 1_000_000  # us
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_no", pa.int64()),
+            ("n_events", pa.int64()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = np.diff(ts) > GAP
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(ts)]))
+        sums = np.add.reduceat(cents, starts)
+        uid = g.column("user_id")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "user_id": [uid] * len(starts),
+                "session_no": list(range(1, len(starts) + 1)),
+                "n_events": (ends - starts).astype(np.int64),
+                "value_cents": sums,
+            },
+            schema=schema,
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event sequences (the
     behavioral bigram model): consecutive event-type pairs within each
@@ -4189,6 +4237,7 @@ QUERIES = {
     "interleave_sources": q_interleave_sources,
     "user_paths": q_user_paths,
     "event_transitions": q_event_transitions,
+    "session_stats": q_session_stats,
     "events_zscore": q_events_zscore,
     "embedding_quantize": q_embedding_quantize,
     "centroid_classify": q_centroid_classify,
@@ -4608,6 +4657,23 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, new_tokens,
            cast(sum(new_tokens) over (order by doc_id) as bigint) as cum_vocab
     from g
+    """,
+    "session_stats": """
+    with o as (select user_id, ts, event_id, value,
+                      lag(ts) over (partition by user_id
+                                    order by ts, event_id) as pts
+               from events),
+    s as (select user_id, value,
+                 sum(case when pts is null
+                          or epoch_us(ts) - epoch_us(pts) > 1800000000
+                          then 1 else 0 end)
+                 over (partition by user_id order by ts, event_id
+                       rows unbounded preceding) as sess
+          from o)
+    select user_id, cast(sess as bigint) as session_no,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) as value_cents
+    from s group by user_id, sess
     """,
     "event_transitions": """
     with s as (select user_id, event_type,
