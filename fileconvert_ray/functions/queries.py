@@ -3889,6 +3889,83 @@ def q_vocab_growth(sf_dir: str):
     )
 
 
+TOP_TRI_K = 3
+
+
+def q_top_trigrams_per_source(sf_dir: str):
+    """Per-source top-K trigrams (domain boilerplate mining): the most
+    frequent word trigram per source is usually its template text.
+    Per-batch (source, packed-tri) partial counts via one structured
+    np.unique -> the exchange moves O(sources x distinct trigrams) ->
+    per-source final top-K.  Ties break on the packed trigram ids,
+    mirrored exactly in the SQL row_number order."""
+    ds = tokseq_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.Table.from_pydict(
+            {
+                "source": pa.array([], type=pa.string()),
+                "tri": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) < 3:
+            return empty
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        valid = (pos + 2 < ends)[:-2]
+        assert flat.max() < (1 << 21), "trigram packing needs vocab < 2^21"
+        key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+        srcs = batch.column("source")
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        denc = srcs.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        scode = np.repeat(
+            denc.indices.to_numpy(zero_copy_only=False).astype(np.int64), n_tok
+        )[:-2][valid]
+        stacked = np.stack([scode, key[valid]], axis=1).view([("", np.int64)] * 2)
+        uniq, cnt = np.unique(stacked, return_counts=True)
+        up = uniq.view(np.int64).reshape(-1, 2)
+        labels = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(labels[up[:, 0]], type=pa.string()),
+                "tri": pa.array(up[:, 1]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "tri"], ["cnt"],
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["cnt", "tri"], ascending=[False, True], ignore_index=True
+        ).head(TOP_TRI_K)
+        tri = df["tri"].to_numpy(dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(df["source"], type=pa.string()),
+                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+                "t1": pa.array(tri >> np.int64(42)),
+                "t2": pa.array((tri >> np.int64(21)) & np.int64((1 << 21) - 1)),
+                "t3": pa.array(tri & np.int64((1 << 21) - 1)),
+                "cnt": pa.array(df["cnt"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return agg.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
 def q_session_stats(sf_dir: str):
     """Per-session aggregates (event count + exact value cents) on top
     of 30-minute-gap sessionization — the session-level fact table a
@@ -4238,6 +4315,7 @@ QUERIES = {
     "user_paths": q_user_paths,
     "event_transitions": q_event_transitions,
     "session_stats": q_session_stats,
+    "top_trigrams_per_source": q_top_trigrams_per_source,
     "events_zscore": q_events_zscore,
     "embedding_quantize": q_embedding_quantize,
     "centroid_classify": q_centroid_classify,
@@ -4657,6 +4735,27 @@ ORACLE_SQL = {
     select cast(doc_id as bigint) as doc_id, new_tokens,
            cast(sum(new_tokens) over (order by doc_id) as bigint) as cum_vocab
     from g
+    """,
+    "top_trigrams_per_source": _VOCAB_CTE
+    + f""",
+    d as (select doc_id, source, string_split(text, ' ') as ws from documents),
+    u as (select uw.doc_id, uw.source, uw.i, v.token
+          from (select doc_id, source, unnest(ws) as word,
+                       generate_subscripts(ws, 1) as i from d) uw
+          join v using (word)),
+    t as (select doc_id, source, token as t1, i,
+                 lead(token, 1) over (partition by doc_id order by i) as t2,
+                 lead(token, 2) over (partition by doc_id order by i) as t3
+          from u),
+    c as (select source, t1, t2, t3, cast(count(*) as bigint) as cnt
+          from t where t3 is not null group by source, t1, t2, t3),
+    r as (select *, row_number() over (partition by source
+                                       order by cnt desc, t1, t2, t3) as rank
+          from c)
+    select source, cast(rank as bigint) as rank,
+           cast(t1 as bigint) as t1, cast(t2 as bigint) as t2,
+           cast(t3 as bigint) as t3, cnt
+    from r where rank <= {TOP_TRI_K}
     """,
     "session_stats": """
     with o as (select user_id, ts, event_id, value,
