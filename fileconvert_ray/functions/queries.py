@@ -44,6 +44,22 @@ IVF_NLIST = 16
 SAMPLE_HEX = "1a"  # md5-prefix sample: ~ int('1a',16)/256 = 10.2% of rows
 
 
+def _dict_codes(col) -> tuple[np.ndarray, list]:
+    """Factorize a string column: (int64 codes, O(distinct) dictionary).
+
+    The vectorized remap idiom (round-3 verdict #4): any per-value
+    Python lookup happens over the DICTIONARY (a handful of distinct
+    strings), never row-by-row — ``lut[codes]`` then fans the mapped
+    values back out in one numpy gather."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    denc = col.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, denc.dictionary.to_pylist()
+
+
 def _sum_groupby(ds, keys: list[str], int_cols: list[str]):
     """groupby(keys).sum(int_cols) with per-batch partial aggregation."""
     from ray.data.aggregate import Sum
@@ -536,8 +552,8 @@ def q_events_pivot(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
         hour = ts.astype(np.int64) // 3_600_000_000
-        code = np.array([tmap[t] for t in batch.column("event_type").to_pylist()],
-                        dtype=np.int64)
+        codes, vals = _dict_codes(batch.column("event_type"))
+        code = np.array([tmap[v] for v in vals], dtype=np.int64)[codes]
         key = hour * len(EVENT_TYPES) + code
         uniq, cnt = np.unique(key, return_counts=True)
         uh = uniq // len(EVENT_TYPES)
@@ -915,9 +931,9 @@ def q_viewer_buyer_sets(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        et = batch.column("event_type").to_pylist()
-        v = np.array([t == "view" for t in et], dtype=np.int64)
-        p = np.array([t == "purchase" for t in et], dtype=np.int64)
+        et = batch.column("event_type")
+        v = pc.equal(et, "view").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        p = pc.equal(et, "purchase").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         uu, inv = np.unique(u, return_inverse=True)
         vv = np.zeros(len(uu), dtype=np.int64)
         pp = np.zeros(len(uu), dtype=np.int64)
@@ -1544,10 +1560,10 @@ def q_events_value_norm(sf_dir: str):
 
     def norm(batch: pa.Table) -> pa.Table:
         lu = ray.get(lut_ref)
-        et = batch.column("event_type").to_pylist()
+        codes, vals = _dict_codes(batch.column("event_type"))
         v = batch.column("value").to_numpy(zero_copy_only=False)
-        lo = np.array([lu[t][0] for t in et])
-        hi = np.array([lu[t][1] for t in et])
+        lo = np.array([lu[t][0] for t in vals])[codes]
+        hi = np.array([lu[t][1] for t in vals])[codes]
         rng = hi - lo
         out = np.where(rng > 0, (v - lo) / np.where(rng > 0, rng, 1.0), 0.0)
         out = np.floor(out * 1e6 + 0.5) / 1e6  # vnorm >= 0
@@ -1966,18 +1982,30 @@ def q_top_events_per_user(sf_dir: str):
     K = 3
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.select(["user_id", "event_id", "value"]).to_pandas()
-        df = df.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("user_id").head(K), preserve_index=False)
+        # numpy lexsort partial (round-3 verdict #6: no pandas in the
+        # hot path): order (user asc, value desc, event_id asc), then
+        # keep the first K positions of each user run
+        sub = batch.select(["user_id", "event_id", "value"])
+        u = sub.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = sub.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = sub.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, -v, u))
+        us = u[order]
+        if len(us) == 0:
+            return sub
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(us)])))
+        pos_in_run = np.arange(len(us), dtype=np.int64) - np.repeat(starts, sizes)
+        return sub.take(pa.array(order[pos_in_run < K].astype(np.int64)))
 
     def final_topk(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas().sort_values(["value", "event_id"], ascending=[False, True]).head(K)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        e = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, -v))[:K].astype(np.int64)
+        out = group.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
     return (
@@ -3416,9 +3444,9 @@ def q_value_outliers(sf_dir: str):
         t = ray.get(ref)
         v = batch.column("value").to_numpy(zero_copy_only=False)
         cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
-        ets = batch.column("event_type").to_pylist()
-        med = np.array([t[e][0] for e in ets], dtype=np.int64)
-        cut = np.array([t[e][1] for e in ets], dtype=np.int64)
+        codes, vals = _dict_codes(batch.column("event_type"))
+        med = np.array([t[e][0] for e in vals], dtype=np.int64)[codes]
+        cut = np.array([t[e][1] for e in vals], dtype=np.int64)[codes]
         dev = np.abs(cents - med)
         keep = dev > cut
         out = batch.select(["event_id", "event_type"]).filter(pa.array(keep))
@@ -3820,11 +3848,11 @@ def q_events_zscore(sf_dir: str):
 
     def norm(batch: pa.Table) -> pa.Table:
         st = ray.get(ref)
-        ets = batch.column("event_type").to_pylist()
+        codes, vals = _dict_codes(batch.column("event_type"))
         v = batch.column("value").to_numpy(zero_copy_only=False)
         cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)) / 100.0
-        mean = np.array([st[e][0] for e in ets])
-        sd = np.array([st[e][1] for e in ets])
+        mean = np.array([st[e][0] for e in vals])[codes]
+        sd = np.array([st[e][1] for e in vals])[codes]
         z = np.where(sd > 0, (cents - mean) / np.where(sd > 0, sd, 1.0), 0.0)
         z = np.copysign(np.floor(np.abs(z) * 1e6 + 0.5), z) / 1e6
         return pa.Table.from_pydict(
