@@ -1341,3 +1341,83 @@ def test_chunk_batch_property_coverage():
             assert last.start + last.n_chunk_tok == len(d)
 
     check()
+
+
+def test_source_overlap_beyond_63_sources(ray_session, tmp_path):
+    """Round-3 missing #3: the bitmask fold must shard past 63 sources.
+    70 sources with a known chained-trigram overlap structure; the
+    sharded pipeline must match a brute-force set computation."""
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.functions.dedup import _word_kgram_hashes
+    from fileconvert_ray.functions.queries import q_source_overlap
+
+    n_src = 70
+    rows = []
+    for i in range(n_src):
+        # source i: words w{i}..w{i+4} -> 3 trigrams; overlaps neighbors
+        text = " ".join(f"w{j}" for j in range(i, i + 5))
+        rows.append({"doc_id": f"doc{i:03d}", "text": text, "source": f"s{i:02d}"})
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    # brute force with the same gram hashes (seed=9 matches the query)
+    gram_sets = {}
+    for r in rows:
+        gh, _ = _word_kgram_hashes(pa.array([r["text"]]), 3, seed=9)
+        gram_sets.setdefault(r["source"], set()).update(gh.tolist())
+    want = {}
+    srcs = sorted(gram_sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            c = len(gram_sets[a] & gram_sets[b])
+            if c:
+                want[(a, b)] = c
+
+    out = q_source_overlap(str(d)).to_pandas()
+    got = {(r.s1, r.s2): int(r.shared) for r in out.itertuples()}
+    assert got == want
+    # the overlap structure must cross the 63-bit shard boundary
+    assert ("s62", "s63") in got and got[("s62", "s63")] == 2
+
+
+def test_interleave_sources_skew_bounded_groups(ray_session, tmp_path):
+    """Round-3 verdict #2: one source holding 80% of rows must not land
+    in a single rank task.  Positions must equal the brute-force
+    per-source md5 rank interleave."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.functions.queries import q_interleave_sources
+
+    rows = []
+    for i in range(800):  # hot source: 80% of rows
+        rows.append({"doc_id": f"hot{i:04d}", "text": "x", "source": "hot"})
+    for s in range(4):
+        for i in range(50):
+            rows.append({"doc_id": f"c{s}{i:03d}", "text": "x", "source": f"cold{s}"})
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    srcs = sorted({r["source"] for r in rows})
+    sidx = {s: i for i, s in enumerate(srcs)}
+    want = {}
+    for s in srcs:
+        ids = sorted(
+            (r["doc_id"] for r in rows if r["source"] == s),
+            key=lambda x: hashlib.md5(x.encode()).hexdigest(),
+        )
+        for rank, did in enumerate(ids):
+            want[did] = rank * len(srcs) + sidx[s]
+
+    out = q_interleave_sources(str(d)).to_pandas()
+    got = dict(zip(out.doc_id, out.pos))
+    assert got == want
+    # round-robin property: positions are a permutation of 0..n-1... not
+    # exactly (sources differ in size), but no two docs share a position
+    assert len(set(got.values())) == len(got)
