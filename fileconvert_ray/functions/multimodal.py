@@ -1,12 +1,14 @@
 """Multimodal column plumbing — opaque binary payloads + typed metadata.
 
-The decode libraries (PIL/ffmpeg/soundfile) are NOT in this container,
-so the actual pixel/sample decode is stubbed (clearly marked below).
-Everything around it is real and tested: schema, small-batch actor-pool
-stages, per-actor setup, deterministic fake decode for pipeline tests,
-and the output layout.  At scale these stages run with small
-``batch_size`` (large binary rows) and bounded ``concurrency`` so
-object-store pressure stays low (ray_guide.md "Pitfalls").
+The decode libraries (PIL/ffmpeg/soundfile) are detected at runtime
+(round-3 verdict #7): when present, ``fake=False`` stages decode real
+media; when absent (this container), the production path raises an
+honest ``NotImplementedError`` at actor construction and the
+deterministic fake formats exercise the full Ray plumbing — schema,
+small-batch actor-pool stages, per-actor setup, output layout.  At
+scale these stages run with small ``batch_size`` (large binary rows)
+and bounded ``concurrency`` so object-store pressure stays low
+(ray_guide.md "Pitfalls").
 """
 
 from __future__ import annotations
@@ -17,6 +19,22 @@ import struct
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _try_import(name: str):
+    """Runtime media-library detection — import once at actor setup,
+    never per batch."""
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        return None
+
+
+HAVE_PIL = _try_import("PIL.Image") is not None
+HAVE_SOUNDFILE = _try_import("soundfile") is not None
+HAVE_AV = _try_import("av") is not None  # PyAV = ffmpeg bindings
 
 BLOB_SCHEMA = pa.schema(
     [
@@ -66,25 +84,38 @@ class ImageDecodeStage:
 
     def __init__(self, fake: bool = True):
         self.fake = fake
+        self._pil = None
         if not fake:
-            # STUB: real decode needs an image library not present in
-            # this container.  The actor-pool/batch plumbing is what we
-            # test; swap this guard for `import PIL.Image` when present.
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv — not available in this environment"
-            )
+            # runtime detection (round-3 verdict #7): use PIL when the
+            # environment has it, honest stub otherwise.  Import ONCE
+            # per actor here, never per batch.
+            self._pil = _try_import("PIL.Image")
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv — not available in this environment"
+                )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, widths, heights, means = [], [], [], []
-        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+    def _decode(self, p: bytes, bid: str) -> tuple[int, int, float]:
+        if self.fake:
             if p[:4] != FAKE_MAGIC or len(p) < 8:
                 raise ValueError(f"not a FIMG payload: {bid}")
             w, h = struct.unpack("<HH", p[4:8])
             body = np.frombuffer(p, dtype=np.uint8, offset=8)
+            return w, h, float(body.mean()) if len(body) else 0.0
+        import io
+
+        img = self._pil.open(io.BytesIO(p))
+        arr = np.asarray(img.convert("L"), dtype=np.uint8)
+        return img.width, img.height, float(arr.mean()) if arr.size else 0.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, means = [], [], [], []
+        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+            w, h, m = self._decode(p, bid)
             ids.append(bid)
             widths.append(w)
             heights.append(h)
-            means.append(float(body.mean()) if len(body) else 0.0)
+            means.append(m)
         return pa.Table.from_pydict(
             {"blob_id": ids, "width": widths, "height": heights, "mean_pixel": means},
             schema=self.OUT_SCHEMA,
@@ -100,14 +131,17 @@ class ImageResizeStage:
 
     def __init__(self, target_w: int, target_h: int, fake: bool = True):
         self.tw, self.th = int(target_w), int(target_h)
+        self.fake = fake
+        self._pil = None
         if not fake:
-            raise NotImplementedError(
-                "real image resize requires PIL/opencv — not available in this environment"
-            )
+            self._pil = _try_import("PIL.Image")
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv — not available in this environment"
+                )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, payloads = [], []
-        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+    def _resize(self, p: bytes, bid: str) -> tuple[bytes, str]:
+        if self.fake:
             if p[:4] != FAKE_MAGIC or len(p) < 8:
                 raise ValueError(f"not a FIMG payload: {bid}")
             w, h = struct.unpack("<HH", p[4:8])
@@ -115,13 +149,27 @@ class ImageResizeStage:
             yi = (np.arange(self.th) * h // self.th).astype(np.int64)
             xi = (np.arange(self.tw) * w // self.tw).astype(np.int64)
             out = body[yi][:, xi]
+            return FAKE_MAGIC + struct.pack("<HH", self.tw, self.th) + out.tobytes(), "image/fimg"
+        import io
+
+        img = self._pil.open(io.BytesIO(p))
+        fmt = img.format or "PNG"
+        buf = io.BytesIO()
+        img.resize((self.tw, self.th), self._pil.NEAREST).save(buf, format=fmt)
+        return buf.getvalue(), f"image/{fmt.lower()}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads, mtypes = [], [], []
+        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+            out, mt = self._resize(p, bid)
             ids.append(bid)
-            payloads.append(FAKE_MAGIC + struct.pack("<HH", self.tw, self.th) + out.tobytes())
+            payloads.append(out)
+            mtypes.append(mt)
         return pa.Table.from_pydict(
             {
                 "blob_id": pa.array(ids, type=pa.string()),
                 "payload": pa.array(payloads, type=pa.binary()),
-                "media_type": pa.array(["image/fimg"] * len(ids), type=pa.string()),
+                "media_type": pa.array(mtypes, type=pa.string()),
             },
             schema=BLOB_SCHEMA,
         )
@@ -132,18 +180,29 @@ class AudioFrameStage:
 
     def __init__(self, frame_ms: int = 25, fake: bool = True):
         self.frame_ms = frame_ms
+        self.fake = fake
+        self._sf = None
         if not fake:
-            raise NotImplementedError(
-                "real audio decode requires soundfile/ffmpeg — not available here"
-            )
+            self._sf = _try_import("soundfile")
+            if self._sf is None:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffmpeg — not available here"
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # fake: treat payload bytes as 8 kHz u8 samples
         ids, n_frames = [], []
-        samples_per_frame = 8000 * self.frame_ms // 1000
         for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
             ids.append(bid)
-            n_frames.append(max(0, len(p) // samples_per_frame))
+            if self.fake:
+                # fake: payload bytes as 8 kHz u8 samples
+                spf = 8000 * self.frame_ms // 1000
+                n_frames.append(max(0, len(p) // spf))
+            else:
+                import io
+
+                data, rate = self._sf.read(io.BytesIO(p))
+                spf = max(1, rate * self.frame_ms // 1000)
+                n_frames.append(int(len(data) // spf))
         return pa.Table.from_pydict({"blob_id": ids, "n_frames": n_frames})
 
 
@@ -170,14 +229,18 @@ class VideoFrameSampleStage:
 
     def __init__(self, stride: int = 10, fake: bool = True):
         self.stride = max(1, int(stride))
+        self.fake = fake
+        self._av = None
         if not fake:
-            raise NotImplementedError(
-                "real video demux requires ffmpeg — not available in this environment"
-            )
+            self._av = _try_import("av")
+            if self._av is None:
+                raise NotImplementedError(
+                    "real video demux requires ffmpeg (PyAV) — not available in this environment"
+                )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, payloads = [], []
-        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+    def _frames(self, p: bytes, bid: str):
+        """Yield (w, h, u8 grayscale frame ndarray) every ``stride`` frames."""
+        if self.fake:
             if p[:4] != FAKE_VMAGIC or len(p) < 12:
                 raise ValueError(f"not an FVID payload: {bid}")
             w, h, nf = struct.unpack("<HHI", p[4:12])
@@ -185,9 +248,23 @@ class VideoFrameSampleStage:
                 nf, h, w
             )
             for fi in range(0, nf, self.stride):
+                yield fi, w, h, frames[fi]
+            return
+        import io
+
+        with self._av.open(io.BytesIO(p)) as container:
+            for fi, frame in enumerate(container.decode(video=0)):
+                if fi % self.stride == 0:
+                    arr = frame.to_ndarray(format="gray")
+                    yield fi, arr.shape[1], arr.shape[0], arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for bid, p in zip(batch.column("blob_id").to_pylist(), batch.column("payload").to_pylist()):
+            for fi, w, h, frame in self._frames(p, bid):
                 ids.append(f"{bid}#f{fi:06d}")
                 payloads.append(
-                    FAKE_MAGIC + struct.pack("<HH", w, h) + frames[fi].tobytes()
+                    FAKE_MAGIC + struct.pack("<HH", w, h) + frame.tobytes()
                 )
         return pa.Table.from_pydict(
             {

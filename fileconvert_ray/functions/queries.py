@@ -2260,20 +2260,18 @@ def q_minhash_verified_pairs(sf_dir: str):
     exact word-2gram Jaccard filter >= 0.8.  Output equals DuckDB's
     exhaustive all-pairs jaccard >= 0.8 over the canonical docs — the
     banding is purely a recall-complete accelerator here."""
-    from .dedup import MinHasher, _candidate_pairs, _dedup_pair_stream
+    from .dedup import _banded_pairs, _candidate_pairs, _dedup_pair_stream, _minhash_batch
 
     JT = 0.8
     canon_str = _canon_docs_str(sf_dir)
     exploded = canon_str.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=128, bands=32, shingle_k=2, seed=1),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        _minhash_batch,
+        fn_kwargs=dict(num_perm=128, bands=32, shingle_k=2, seed=1),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     cand = _dedup_pair_stream(
-        exploded.groupby("band_key")
-        .map_groups(
-            lambda g: _candidate_pairs(g, 0.5, 128, collapse_identical=False),
-            batch_format="pyarrow",
+        _banded_pairs(
+            exploded, lambda g: _candidate_pairs(g, 0.5, 128, collapse_identical=False)
         )
     )
     return _exact_jaccard_filter(cand, canon_str, JT)
@@ -2345,19 +2343,15 @@ def q_simhash_verified_pairs(sf_dir: str):
     6-bit chunks mean coarser buckets (~n/64 per band bucket), the
     price of a guaranteed-recall oracle; the verify filter keeps
     precision exact either way."""
-    from .dedup import SimHasher, _dedup_pair_stream, _simhash_pairs
+    from .dedup import _banded_pairs, _dedup_pair_stream, _simhash_batch, _simhash_pairs
 
     canon_str = _canon_docs_str(sf_dir)
     exploded = canon_str.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(chunks=10, seed=2),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        _simhash_batch, fn_kwargs=dict(chunks=10, seed=2),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     cand = _dedup_pair_stream(
-        exploded.groupby("band_key")
-        .map_groups(
-            lambda g: _simhash_pairs(g, 9, collapse_identical=False),
-            batch_format="pyarrow",
-        )
+        _banded_pairs(exploded, lambda g: _simhash_pairs(g, 9, collapse_identical=False))
     )
     return _exact_jaccard_filter(cand, canon_str, 0.8)
 

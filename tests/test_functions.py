@@ -43,8 +43,9 @@ def test_minhash_dedup_catches_near_dups(ray_session):
     from fileconvert_ray.functions.dedup import minhash_dedup
 
     t = _docs_with_dups()
-    surv, pairs = minhash_dedup(rd.from_arrow(t), threshold=0.5)
+    surv, pairs_ds = minhash_dedup(rd.from_arrow(t), threshold=0.5)
     out = surv.to_pandas()
+    pairs = pairs_ds.to_pandas()
     # every exact dup pair must be found; near dups (1 word / 40) too
     found = set(map(tuple, pairs[["a", "b"]].itertuples(index=False, name=None)))
     for i in range(5):
@@ -61,7 +62,8 @@ def test_simhash_dedup_exact(ray_session):
     from fileconvert_ray.functions.dedup import simhash_dedup
 
     t = _docs_with_dups()
-    surv, pairs = simhash_dedup(rd.from_arrow(t), h_max=2)
+    surv, pairs_ds = simhash_dedup(rd.from_arrow(t), h_max=2)
+    pairs = pairs_ds.to_pandas()
     found = set(map(tuple, pairs[["a", "b"]].itertuples(index=False, name=None)))
     for i in range(5):
         assert (f"d{i:04d}", f"e{i:04d}") in found  # hamming 0
@@ -152,8 +154,50 @@ def test_multimodal_fake_image(ray_session):
     assert out["width"].tolist() == [4, 8]
     assert out["height"].tolist() == [3, 2]
 
-    with pytest.raises(NotImplementedError):
-        ImageDecodeStage(fake=False)
+
+def test_multimodal_runtime_detection():
+    """Round-3 verdict #7: the production (fake=False) path lights up
+    when the media library exists and raises an honest stub otherwise —
+    gate behavior must MATCH library availability in both environments."""
+    from fileconvert_ray.functions.multimodal import (
+        HAVE_AV,
+        HAVE_PIL,
+        HAVE_SOUNDFILE,
+        AudioFrameStage,
+        ImageDecodeStage,
+        ImageResizeStage,
+        VideoFrameSampleStage,
+    )
+
+    for cls, have, kwargs in [
+        (ImageDecodeStage, HAVE_PIL, {}),
+        (ImageResizeStage, HAVE_PIL, {"target_w": 2, "target_h": 2}),
+        (AudioFrameStage, HAVE_SOUNDFILE, {}),
+        (VideoFrameSampleStage, HAVE_AV, {}),
+    ]:
+        if have:
+            cls(fake=False, **kwargs)  # must construct without raising
+        else:
+            with pytest.raises(NotImplementedError):
+                cls(fake=False, **kwargs)
+
+    if HAVE_PIL:  # real decode path, exercised only where PIL exists
+        import io
+
+        import numpy as np
+        import PIL.Image as Image
+
+        img = Image.fromarray(np.full((3, 4), 7, dtype=np.uint8), mode="L")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        t = pa.Table.from_pydict(
+            {"blob_id": ["p"], "payload": pa.array([buf.getvalue()], type=pa.binary()),
+             "media_type": ["image/png"]}
+        )
+        out = ImageDecodeStage(fake=False)(t)
+        assert out.column("width").to_pylist() == [4]
+        assert out.column("height").to_pylist() == [3]
+        assert abs(out.column("mean_pixel").to_pylist()[0] - 7.0) < 1e-9
 
 
 def test_multimodal_resize_chain(ray_session):
@@ -281,13 +325,49 @@ def test_labelprop_matches_union_find(ray_session):
     assert got == want
 
 
+def test_connected_components_single_task_matches_labelprop(ray_session):
+    """The latency path (one-Ray-task union-find) and the scale path
+    (iterative labelprop) must produce identical (node, root) tables —
+    root = lexicographic component min in both."""
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.dedup import connected_components
+
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z"),
+             ("p1", "p2"), ("q1", "q2"), ("q2", "q3"), ("q3", "q4"), ("q4", "q5"),
+             ("a", "b")]  # duplicate edge must be harmless
+    t = pa.table({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    single = connected_components(t, strategy="single_task").to_pandas()
+    lp = connected_components(t, strategy="labelprop").to_pandas()
+    s = sorted(map(tuple, single.itertuples(index=False, name=None)))
+    l = sorted(map(tuple, lp.itertuples(index=False, name=None)))
+    assert s == l
+    # auto at this size routes to single_task and must agree too
+    auto = connected_components(t, strategy="auto").to_pandas()
+    assert sorted(map(tuple, auto.itertuples(index=False, name=None))) == s
+
+
+def test_apply_dropped_join_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import _apply_dropped
+
+    corpus = pa.table({"doc_id": [f"d{i}" for i in range(50)],
+                       "text": [f"t{i}" for i in range(50)]})
+    dropped = rd.from_arrow(pa.table({"_id": ["d3", "d17", "d40", "nope"]}))
+    a = sorted(_apply_dropped(rd.from_arrow(corpus), dropped, apply="join").to_pandas().doc_id)
+    b = sorted(_apply_dropped(rd.from_arrow(corpus), dropped, apply="broadcast").to_pandas().doc_id)
+    c = sorted(_apply_dropped(rd.from_arrow(corpus), dropped, apply="auto").to_pandas().doc_id)
+    assert a == b == c and len(a) == 47 and "d3" not in a
+
+
 def test_minhash_labelprop_same_survivors(ray_session):
     import ray.data as rd
 
     from fileconvert_ray.functions.dedup import minhash_dedup
 
     t = _docs_with_dups()
-    a, _ = minhash_dedup(rd.from_arrow(t))
+    a, _ = minhash_dedup(rd.from_arrow(t), components="unionfind")
     b, _ = minhash_dedup(rd.from_arrow(t), components="labelprop")
     assert sorted(a.to_pandas().doc_id) == sorted(b.to_pandas().doc_id)
 
@@ -616,8 +696,9 @@ def test_minhash_hot_bucket_mass_duplicate(ray_session):
     rows += [{"doc_id": f"uniq{i:03d}", "text": f"totally different text number {i} " * 3}
              for i in range(20)]
     t0 = time.time()
-    survivors, pairs = minhash_dedup(rd.from_items(rows, override_num_blocks=4))
+    survivors, pairs_ds = minhash_dedup(rd.from_items(rows, override_num_blocks=4))
     out = survivors.to_pandas()
+    pairs = pairs_ds.to_pandas()
     wall = time.time() - t0
     assert len(out) == 21  # dup0000 + the 20 unique docs
     assert "dup0000" in set(out.doc_id)
@@ -1421,3 +1502,36 @@ def test_interleave_sources_skew_bounded_groups(ray_session, tmp_path):
     # round-robin property: positions are a permutation of 0..n-1... not
     # exactly (sources differ in size), but no two docs share a position
     assert len(set(got.values())) == len(got)
+
+
+def test_minhash_dedup_driver_free_hot_cluster(ray_session, monkeypatch):
+    """Round-3 verdict #1 'done' criterion: a mass-duplicated corpus
+    (10k copies of one doc) must dedup WITHOUT the driver ever holding
+    the pair stream or the dropped-id set.  Instead of a flaky RSS
+    bound, assert the invariant directly: Dataset.to_pandas is poisoned
+    for the duration of the pipeline build + execution, so ANY driver
+    materialization of a Dataset fails the test.  (The final
+    survivors read happens after the monkeypatch is lifted.)"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import minhash_dedup
+
+    doc = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [{"doc_id": f"dup{i:05d}", "text": doc} for i in range(10_000)]
+    rows += [{"doc_id": f"uniq{i:03d}", "text": f"totally different text number {i} " * 3}
+             for i in range(20)]
+    ds = rd.from_items(rows, override_num_blocks=8)
+
+    def poisoned(self, *a, **k):
+        raise AssertionError("driver materialized a Dataset via to_pandas")
+
+    with monkeypatch.context() as m:
+        m.setattr(rd.Dataset, "to_pandas", poisoned)
+        survivors, _pairs = minhash_dedup(ds)
+        # force full execution while to_pandas is poisoned
+        mat = survivors.materialize()
+    out = mat.to_pandas()
+    assert len(out) == 21
+    assert "dup00000" in set(out.doc_id)
+    assert not any(d.startswith("dup") and d != "dup00000" for d in out.doc_id)
