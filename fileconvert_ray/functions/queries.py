@@ -2697,6 +2697,78 @@ def q_csv_export_roundtrip(sf_dir: str):
     return rd.read_csv(base)
 
 
+def q_feather_roundtrip(sf_dir: str):
+    """Feather / Arrow-IPC sink+source fidelity with a VALUE oracle:
+    documents -> write_feather_dataset (one IPC file per block,
+    tmp+rename) -> read_feather_dataset (one decode task per file) ->
+    all columns, hash-compared against plain SQL over the original
+    parquet — format parity with the reference converter's
+    multi-format surface."""
+    import ray.data as rd
+
+    from ..sources.featherio import read_feather_dataset, write_feather_dataset
+
+    base = _job_dir(sf_dir, "featherexp")
+    shutil.rmtree(base, ignore_errors=True)
+    manifest = write_feather_dataset(
+        rd.read_parquet(f"{sf_dir}/documents.parquet"), base
+    )
+    manifest.materialize()  # drive the writes
+    return read_feather_dataset(base)
+
+
+def q_bpe_merge_rounds(sf_dir: str):
+    """First 6 BPE merge rules over the tokseq corpus (distributed
+    pair-count partials + top-1 election + vectorized merge-apply
+    rounds).  Iterative whole-corpus recount is not SQL-expressible ->
+    rows-only driver check; exactness vs a pure-Python reference is
+    property-tested (tests/test_functions.py)."""
+    from .bpe import bpe_merge_rounds
+
+    return bpe_merge_rounds(tokseq_dataset(sf_dir), rounds=6)
+
+
+def q_mixture_plan(sf_dir: str, alpha: float = 0.5):
+    """Temperature-weighted source-mixing plan (the multinomial
+    sampling-rate table an LLM data pipeline feeds the loader):
+    per-source token counts -> weight_s = n_s^alpha / sum(n^alpha) ->
+    expected epochs over one total-token-budget pass = weight_s *
+    total_tokens / n_s.  One pre-aggregated groupby; O(sources) rows
+    ever leave the cluster."""
+    from ray.data.aggregate import Count, Sum
+
+    stats = (
+        tokseq_dataset(sf_dir)
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("source"), pc.cast(t.column("n_tok"), pa.int64())],
+                names=["source", "n_tok"],
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("source")
+        .aggregate(Sum("n_tok", alias_name="n_tokens"), Count(alias_name="n_docs"))
+    )
+
+    tabs = [bt for bt in stats.iter_batches(batch_size=None, batch_format="pyarrow")]
+    t = pa.concat_tables(tabs)  # O(sources) rows
+    n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    w = np.power(n, alpha)
+    w = w / w.sum()
+    total = float(n.sum())  # integer-exact under any order
+    epochs = w * total / n
+    # the Σ n^alpha normalizer is a cross-row FLOAT sum whose last ulp
+    # depends on summation order; round both sides (here and the SQL
+    # oracle) to 9 decimals — wobble is ~2e-15 relative, 6 orders of
+    # magnitude inside the grid (same discipline as len_tok_corr's
+    # integer moments, applied where integers can't express the math)
+    return (
+        t.append_column("weight", pa.array(np.round(w, 9)))
+        .append_column("epochs", pa.array(np.round(epochs, 9)))
+        .sort_by("source")
+    )
+
+
 def q_cms_token_counts(sf_dir: str):
     """Count-min sketch token counts, sized for determinism: depth 4 x
     width 2^16 over a vocab of at most tens of thousands makes the
@@ -4406,6 +4478,9 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "csv_export_roundtrip": q_csv_export_roundtrip,
     "jsonl_export_roundtrip": q_jsonl_export_roundtrip,
+    "feather_roundtrip": q_feather_roundtrip,
+    "bpe_merge_rounds": q_bpe_merge_rounds,
+    "mixture_plan": q_mixture_plan,
     "cms_token_counts": q_cms_token_counts,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
@@ -5196,6 +5271,22 @@ ORACLE_SQL = {
     "jsonl_export_roundtrip": """
         select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id, event_type
         from events
+    """,
+    "feather_roundtrip": """
+        select doc_id, text, lang, source, n_chars from documents
+    """,
+    "mixture_plan": """
+        with s as (
+            select source,
+                   cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
+                   cast(count(*) as bigint) as n_docs
+            from documents group by source
+        )
+        select source, n_tokens, n_docs,
+               round(pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) over (), 9) as weight,
+               round(pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) over ()
+                     * sum(n_tokens) over () / n_tokens, 9) as epochs
+        from s order by source
     """,
     "bloom_orders_filter": """
         select o_orderkey, o_totalprice from orders o

@@ -1535,3 +1535,37 @@ def test_minhash_dedup_driver_free_hot_cluster(ray_session, monkeypatch):
     assert len(out) == 21
     assert "dup00000" in set(out.doc_id)
     assert not any(d.startswith("dup") and d != "dup00000" for d in out.doc_id)
+
+
+def test_bpe_apply_merge_greedy_runs(ray_session):
+    """Greedy leftmost non-overlap: x,x,x,x,x -> X,X,x and doc
+    boundaries never merge across."""
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.bpe import apply_merge_batch
+
+    t = pa.table({
+        "doc_id": ["a", "b"],
+        "tokens": pa.array([[7, 7, 7, 7, 7], [1, 7]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([5, 2], type=pa.int32()),
+    })
+    out = apply_merge_batch(t, left=7, right=7, new_id=99)
+    assert out.column("tokens").to_pylist() == [[99, 99, 7], [1, 7]]
+    assert out.column("n_tok").to_pylist() == [3, 2]
+    # cross-doc pair (7 | 1) must not merge
+    out2 = apply_merge_batch(t, left=7, right=1, new_id=98)
+    assert out2.column("tokens").to_pylist() == [[7, 7, 7, 7, 7], [1, 7]]
+
+
+def test_bpe_merge_rounds_matches_reference(ray_session):
+    """The distributed merge trainer must equal the pure-Python
+    greedy reference on the real sf0.001 corpus, merge for merge."""
+    from fileconvert_ray.functions.bpe import bpe_merge_rounds, bpe_reference
+    from fileconvert_ray.sources.tokseq import tokseq_dataset, tokseq_table
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_merge_rounds(tokseq_dataset(sf), rounds=5).to_pandas()
+    toks = tokseq_table(sf).column("tokens").to_pylist()
+    vocab_base = max(max(t) for t in toks if t) + 1
+    want = bpe_reference(toks, rounds=5, vocab_base=vocab_base)
+    assert list(map(tuple, got.itertuples(index=False, name=None))) == want
