@@ -1,7 +1,7 @@
 """CLI entry point — the reference's argv surface (SURVEY.md §2.1 R6,
 ``fileconvert.py::get_args`` [P]) mapped onto the engine's configs.
 
-    python -m fileconvert_ray convert  IN... --out DIR [--to parquet|csv]
+    python -m fileconvert_ray convert  IN... --out DIR [--to parquet|csv|feather]
         [--delimiter C] [--no-header] [--type col=TYPE[?]] [--rename a=b]
         [--include a,b] [--exclude c] [--compression zstd]
     python -m fileconvert_ray encode   IN_DIR --out DIR
@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -43,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("convert", help="CSV<->Parquet conversion (reference R1-R12)")
     c.add_argument("inputs", nargs="+")
     c.add_argument("--out", required=True)
-    c.add_argument("--to", choices=["parquet", "csv"], default="parquet")
+    c.add_argument("--to", choices=["parquet", "csv", "feather"], default="parquet")
     c.add_argument("--delimiter", default=",")
     c.add_argument("--no-header", action="store_true")
     c.add_argument("--skip-rows", type=int, default=0)
@@ -138,7 +139,41 @@ def main(argv: list[str] | None = None) -> int:
                 types=_kv_pairs(args.type),
                 sanitize=not args.no_sanitize,
             )
-            if args.to == "parquet":
+            first = args.inputs[0]
+            in_feather = first.endswith(".arrow") or (
+                os.path.isdir(first)
+                and any(f.endswith(".arrow") for f in os.listdir(first))
+            )
+            if args.to == "feather" or in_feather:
+                # generic any->any path through a Dataset (feather is
+                # schema-complete so CSV inference/projection options
+                # only apply on a CSV source)
+                import ray.data as rd
+
+                from fileconvert_ray.sources.featherio import (
+                    read_feather_dataset,
+                    write_feather_dataset,
+                )
+
+                if in_feather:
+                    ds = read_feather_dataset(args.inputs)
+                elif first.endswith(".csv"):
+                    from fileconvert_ray.sources.csvio import read_csv_dataset
+
+                    ds = read_csv_dataset(args.inputs, opts)
+                else:
+                    ds = rd.read_parquet(args.inputs)
+                if args.to == "feather":
+                    write_feather_dataset(ds, args.out).materialize()
+                elif args.to == "parquet":
+                    ds.write_parquet(
+                        args.out,
+                        compression=args.compression,
+                        row_group_size=args.row_group_size,
+                    )
+                else:
+                    ds.write_csv(args.out)
+            elif args.to == "parquet":
                 csv_to_parquet(
                     args.inputs, args.out, opts,
                     compression=args.compression, row_group_size=args.row_group_size,

@@ -42,6 +42,24 @@ def test_cli_convert_roundtrip(tmp_path):
     assert r["ok"]
 
 
+def test_cli_convert_feather(tmp_path):
+    """parquet -> feather -> parquet value round-trip via the CLI."""
+    import pyarrow.feather  # noqa: F401  (format availability)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = pa.table({"id": list(range(100)), "name": [f"n{i}" for i in range(100)]})
+    pq.write_table(t, os.path.join(src, "a.parquet"))
+    fdir = str(tmp_path / "fth")
+    r = run_cli("convert", src, "--out", fdir, "--to", "feather")
+    assert r["ok"] and any(f.endswith(".arrow") for f in os.listdir(fdir))
+    back = str(tmp_path / "back")
+    r = run_cli("convert", fdir, "--out", back)
+    assert r["ok"]
+    got = pq.read_table(back).sort_by("id")
+    assert got.equals(t)
+
+
 def test_cli_encode_verify_decode(tmp_path):
     from fileconvert_ray.sources.tokseq import synth_rows
 
