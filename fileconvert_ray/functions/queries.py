@@ -1023,6 +1023,19 @@ def q_ngram_dup_pairs(sf_dir: str):
     return ngram_dup_pairs(ds, k=2, threshold=NGRAM_T, group_col="source")
 
 
+def q_dup_components(sf_dir: str):
+    """Connected components over the exact n-gram duplicate-pair graph
+    — the cluster-resolution step of every near-dup pipeline, here
+    ORACLE-CHECKED: DuckDB enumerates reachability with a recursive CTE
+    (fine at test scale, O(sum |component|^2) closure rows) while the
+    engine runs size-adaptive connected_components (one-task union-find
+    at this size, iterative labelprop at scale).  root = lexicographic
+    min of the component, both sides."""
+    from .dedup import connected_components
+
+    return connected_components(q_ngram_dup_pairs(sf_dir), strategy="auto")
+
+
 def q_seeded_sample(sf_dir: str):
     """Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix
     sorts below a cut.  Content-hash sampling is reproducible across
@@ -1122,6 +1135,59 @@ def q_embedding_dup_pairs(sf_dir: str):
     ref = ray.put((ids, m))  # broadcast ONCE; read inside every task
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_dup_pairs(ds, threshold=COSINE_T, matrix_ref=ref)
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes (m=32 subspaces x 32 codes over the
+    64-dim embeddings = 8x compression; tuned for recall on this
+    near-gaussian corpus — see tests for the measured sweep).  Training + encode are fully
+    deterministic (rounded-distance protocol shared with
+    kmeans_clusters), so the output is stable across runs and cluster
+    sizes — rows-only driver check, exactness property-tested against a
+    pure-Python reference."""
+    import ray
+    import ray.data as rd
+
+    from .similarity import pq_codes, pq_train
+
+    ds_f = lambda: rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = pq_train(ds_f(), m=32, k=32, iters=2)
+    codes = pq_codes(ds_f(), ray.put(cb))
+
+    def widen(t: pa.Table) -> pa.Table:
+        # int64 checksum makes the list column value-hashable downstream
+        col = t.column("codes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        m = len(flat) // max(1, n)
+        ck = (flat.reshape(n, m) * (np.arange(m, dtype=np.int64) * 131 + 1)).sum(axis=1)
+        return t.append_column("code_checksum", pa.array(ck, type=pa.int64()))
+
+    return codes.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pq_knn_search(sf_dir: str):
+    """ADC top-k over PQ codes for the standard query ids — the
+    memory-bound ANN scale path (codes are 32x smaller than the
+    vectors; scoring is m table gathers per point).  Approximate by
+    construction -> rows-only; recall vs exact L2 is property-tested."""
+    import ray
+    import ray.data as rd
+
+    from .similarity import pq_knn, pq_train
+
+    ids, m = _load_embeddings(sf_dir)
+    qsel = np.isin(ids, KNN_QIDS)
+    ds_f = lambda: rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = pq_train(ds_f(), m=32, k=32, iters=2)
+    return pq_knn(ds_f(), ray.put(cb), ray.put((list(np.asarray(ids)[qsel]), m[qsel])),
+                  k=KNN_K)
 
 
 def q_knn_search(sf_dir: str):
@@ -4481,6 +4547,9 @@ QUERIES = {
     "feather_roundtrip": q_feather_roundtrip,
     "bpe_merge_rounds": q_bpe_merge_rounds,
     "mixture_plan": q_mixture_plan,
+    "dup_components": q_dup_components,
+    "pq_codes": q_pq_codes,
+    "pq_knn_search": q_pq_knn_search,
     "cms_token_counts": q_cms_token_counts,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
@@ -5218,6 +5287,29 @@ ORACLE_SQL = {
     "seeded_sample": f"""
         select cast(doc_id as varchar) as doc_id, source from documents
         where substr(md5(cast(doc_id as varchar)), 1, 2) < '{SAMPLE_HEX}'
+    """,
+    "dup_components": f"""
+        with recursive
+        g as (
+          select cast(doc_id as varchar) as doc_id, source,
+                 list_distinct([ws[i] || ' ' || ws[i+1]
+                                for i in generate_series(1, len(ws)-1)]) as grams
+          from (select doc_id, source, string_split(text, ' ') as ws from documents)
+        ),
+        p as (
+          select a.doc_id as a, b.doc_id as b
+          from g a join g b on a.source = b.source and a.doc_id < b.doc_id
+          where len(a.grams) > 0 and len(b.grams) > 0
+            and round(len(list_intersect(a.grams, b.grams))::double
+                      / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= {NGRAM_T}
+        ),
+        e as (select a as node, b as nbr from p union select b, a from p),
+        reach(node, r) as (
+          select node, node from (select distinct node from e)
+          union
+          select e.nbr, reach.r from reach join e on e.node = reach.node
+        )
+        select node, min(r) as root from reach group by node
     """,
     "stratified_sample": f"""
         with c as (select source, count(*) as n from documents group by source),

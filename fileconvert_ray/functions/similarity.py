@@ -423,3 +423,166 @@ def kmeans_clusters(ds, k: int = 4, iters: int = 2, *, id_col: str = "vec_id",
         )
 
     return ds.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------- product quantization
+
+
+def pq_train(ds, *, m: int = 8, k: int = 16, iters: int = 2,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic PQ codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public algorithm,
+    original vectorized implementation): the embedding is split into
+    ``m`` subspaces and each gets a k-means codebook of ``k`` entries.
+
+    Distributed shape mirrors kmeans_clusters: codebooks broadcast per
+    round, each batch emits O(m x k x d/m) = O(k x d) partial
+    (sub, cluster, dim, s, n) sums across ALL subspaces in one pass,
+    the groupby exchange moves those scalars, and the driver folds only
+    the m x k x d/m codebook tensor.  Same determinism protocol too:
+    init = subvectors of the k smallest ids, squared-L2 rounded to 6
+    decimals (ties to the lowest code), centroid updates rounded to 6
+    decimals; a code that loses all members keeps its previous centroid
+    (codes must stay index-stable, unlike kmeans cluster drop-out).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    init = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b.column(id_col), k)).select([id_col, emb_col]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    full = np.stack([np.asarray(v, dtype=np.float64) for v in init[emb_col]])
+    d = full.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    cb = full.reshape(k, m, dsub).transpose(1, 0, 2).copy()  # (m, k, dsub)
+
+    for _ in range(max(0, iters - 1)):
+        cb_ref = ray.put(cb)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cb_ref)
+            mat = _emb_matrix(batch, emb_col).reshape(-1, m, dsub)
+            codes = pq_assign(mat, c)
+            S = np.zeros((m, k, dsub), dtype=np.float64)
+            N = np.zeros((m, k), dtype=np.int64)
+            for s in range(m):  # m iterations of vectorized adds
+                np.add.at(S[s], codes[:, s], mat[:, s, :])
+                np.add.at(N[s], codes[:, s], 1)
+            sub_i, code_i, dim_i = np.meshgrid(
+                np.arange(m), np.arange(k), np.arange(dsub), indexing="ij"
+            )
+            return pa.Table.from_pydict(
+                {
+                    "sub": pa.array(sub_i.ravel(), type=pa.int64()),
+                    "code": pa.array(code_i.ravel(), type=pa.int64()),
+                    "dim": pa.array(dim_i.ravel(), type=pa.int64()),
+                    "s": pa.array(S.ravel(), type=pa.float64()),
+                    "n": pa.array(np.repeat(N.ravel(), dsub), type=pa.int64()),
+                }
+            )
+
+        upd = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["sub", "code", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()  # O(m x k x dsub) rows
+            .sort_values(["sub", "code", "dim"])
+        )
+        S = upd["s"].to_numpy().reshape(m, k, dsub)
+        N = upd["n"].to_numpy().reshape(m, k, dsub)[:, :, 0]
+        nz = N > 0
+        cb = cb.copy()
+        cb[nz] = _r6(S[nz] / N[nz][:, None])
+    return cb
+
+
+def pq_assign(mat3: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, m, dsub) subvectors -> (n, m) int codes; rounded squared-L2
+    argmin, first (lowest) code wins ties — the shared determinism
+    contract between train, encode and the pure-python test reference."""
+    d2 = ((mat3[:, :, None, :] - cb[None]) ** 2).sum(-1)  # (n, m, k)
+    d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+    return d2.argmin(axis=2)
+
+
+def pq_codes(ds, cb_ref, *, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Dataset (vec_id, codes list<int8>) — the compressed vectors.
+    64 float32 dims -> m int8 codes = 32x compression at m=8."""
+    import ray
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) else cb_ref
+        m, _, dsub = cb.shape
+        mat = _emb_matrix(batch, emb_col).reshape(-1, m, dsub)
+        codes = pq_assign(mat, cb).astype(np.int8)
+        n = len(codes)
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+            pa.array(codes.ravel()),
+        )
+        return pa.Table.from_pydict(
+            {id_col: pc.cast(batch.column(id_col), pa.int64()), "codes": arr}
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_knn(ds, cb_ref, query_ref, k: int = 5, *, id_col: str = "vec_id",
+           emb_col: str = "embedding"):
+    """Asymmetric-distance (ADC) top-k: each query precomputes an
+    (m x k) lookup table of subspace distances to the codebooks; a
+    batch's score is m table gathers summed — never a full-dimension
+    dot product against the corpus.  Same partial-top-k shape as
+    knn_search: only k rows per (query, block) leave the task."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) else cb_ref
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        qids, qm = q
+        m, _, dsub = cb.shape
+        qm3 = np.asarray(qm, dtype=np.float64).reshape(len(qids), m, dsub)
+        # LUT[qi, s, code] = ||q_sub - cb[s, code]||^2, rounded like assign
+        lut = ((qm3[:, :, None, :] - cb[None]) ** 2).sum(-1)
+        lut = np.floor(lut * 1e6 + 0.5) / 1e6
+        mat = _emb_matrix(batch, emb_col).reshape(-1, m, dsub)
+        codes = pq_assign(mat, cb)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        nq, n = len(qids), len(ids)
+        adc = np.zeros((nq, n), dtype=np.float64)
+        for s in range(m):  # m gathers, no full-dim math
+            adc += lut[:, s, codes[:, s]]
+        out_q, out_n, out_s = [], [], []
+        for j in range(nq):
+            dj = adc[j]
+            cand = np.flatnonzero(ids != qids[j])
+            if len(cand) > k:
+                part = cand[np.argpartition(dj[cand], k)[:k]]
+            else:
+                part = cand
+            out_q.extend([qids[j]] * len(part))
+            out_n.extend(ids[part].tolist())
+            out_s.extend(dj[part].tolist())
+        return pa.Table.from_pydict(
+            {"qid": pa.array(out_q, type=pa.int64()), "nid": pa.array(out_n, type=pa.int64()),
+             "adc_dist": pa.array(np.round(out_s, 6), type=pa.float64())}
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["adc_dist", "nid"]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(topk, batch_format="pyarrow")
+    )

@@ -1569,3 +1569,80 @@ def test_bpe_merge_rounds_matches_reference(ray_session):
     vocab_base = max(max(t) for t in toks if t) + 1
     want = bpe_reference(toks, rounds=5, vocab_base=vocab_base)
     assert list(map(tuple, got.itertuples(index=False, name=None))) == want
+
+
+def test_pq_assign_matches_reference(ray_session):
+    """Vectorized code assignment == nested-loop reference (rounded-L2
+    argmin, lowest code wins ties)."""
+    import numpy as np
+
+    from fileconvert_ray.functions.similarity import pq_assign
+
+    rng = np.random.default_rng(11)
+    mat3 = rng.normal(size=(40, 4, 8))
+    cb = rng.normal(size=(4, 16, 8))
+    got = pq_assign(mat3, cb)
+    for i in range(40):
+        for s in range(4):
+            d = np.floor(((mat3[i, s] - cb[s]) ** 2).sum(axis=-1) * 1e6 + 0.5) / 1e6
+            assert got[i, s] == int(np.argmin(d))
+
+
+def test_pq_codes_deterministic_and_bounded(ray_session):
+    from fileconvert_ray.functions.queries import q_pq_codes
+
+    sf = "/root/testdata/sf0.001"
+    a = q_pq_codes(sf).to_pandas().sort_values("vec_id", ignore_index=True)
+    b = q_pq_codes(sf).to_pandas().sort_values("vec_id", ignore_index=True)
+    assert a.equals(b)
+    assert len(a) == 500
+    for codes in a["codes"].head(50):
+        assert len(codes) == 32 and all(0 <= c < 32 for c in codes)
+
+
+def test_pq_knn_recall_vs_exact(ray_session):
+    """ADC top-5 must overlap exact L2 top-5 well on the clustered
+    embeddings (PQ's contract is high recall on structured data, not
+    exactness)."""
+    import numpy as np
+
+    from fileconvert_ray.functions.queries import KNN_K, KNN_QIDS, _load_embeddings, q_pq_knn_search
+
+    import ray
+    import ray.data as rd
+
+    from fileconvert_ray.functions.similarity import pq_knn, pq_train
+
+    sf = "/root/testdata/sf0.001"
+    got = q_pq_knn_search(sf).to_pandas()
+    assert set(got.groupby("qid").size()) == {KNN_K}
+    ids, m = _load_embeddings(sf)
+
+    def exact_top(qid, n):
+        qv = m[ids == qid][0]
+        d = ((m - qv) ** 2).sum(axis=1)
+        d[ids == qid] = np.inf
+        return set(ids[np.argsort(d)[:n]].tolist())
+
+    # direct recall@5 (measured 0.67 at m=32/k=32 on this corpus;
+    # near-gaussian embeddings are PQ's worst case)
+    recalls = [
+        len(exact_top(qid, KNN_K) & set(got[got.qid == qid].nid)) / KNN_K
+        for qid in KNN_QIDS
+    ]
+    assert np.mean(recalls) >= 0.5, recalls
+    # the production contract: ADC top-20 shortlist contains the exact
+    # top-5 for reranking (measured 0.93)
+    ds_f = lambda: rd.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = pq_train(ds_f(), m=32, k=32, iters=2)
+    qsel = np.isin(ids, KNN_QIDS)
+    short = pq_knn(
+        ds_f(), ray.put(cb), ray.put((list(np.asarray(ids)[qsel]), m[qsel])), k=20
+    ).to_pandas()
+    contain = [
+        len(exact_top(qid, KNN_K) & set(short[short.qid == qid].nid)) / KNN_K
+        for qid in KNN_QIDS
+    ]
+    assert np.mean(contain) >= 0.8, contain
