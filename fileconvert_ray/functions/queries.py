@@ -2835,6 +2835,71 @@ def q_mixture_plan(sf_dir: str, alpha: float = 0.5):
     )
 
 
+def q_image_dedup_docs(sf_dir: str):
+    """Multimodal dedup chain, ORACLE-checked end to end: every
+    document renders into a deterministic FIMG image blob (16-px-wide
+    grayscale, pixel bytes = the utf8 text bytes zero-padded — an
+    injective encoding, so image equality == text equality), exact
+    payload dedup keeps the smallest doc_id per identical image, and
+    the surviving blobs stream through the actor-pool ImageDecodeStage
+    whose parsed dimensions are the output.  Oracle: min(doc_id) per
+    distinct text with width/height recomputed from n_chars in SQL.
+    The blob payload never shuffles (exact_dedup moves hash+id pairs)
+    and decode state lives in actor __init__ — the 100-TB shape for
+    image-corpus dedup."""
+    import struct
+
+    import ray.data as rd
+
+    from ..functions.multimodal import FAKE_MAGIC, ImageDecodeStage
+    from .dedup import exact_dedup
+
+    W = 16
+
+    def to_image(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        payloads = []
+        for s in text.to_pylist():
+            b = s.encode()
+            h = (len(b) + W - 1) // W
+            payloads.append(FAKE_MAGIC + struct.pack("<HH", W, h) + b.ljust(W * h, b"\0"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    blobs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_image, batch_format="pyarrow", zero_copy_batch=True)
+    surv = exact_dedup(blobs, key="payload", id_col="doc_id")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "blob_id": pc.cast(batch.column("doc_id"), pa.string()),
+                "payload": batch.column("payload"),
+            }
+        )
+
+    decoded = surv.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=(1, 4), batch_size=256,
+    )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("blob_id"), pa.int64()),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+            }
+        )
+
+    return decoded.map_batches(out, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cms_token_counts(sf_dir: str):
     """Count-min sketch token counts, sized for determinism: depth 4 x
     width 2^16 over a vocab of at most tens of thousands makes the
@@ -4550,6 +4615,7 @@ QUERIES = {
     "dup_components": q_dup_components,
     "pq_codes": q_pq_codes,
     "pq_knn_search": q_pq_knn_search,
+    "image_dedup_docs": q_image_dedup_docs,
     "cms_token_counts": q_cms_token_counts,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
@@ -5366,6 +5432,12 @@ ORACLE_SQL = {
     """,
     "feather_roundtrip": """
         select doc_id, text, lang, source, n_chars from documents
+    """,
+    "image_dedup_docs": """
+        select min(doc_id) as doc_id,
+               cast(16 as int) as width,
+               cast(ceil(octet_length(encode(text)) / 16.0) as int) as height
+        from documents group by text
     """,
     "mixture_plan": """
         with s as (

@@ -1646,3 +1646,30 @@ def test_pq_knn_recall_vs_exact(ray_session):
         for qid in KNN_QIDS
     ]
     assert np.mean(contain) >= 0.8, contain
+
+
+def test_image_dedup_chain_drops_identical_images(ray_session, tmp_path):
+    """Identical texts render to identical FIMG blobs; the multimodal
+    dedup chain must keep the smallest doc_id per image and parse the
+    survivors' true dimensions."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    texts = ["same words here", "same words here", "other text", "x" * 33]
+    t = pa.table({
+        "doc_id": [3, 1, 2, 4],
+        "text": texts,
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [len(x) for x in texts],
+    })
+    _pq.write_table(t, str(d / "documents.parquet"))
+    from fileconvert_ray.functions.queries import q_image_dedup_docs
+
+    out = q_image_dedup_docs(str(d)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out.doc_id.tolist() == [1, 2, 4]  # 3 lost to 1 (same image)
+    assert out.width.tolist() == [16, 16, 16]
+    assert out.height.tolist() == [1, 1, 3]  # ceil(15/16), ceil(10/16), ceil(33/16)
