@@ -1673,3 +1673,15 @@ def test_image_dedup_chain_drops_identical_images(ray_session, tmp_path):
     assert out.doc_id.tolist() == [1, 2, 4]  # 3 lost to 1 (same image)
     assert out.width.tolist() == [16, 16, 16]
     assert out.height.tolist() == [1, 1, 3]  # ceil(15/16), ceil(10/16), ceil(33/16)
+
+
+def test_connected_components_auto_threshold_switch(ray_session):
+    """auto with a tiny single_task_max must route to labelprop and
+    still produce identical components."""
+    from fileconvert_ray.functions.dedup import connected_components
+
+    t = pa.table({"a": ["a", "b", "p"], "b": ["b", "c", "q"]})
+    small = connected_components(t, strategy="single_task").to_pandas()
+    big = connected_components(t, strategy="auto", single_task_max=1).to_pandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False, name=None)))
+    assert key(small) == key(big)
