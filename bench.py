@@ -34,6 +34,20 @@ BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "2000000"))
 CORPUS_DIR = f"/tmp/fcray_bench/corpus-{BENCH_ROWS}"
 OUT_DIR = f"/tmp/fcray_bench/encode-{BENCH_ROWS}-{NUM_CPUS}"
 
+# Staged-shuffle scratch location: the staged files are shuffle traffic
+# (Ray's own shuffle would route them through the /dev/shm object
+# store), so by default the scratch goes to tmpfs when present — final
+# containers still land on OUT_DIR's real filesystem, same as the
+# reference proxy's parquet output.  GRAFT_STAGED_SHM=0 reverts to
+# out_dir/staged (measured on a slow-disk window: 69.7 s vs 45.4 s at
+# 32 cpus).
+STAGED_DIR = (
+    "/dev/shm/fcray_bench_staged"
+    if os.environ.get("GRAFT_STAGED_SHM", "1") != "0" and os.path.isdir("/dev/shm")
+    else None
+)
+
+
 
 def _ensure_corpus():
     import ray
@@ -213,7 +227,7 @@ def run_bench() -> dict:
     shutil.rmtree(wdir, ignore_errors=True)
     run_encode(
         lambda: rd.read_parquet(warm_paths),
-        EncodeConfig(out_dir=wdir, target_partition_tokens=8_000_000),
+        EncodeConfig(out_dir=wdir, target_partition_tokens=8_000_000, staged_dir=STAGED_DIR),
         stats_factory=lambda: rd.read_parquet(warm_paths, columns=["source", "n_tok"]),
     ).to_pandas()
     shutil.rmtree(wdir, ignore_errors=True)
@@ -227,7 +241,7 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         metrics = run_encode(
             factory,
-            EncodeConfig(out_dir=OUT_DIR, target_partition_tokens=8_000_000),
+            EncodeConfig(out_dir=OUT_DIR, target_partition_tokens=8_000_000, staged_dir=STAGED_DIR),
             stats_factory=stats_factory,
         ).to_pandas()
         t_encode = min(t_encode, time.perf_counter() - t0)

@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--no-zstd", action="store_true")
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--reduce-buckets", type=int, default=None)
+    e.add_argument("--staged-dir", default=None,
+                   help="shuffle scratch location (tmpfs/NVMe); default out_dir/staged")
 
     v = sub.add_parser("verify", help="decode-verify an encode output")
     v.add_argument("input", help="the encode job's input parquet")
@@ -193,6 +195,7 @@ def main(argv: list[str] | None = None) -> int:
                 zstd=not args.no_zstd,
                 resume=not args.no_resume,
                 reduce_buckets=args.reduce_buckets,
+                staged_dir=args.staged_dir,
             )
             m = run_encode(lambda: rd.read_parquet(args.input), cfg).to_pandas()
             print(json.dumps({

@@ -22,6 +22,7 @@ pass reads only (source, n_tok) via parquet column pruning.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from ..stages.encoder import (
@@ -82,6 +83,12 @@ class EncodeConfig:
     # per-partition row groups before finalizing (memory then bounded by
     # the largest partition, not the bucket).
     bucket_restage_bytes: int = 256 << 20
+    # Override where the staged shuffle scratch lives.  None = out_dir/
+    # staged.  The scratch is semantically shuffle traffic (Ray's own
+    # shuffle would put it in the /dev/shm object store); pointing it
+    # at tmpfs / node-local NVMe keeps a slow out_dir filesystem from
+    # bottlenecking the exchange — final containers still go to out_dir.
+    staged_dir: str | None = None
 
 
 def _make_choice_registry(cfg: EncodeConfig):
@@ -176,10 +183,11 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
     if cfg.staged_shuffle:
         import shutil as _shutil
 
-        staged_dir = JobDirs(cfg.out_dir).staged
+        staged_dir = cfg.staged_dir or JobDirs(cfg.out_dir).staged
         # staged files are this run's shuffle scratch; stale ones from a
         # crashed run are never referenced (metadata rows die with it)
         _shutil.rmtree(staged_dir, ignore_errors=True)
+        os.makedirs(staged_dir, exist_ok=True)
     if staged_dir is not None:
         # staged external shuffle: spill raw rows bucket-then-part_id
         # sorted with parquet-zstd as transport (C++ columnar encode —

@@ -509,3 +509,20 @@ def test_no_resume_rebuild_clears_stale_partitions(ray_session, sf_dir, out_dir,
     assert on_disk == ids_small
     v = run_verify(lambda: tokseq_dataset(small), out_dir).to_pandas()
     assert v["ok"].all() and len(v) == len(ids_small)
+
+
+def test_staged_dir_override_roundtrip(ray_session, sf_dir, out_dir, tmp_path):
+    """Custom shuffle-scratch location (tmpfs/NVMe deployment shape):
+    encode with staged_dir outside out_dir must round-trip verify-clean
+    and leave out_dir/staged unused."""
+    import os
+
+    scratch = str(tmp_path / "scratch")
+    factory = lambda: tokseq_dataset(sf_dir)
+    cfg = EncodeConfig(
+        out_dir=out_dir, target_partition_tokens=5_000, staged_dir=scratch
+    )
+    run_encode(factory, cfg).materialize()
+    assert not os.listdir(os.path.join(out_dir, "staged"))
+    v = run_verify(factory, out_dir).to_pandas()
+    assert v["ok"].all()
