@@ -4503,6 +4503,433 @@ def q_oov_rate(sf_dir: str):
     )
 
 
+# ---------------------------------- TPC-H-shaped analytics (round 4)
+#
+# Classic warehouse pipelines over the orders/lineitem fact tables —
+# the reference-style "convert then query" workloads, each composed
+# from the engine's own join/aggregate operators with the established
+# scale shapes: big x big sides meet in co-partitioned hash_join
+# exchanges, dimension sides (supplier/nation/region/part/customer
+# details) broadcast ONCE via ray.put, revenue is summed in exact
+# 1e-4-dollar int64 units so float compares can't drift, and top-k is
+# per-batch partials -> a tiny driver merge.
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO, Q5_DATE_HI = "1996-01-01", "1998-01-01"
+Q10_DATE_LO, Q10_DATE_HI = "1996-01-01", "1996-07-01"
+Q10_TOP = 20
+Q14_DATE_LO, Q14_DATE_HI = "1996-01-01", "1997-01-01"
+Q18_QTY_C = 250 * 100  # sum(l_quantity) > 250, in exact centi-units
+
+
+def _rev_e4(batch: pa.Table, mask: np.ndarray | None = None) -> np.ndarray:
+    """Exact revenue in 1e-4-dollar int64 units:
+    cents(extendedprice) x cents(1 - discount)."""
+    price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    if mask is not None:
+        price, disc = price[mask], disc[mask]
+    cents = np.floor(price * 100 + 0.5).astype(np.int64)
+    dcomp = np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64)
+    return cents * dcomp
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation where the ordering customer
+    and the supplying supplier sit in the SAME nation, region-filtered,
+    over a two-year order window.
+
+    Scale composition: orders (date filter pushed to the read) ⋈
+    customer on custkey is big x big -> one co-partitioned hash_join;
+    the result ⋈ lineitem on orderkey is the second.  The
+    supplier->nation->region side is O(SF x 10k) rows — broadcast once
+    via ``ray.put`` and resolved inside map_batches with a sorted
+    searchsorted + dense nationkey LUTs, so the same-nation filter and
+    the nation-name group cost no third exchange."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    region_keys = region.column("r_regionkey").to_numpy()[
+        np.asarray(region.column("r_name").to_pylist(), dtype=object) == Q5_REGION
+    ]
+    nkeys = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    max_nk = int(nkeys.max())
+    name_lut = np.empty(max_nk + 1, dtype=object)
+    name_lut[nkeys] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    in_region_lut = np.zeros(max_nk + 1, dtype=bool)
+    in_region_lut[nkeys] = np.isin(
+        nation.column("n_regionkey").to_numpy(), region_keys
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    s_ord = np.argsort(skeys)
+    skeys = skeys[s_ord]
+    snation = sup.column("s_nationkey").to_numpy().astype(np.int64)[s_ord]
+    ref = ray.put((skeys, snation, in_region_lut, name_lut))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(np.datetime64(Q5_DATE_LO, "us")))
+            & (pc.field("o_orderdate") < pa.scalar(np.datetime64(Q5_DATE_HI, "us")))
+        ),
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ord_nat = hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_nationkey"], n_buckets=16,
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("o_orderkey").combine_chunks(),
+             t.column("r_c_nationkey").combine_chunks()],
+            names=["o_orderkey", "c_nationkey"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_rev(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "rev_e4": pa.array(_rev_e4(batch)),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        li, ord_nat, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["c_nationkey"], n_buckets=32,
+    )
+
+    def local_rev(batch: pa.Table) -> pa.Table:
+        sk, sn, in_reg, names = ray.get(ref)
+        sup_keys = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sk, sup_keys)
+        s_nat = sn[idx]
+        c_nat = batch.column("r_c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (s_nat == c_nat) & in_reg[s_nat]
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array(names[s_nat[m]], type=pa.string()),
+                "rev_e4": pa.array(
+                    batch.column("rev_e4").to_numpy(zero_copy_only=False)[m]
+                ),
+            }
+        )
+
+    return _sum_groupby(
+        joined.map_batches(local_rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_name"], ["rev_e4"],
+    )
+
+
+def q_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    lineitems in a half-year order window, with customer/nation detail.
+
+    Scale composition: the returnflag filter is pushed to the lineitem
+    read; lineitem ⋈ orders on orderkey is the one big x big exchange
+    (lineitem pre-projected to (orderkey, rev_e4) so only 16 B/row
+    cross); revenue then pre-aggregates per custkey (_sum_groupby moves
+    O(customers)); customer name/acctbal/nation attach via a broadcast
+    searchsorted lookup; the global top-20 is per-batch partial top-k
+    -> an O(blocks x 20) driver merge, deterministic on
+    (rev desc, custkey asc)."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    name_lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    name_lut[nkeys] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    ckeys = cust.column("c_custkey").to_numpy().astype(np.int64)
+    c_ord = np.argsort(ckeys)
+    ref = ray.put(
+        (
+            ckeys[c_ord],
+            np.asarray(cust.column("c_name").to_pylist(), dtype=object)[c_ord],
+            cust.column("c_acctbal").to_numpy()[c_ord],
+            name_lut[cust.column("c_nationkey").to_numpy().astype(np.int64)[c_ord]],
+        )
+    )
+
+    def li_rev(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "rev_e4": pa.array(_rev_e4(batch)),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    ).map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(np.datetime64(Q10_DATE_LO, "us")))
+            & (pc.field("o_orderdate") < pa.scalar(np.datetime64(Q10_DATE_HI, "us")))
+        ),
+    )
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_custkey"], n_buckets=32,
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("r_o_custkey").combine_chunks(), t.column("rev_e4").combine_chunks()],
+            names=["c_custkey", "rev_e4"],
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = _sum_groupby(joined, ["c_custkey"], ["rev_e4"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        rv = batch.column("rev_e4").to_numpy(zero_copy_only=False)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rv))[:Q10_TOP]
+        return batch.take(pa.array(order))
+
+    top = (
+        per_cust.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(blocks x 20)
+        .sort_values(["rev_e4", "c_custkey"], ascending=[False, True])
+        .head(Q10_TOP)
+        .reset_index(drop=True)
+    )
+    keys, names, bals, nats = ray.get(ref)
+    idx = np.searchsorted(keys, top["c_custkey"].to_numpy().astype(np.int64))
+    return pa.Table.from_pydict(
+        {
+            "c_custkey": pa.array(top["c_custkey"].to_numpy().astype(np.int64)),
+            "c_name": pa.array(names[idx], type=pa.string()),
+            "n_name": pa.array(nats[idx], type=pa.string()),
+            "c_acctbal": pa.array(bals[idx], type=pa.float64()),
+            "rev_e4": pa.array(top["rev_e4"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer names.
+
+    Scale composition: lineitem pre-aggregates (orderkey, quantity in
+    exact centi-units) per batch then once globally (_sum_groupby —
+    the exchange moves O(orders), not O(lineitems)); the surviving
+    handful of heavy orders meet orders in a hash_join keyed on
+    orderkey (the heavy side is tiny post-filter but the join stays
+    co-partitioned — no driver collect); customer names attach via a
+    broadcast searchsorted lookup."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    ckeys = cust.column("c_custkey").to_numpy().astype(np.int64)
+    c_ord = np.argsort(ckeys)
+    ref = ray.put(
+        (ckeys[c_ord], np.asarray(cust.column("c_name").to_pylist(), dtype=object)[c_ord])
+    )
+
+    def qty_c(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "sum_qty_c": pa.array(np.floor(q * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(qty_c, batch_format="pyarrow", zero_copy_batch=True)
+    heavy = _sum_groupby(li, ["o_orderkey"], ["sum_qty_c"]).filter(
+        expr=f"sum_qty_c > {Q18_QTY_C}"
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    joined = hash_join(
+        orders, heavy, left_on="o_orderkey", right_on="o_orderkey",
+        right_cols=["sum_qty_c"], n_buckets=16,
+    )
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        idx = np.searchsorted(keys, batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict(
+            {
+                "c_name": pa.array(names[idx], type=pa.string()),
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "o_orderdate": batch.column("o_orderdate"),
+                "o_totalprice": batch.column("o_totalprice"),
+                "sum_qty_c": pc.cast(batch.column("r_sum_qty_c"), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(attach_name, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts
+    over a one-year ship window.
+
+    Scale composition: part (O(SF x 200) rows, only partkey + a bool)
+    broadcasts once; lineitem streams through one shuffle-free widen
+    (month from the timestamp, revenue split promo/total by the LUT)
+    into a 12-row _sum_groupby; the share division happens on the
+    O(months) driver rows with the identical int64/int64 -> float64
+    operation the oracle performs."""
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pkeys = part.column("p_partkey").to_numpy().astype(np.int64)
+    p_ord = np.argsort(pkeys)
+    is_promo = (
+        np.asarray(part.column("p_type").to_pylist(), dtype=object) == "PROMO"
+    )[p_ord]
+    ref = ray.put((pkeys[p_ord], is_promo))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        keys, promo = ray.get(ref)
+        idx = np.searchsorted(keys, batch.column("l_partkey").to_numpy(zero_copy_only=False))
+        rev = _rev_e4(batch)
+        month = pc.month(batch.column("l_shipdate"))
+        return pa.Table.from_pydict(
+            {
+                "month": pc.cast(month, pa.int64()),
+                "promo_rev_e4": pa.array(np.where(promo[idx], rev, 0)),
+                "total_rev_e4": pa.array(rev),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(np.datetime64(Q14_DATE_LO, "us")))
+            & (pc.field("l_shipdate") < pa.scalar(np.datetime64(Q14_DATE_HI, "us")))
+        ),
+    )
+    agg = _sum_groupby(
+        li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["month"], ["promo_rev_e4", "total_rev_e4"],
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)  # O(months)
+    share = t.column("promo_rev_e4").to_numpy().astype(np.float64) / t.column(
+        "total_rev_e4"
+    ).to_numpy().astype(np.float64)
+    return t.append_column("promo_share", pa.array(share, type=pa.float64()))
+
+
+CUM_USER_BUCKETS = 64
+
+
+def q_user_cumulative_value(sf_dir: str):
+    """Per-user running total of event value (exact cents), ordered by
+    (ts, event_id) — the window-function workload (SUM OVER PARTITION
+    BY ... ORDER BY ...).
+
+    Scale shape: users hash into CUM_USER_BUCKETS groups so the groupby
+    pays one Python call per BUCKET, not per user; inside a bucket one
+    np.lexsort orders (user, ts, event_id) and the running sums for all
+    users fall out of a single cumsum with per-segment offsets — no
+    per-user loop.  A user's history is the irreducible partition grain
+    of a running sum, so the hottest user bounds task memory (like any
+    SQL window partition)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        from ..util.hashing import splitmix64
+
+        b = (splitmix64(uid.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        return batch.append_column("_ub", pa.array(b))
+
+    def bucket_cumsum(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, cents_s = uid[order], eid[order], cents[order]
+        cum = np.cumsum(cents_s)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(uid_s)) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(uid_s)])))
+        base = np.repeat(cum[starts] - cents_s[starts], sizes)
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid_s),
+                "user_id": pa.array(uid_s),
+                "cum_value_c": pa.array(cum - base),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(bucket_cumsum, batch_format="pyarrow")
+    )
+
+
+def q_embedding_dedup_vecs(sf_dir: str):
+    """Embedding-cosine near-duplicate REMOVAL: vectors surviving after
+    dropping every non-representative member of each cosine>=T
+    component (representative = lexicographic-min id, matching
+    connected_components' string contract).
+
+    Composition: the existing all-pairs cosine stage emits pairs, the
+    size-adaptive connected_components resolves clusters, and losers
+    leave through the same broadcast/anti-join survivor filter the
+    text dedups use — the driver never holds pairs or dropped ids.
+    Oracle: recursive-CTE reachability over the identical pair
+    predicate, min-root over VARCHAR ids."""
+    import ray.data as rd
+
+    from .dedup import _apply_dropped, dropped_ids_ds
+
+    pairs = q_embedding_dup_pairs(sf_dir)
+    dropped = dropped_ids_ds(pairs)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    surv = _apply_dropped(ds, dropped, id_col="vec_id", apply="auto")
+    return surv.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+                "label": pc.cast(t.column("label"), pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -4617,6 +5044,12 @@ QUERIES = {
     "pq_knn_search": q_pq_knn_search,
     "image_dedup_docs": q_image_dedup_docs,
     "cms_token_counts": q_cms_token_counts,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_items": q_returned_items,
+    "large_volume_orders": q_large_volume_orders,
+    "promo_revenue": q_promo_revenue,
+    "user_cumulative_value": q_user_cumulative_value,
+    "embedding_dedup_vecs": q_embedding_dedup_vecs,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -5798,3 +6231,86 @@ ORACLE_SQL["minhash_verified_pairs"] = """
 # this corpus (q_simhash_verified_pairs docstring), so the oracle is the
 # identical exhaustive all-pairs Jaccard.
 ORACLE_SQL["simhash_verified_pairs"] = ORACLE_SQL["minhash_verified_pairs"]
+
+# --------------------------- TPC-H-shaped oracle SQL (round 4)
+
+_REV_E4_SQL = (
+    "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+    " * cast(floor((1.0 - l_discount) * 100 + 0.5) as bigint)"
+)
+
+ORACLE_SQL["local_supplier_volume"] = f"""
+    select n_name, sum({_REV_E4_SQL}) as rev_e4
+    from customer, orders, lineitem, supplier, nation, region
+    where c_custkey = o_custkey and l_orderkey = o_orderkey
+      and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+      and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+      and r_name = '{Q5_REGION}'
+      and o_orderdate >= timestamp '{Q5_DATE_LO}'
+      and o_orderdate <  timestamp '{Q5_DATE_HI}'
+    group by n_name
+"""
+
+ORACLE_SQL["returned_items"] = f"""
+    select c_custkey, c_name, n_name, c_acctbal, sum({_REV_E4_SQL}) as rev_e4
+    from customer, orders, lineitem, nation
+    where c_custkey = o_custkey and l_orderkey = o_orderkey
+      and l_returnflag = 'R' and c_nationkey = n_nationkey
+      and o_orderdate >= timestamp '{Q10_DATE_LO}'
+      and o_orderdate <  timestamp '{Q10_DATE_HI}'
+    group by c_custkey, c_name, n_name, c_acctbal
+    order by rev_e4 desc, c_custkey
+    limit {Q10_TOP}
+"""
+
+ORACLE_SQL["large_volume_orders"] = f"""
+    with heavy as (
+      select l_orderkey,
+             sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) as sum_qty_c
+      from lineitem group by l_orderkey
+      having sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) > {Q18_QTY_C}
+    )
+    select c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty_c
+    from heavy, orders, customer
+    where o_orderkey = l_orderkey and c_custkey = o_custkey
+"""
+
+ORACLE_SQL["promo_revenue"] = f"""
+    select cast(extract(month from l_shipdate) as bigint) as month,
+           sum(case when p_type = 'PROMO' then {_REV_E4_SQL} else 0 end) as promo_rev_e4,
+           sum({_REV_E4_SQL}) as total_rev_e4,
+           sum(case when p_type = 'PROMO' then {_REV_E4_SQL} else 0 end)::double
+             / sum({_REV_E4_SQL})::double as promo_share
+    from lineitem, part
+    where l_partkey = p_partkey
+      and l_shipdate >= timestamp '{Q14_DATE_LO}'
+      and l_shipdate <  timestamp '{Q14_DATE_HI}'
+    group by month
+"""
+
+ORACLE_SQL["user_cumulative_value"] = """
+    select event_id, user_id,
+           sum(cast(floor(value * 100 + 0.5) as bigint))
+             over (partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row) as cum_value_c
+    from events
+"""
+
+ORACLE_SQL["embedding_dedup_vecs"] = f"""
+    with recursive
+    p as (
+      select cast(a.vec_id as varchar) as a, cast(b.vec_id as varchar) as b
+      from embeddings a join embeddings b on a.vec_id < b.vec_id
+      where round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+            >= {COSINE_T}
+    ),
+    e as (select a as node, b as nbr from p union select b, a from p),
+    reach(node, r) as (
+      select node, node from (select distinct node from e)
+      union
+      select e.nbr, reach.r from reach join e on e.node = reach.node
+    ),
+    dropped as (select node from reach group by node having min(r) <> node)
+    select vec_id, label from embeddings
+    where cast(vec_id as varchar) not in (select node from dropped)
+"""
