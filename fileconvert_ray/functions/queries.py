@@ -4930,6 +4930,223 @@ def q_embedding_dedup_vecs(sf_dir: str):
     )
 
 
+# ------------------------------- curation transforms (round 4, cont.)
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode/whitespace text canonicalization — the first stage of
+    every web-scraped curation pipeline: lowercase -> NFC normalize ->
+    collapse space runs -> trim.  All four are Arrow compute kernels
+    over the zero-copy batch (no Python per row); shuffle-free.
+    Oracle applies the identical composition in DuckDB
+    (lower -> nfc_normalize -> regexp_replace -> trim)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.utf8_lower(t)
+        t = pc.utf8_normalize(t, form="NFC")
+        t = pc.replace_substring_regex(t, pattern=" +", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.Table.from_pydict(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()), "norm_text": t}
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_value_winsorized(sf_dir: str):
+    """Winsorized event values: clip to the per-type [p5, p95] order
+    statistics, computed EXACTLY from one (event_type, cents) histogram
+    pass (same shape as value_mad — the exchange moves O(types x
+    distinct cents)).  Rank rule is pure integer arithmetic on BOTH
+    sides — lo rank = ceil(n/20) = (n+19)//20, hi = (19n+19)//20 — so
+    no float percentile interpolation can drift.  The clip pass is a
+    second shuffle-free stream with the O(types) bounds broadcast."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"), "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return pa.Table.from_pydict(
+            {
+                "event_type": g.column("event_type"),
+                "cents": g.column("cents"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    h = _sum_groupby(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "cents"], ["cnt"],
+    ).to_pandas()  # O(types x distinct cents)
+
+    bounds: dict = {}
+    for et, grp in h.groupby("event_type"):
+        order = np.argsort(grp["cents"].to_numpy(dtype=np.int64))
+        vals = grp["cents"].to_numpy(dtype=np.int64)[order]
+        cum = np.cumsum(grp["cnt"].to_numpy(dtype=np.int64)[order])
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (n + 19) // 20)])
+        hi = int(vals[np.searchsorted(cum, (19 * n + 19) // 20)])
+        bounds[et] = (lo, hi)
+    ref = ray.put(bounds)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        codes, labels = _dict_codes(batch.column("event_type"))
+        lo_lut = np.asarray([b[x][0] for x in labels], dtype=np.int64)
+        hi_lut = np.asarray([b[x][1] for x in labels], dtype=np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        w = np.clip(cents, lo_lut[codes], hi_lut[codes])
+        return pa.Table.from_pydict(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "w_cents": pa.array(w),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_source_distinct_trigram_ratio(sf_dir: str):
+    """Per-source lexical diversity: distinct-trigram / total-trigram
+    ratio (the distinct-n diversity metric; low = templated/boilerplate
+    source).  Trigrams pack EXACTLY into one int64 (vocab < 2^21, same
+    packing as top_trigrams_per_source — no hashing, so distinctness is
+    exact, not w.h.p.).  Per-batch structured-np.unique partials ->
+    one (source, tri) exchange of O(distinct) rows -> an O(sources)
+    rollup; the ratio division is the identical int64/int64 -> float64
+    op in the oracle."""
+    ds = tokseq_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.Table.from_pydict(
+            {
+                "source": pa.array([], type=pa.string()),
+                "tri": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) < 3:
+            return empty
+        ends = np.repeat(np.cumsum(n_tok), n_tok)
+        pos = np.arange(len(flat), dtype=np.int64)
+        valid = (pos + 2 < ends)[:-2]
+        assert flat.max() < (1 << 21), "trigram packing needs vocab < 2^21"
+        key = (flat[:-2] << np.int64(42)) | (flat[1:-1] << np.int64(21)) | flat[2:]
+        srcs = batch.column("source")
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        denc = srcs.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        scode = np.repeat(
+            denc.indices.to_numpy(zero_copy_only=False).astype(np.int64), n_tok
+        )[:-2][valid]
+        stacked = np.stack([scode, key[valid]], axis=1).view([("", np.int64)] * 2)
+        uniq, cnt = np.unique(stacked, return_counts=True)
+        up = uniq.view(np.int64).reshape(-1, 2)
+        labels = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(labels[up[:, 0]], type=pa.string()),
+                "tri": pa.array(up[:, 1]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_tri = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "tri"], ["cnt"],
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "n_distinct": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "n_total": pc.cast(batch.column("cnt"), pa.int64()),
+            }
+        )
+
+    agg = _sum_groupby(
+        per_tri.map_batches(rollup, batch_format="pyarrow"),
+        ["source"], ["n_distinct", "n_total"],
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)  # O(sources)
+    ratio = t.column("n_distinct").to_numpy().astype(np.float64) / t.column(
+        "n_total"
+    ).to_numpy().astype(np.float64)
+    return t.append_column("ratio", pa.array(ratio, type=pa.float64()))
+
+
+def q_vocab_rank_map(sf_dir: str):
+    """Frequency-ranked vocabulary remap table (token id -> rank by
+    global count): the id-compaction step before frequency-aware codecs
+    (rank 0 = most frequent -> smallest varint / FOR codes).  Pass 1 is
+    the token histogram (O(vocab) moves); the rank assignment sorts the
+    O(vocab) rows once on the driver — the corpus itself never
+    reshuffles.  Deterministic ties on (cnt desc, token asc)."""
+    hist = q_token_histogram(sf_dir).to_pandas()  # O(vocab)
+    hist = hist.sort_values(["cnt", "token"], ascending=[False, True], ignore_index=True)
+    return pa.Table.from_pydict(
+        {
+            "token": pa.array(hist["token"].to_numpy(dtype=np.int64)),
+            "cnt": pa.array(hist["cnt"].to_numpy(dtype=np.int64)),
+            "rank": pa.array(np.arange(1, len(hist) + 1, dtype=np.int64)),
+        }
+    )
+
+
+def q_near_dup_cluster_sizes(sf_dir: str):
+    """Cluster-size distribution of the exact n-gram duplicate graph —
+    the standard dedup diagnostic (how much of the corpus sits in
+    2-clusters vs mega-clusters).  Reuses the size-adaptive
+    connected_components output; both rollups are O(components) tiny
+    groupbys.  Oracle: the dup_components recursive CTE wrapped in the
+    same two aggregates."""
+    comp = q_dup_components(sf_dir)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"root": t.column("root").combine_chunks(),
+             "size": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        )
+
+    sizes = _sum_groupby(
+        comp.map_batches(one, batch_format="pyarrow"), ["root"], ["size"]
+    )
+
+    def one2(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"size": pc.cast(t.column("size"), pa.int64()),
+             "n_clusters": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        )
+
+    return _sum_groupby(
+        sizes.map_batches(one2, batch_format="pyarrow"), ["size"], ["n_clusters"]
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -5050,6 +5267,11 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "user_cumulative_value": q_user_cumulative_value,
     "embedding_dedup_vecs": q_embedding_dedup_vecs,
+    "normalize_text": q_normalize_text,
+    "value_winsorized": q_value_winsorized,
+    "source_distinct_trigram_ratio": q_source_distinct_trigram_ratio,
+    "vocab_rank_map": q_vocab_rank_map,
+    "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -6313,4 +6535,66 @@ ORACLE_SQL["embedding_dedup_vecs"] = f"""
     dropped as (select node from reach group by node having min(r) <> node)
     select vec_id, label from embeddings
     where cast(vec_id as varchar) not in (select node from dropped)
+"""
+
+# ------------------- curation-transform oracle SQL (round 4, cont.)
+
+ORACLE_SQL["normalize_text"] = """
+    select doc_id,
+           trim(regexp_replace(nfc_normalize(lower(text)), ' +', ' ', 'g')) as norm_text
+    from documents
+"""
+
+ORACLE_SQL["value_winsorized"] = """
+    with c as (
+      select event_id, event_type,
+             cast(floor(value * 100 + 0.5) as bigint) as cents
+      from events
+    ),
+    r as (
+      select event_type, cents,
+             row_number() over (partition by event_type order by cents) as rn,
+             count(*) over (partition by event_type) as n
+      from c
+    ),
+    b as (
+      select event_type,
+             max(case when rn = (n + 19) // 20 then cents end) as lo,
+             max(case when rn = (19 * n + 19) // 20 then cents end) as hi
+      from r group by event_type
+    )
+    select c.event_id, c.event_type,
+           least(greatest(c.cents, b.lo), b.hi) as w_cents
+    from c join b using (event_type)
+"""
+
+ORACLE_SQL["source_distinct_trigram_ratio"] = """
+    with d as (select source, string_split(text, ' ') as ws from documents),
+    g as (
+      select source,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in generate_series(1, len(ws) - 2)]) as tri
+      from d
+    )
+    select source,
+           cast(count(distinct tri) as bigint) as n_distinct,
+           cast(count(*) as bigint) as n_total,
+           count(distinct tri)::double / count(*)::double as ratio
+    from g group by source
+"""
+
+ORACLE_SQL["vocab_rank_map"] = f"""
+    select token, cnt,
+           row_number() over (order by cnt desc, token asc) as rank
+    from ({ORACLE_SQL["token_histogram"]}) h
+"""
+
+ORACLE_SQL["near_dup_cluster_sizes"] = f"""
+    with s as (
+      select root, cast(count(*) as bigint) as size
+      from ({ORACLE_SQL["dup_components"]}) comp
+      group by root
+    )
+    select size, cast(count(*) as bigint) as n_clusters
+    from s group by size
 """
