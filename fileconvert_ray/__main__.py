@@ -15,6 +15,8 @@
     python -m fileconvert_ray compact  OUT_DIR [--target-tokens N]
     python -m fileconvert_ray curate   DOCS_DIR --out DIR [--no-encode]
         [--target-partition-tokens N]
+    python -m fileconvert_ray query    NAME [--sf-dir DIR] [--out DIR]
+        [--limit N] | --list
 
 The CLI owns its Ray session (the library never calls ray.init).
 """
@@ -111,6 +113,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-encode", action="store_true",
                    help="stop after writing the split document sets")
     r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
+
+    q = sub.add_parser("query", help="run a registered analysis pipeline by name")
+    q.add_argument("name", nargs="?", default=None, help="QUERIES key (omit with --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="directory holding the input parquet tables")
+    q.add_argument("--out", default=None,
+                   help="write the result as parquet here instead of printing")
+    q.add_argument("--limit", type=int, default=20, help="rows to print when not writing")
+    q.add_argument("--list", action="store_true", help="list registered query names")
     return p
 
 
@@ -286,6 +297,47 @@ def main(argv: list[str] | None = None) -> int:
                 encode=not args.no_encode,
                 target_partition_tokens=args.target_partition_tokens,
             )))
+        elif args.cmd == "query":
+            from fileconvert_ray.functions.queries import ORACLE_SQL, QUERIES
+
+            if args.list or args.name is None:
+                print(json.dumps({
+                    "queries": sorted(QUERIES),
+                    "oracle_checked": sorted(k for k in QUERIES if k in ORACLE_SQL),
+                }))
+                return 0
+            if args.name not in QUERIES:
+                raise SystemExit(f"unknown query {args.name!r}; try --list")
+            import pandas as pd
+            import pyarrow as pa
+            import ray.data
+
+            res = QUERIES[args.name](args.sf_dir)
+            if isinstance(res, ray.data.Dataset) and args.out:
+                # stream straight to parquet — never collect on the driver
+                res.write_parquet(args.out)
+                import pyarrow.dataset as pds
+
+                print(json.dumps({"ok": True, "out": args.out,
+                                  "rows": int(pds.dataset(args.out).count_rows())}))
+                return 0
+            if isinstance(res, ray.data.Dataset):
+                df = res.limit(args.limit).to_pandas()
+                n = None  # avoid a second full pass just to count
+            else:
+                df = res.to_pandas() if isinstance(res, pa.Table) else pd.DataFrame(res)
+                n = int(len(df))
+                df = df.head(args.limit)
+            if args.out:
+                import pyarrow.parquet as pq_
+
+                pq_.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
+                print(json.dumps({"ok": True, "out": args.out, "rows": n}))
+                return 0
+            print(json.dumps({
+                "ok": True, "rows": n,
+                "head": json.loads(df.to_json(orient="records", date_format="iso")),
+            }))
     finally:
         ray.shutdown()
     return 0

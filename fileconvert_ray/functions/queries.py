@@ -5022,15 +5022,12 @@ def q_value_winsorized(sf_dir: str):
     return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_source_distinct_trigram_ratio(sf_dir: str):
-    """Per-source lexical diversity: distinct-trigram / total-trigram
-    ratio (the distinct-n diversity metric; low = templated/boilerplate
-    source).  Trigrams pack EXACTLY into one int64 (vocab < 2^21, same
-    packing as top_trigrams_per_source — no hashing, so distinctness is
-    exact, not w.h.p.).  Per-batch structured-np.unique partials ->
-    one (source, tri) exchange of O(distinct) rows -> an O(sources)
-    rollup; the ratio division is the identical int64/int64 -> float64
-    op in the oracle."""
+def _source_tri_counts(sf_dir: str):
+    """Exact global (source, packed-trigram) counts: per-batch
+    structured-np.unique partials -> one exchange of O(distinct
+    trigram) rows (the top_trigrams_per_source int64 packing — no
+    hashing, distinctness is exact).  Shared by the diversity and
+    entropy rollups."""
     ds = tokseq_dataset(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -5074,10 +5071,19 @@ def q_source_distinct_trigram_ratio(sf_dir: str):
             }
         )
 
-    per_tri = _sum_groupby(
+    return _sum_groupby(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["source", "tri"], ["cnt"],
     )
+
+
+def q_source_distinct_trigram_ratio(sf_dir: str):
+    """Per-source lexical diversity: distinct-trigram / total-trigram
+    ratio (the distinct-n diversity metric; low = templated/boilerplate
+    source).  Global counts via _source_tri_counts (exchange moves
+    O(distinct)); the O(sources) rollup and ratio division are the
+    identical int64/int64 -> float64 op in the oracle."""
+    per_tri = _source_tri_counts(sf_dir)
 
     def rollup(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -5145,6 +5151,163 @@ def q_near_dup_cluster_sizes(sf_dir: str):
     return _sum_groupby(
         sizes.map_batches(one2, batch_format="pyarrow"), ["size"], ["n_clusters"]
     )
+
+
+def q_orders_cumulative_by_date(sf_dir: str):
+    """Daily order revenue with a global running total — the
+    time-series cumulative workload.  The corpus pass is one
+    shuffle-free widen into a per-day exact-cents _sum_groupby
+    (exchange moves O(days)); the cumulative sum runs over the O(days)
+    driver rows in day order — int64 end to end, so the window sum
+    can't drift."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(micros // 86_400_000_000),
+                "day_rev_c": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], ["day_rev_c"],
+    ).to_pandas()  # O(days)
+    agg = agg.sort_values("day", ignore_index=True)
+    return pa.Table.from_pydict(
+        {
+            "day": pa.array(agg["day"].to_numpy(dtype=np.int64)),
+            "day_rev_c": pa.array(agg["day_rev_c"].to_numpy(dtype=np.int64)),
+            "cum_rev_c": pa.array(np.cumsum(agg["day_rev_c"].to_numpy(dtype=np.int64))),
+        }
+    )
+
+
+def q_source_trigram_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the trigram distribution (low =
+    templated source) — H = ln(n) - (Σ c·ln c)/n over exact global
+    trigram counts.  The Σ c·ln c partial is rounded to a 1e-9 int64
+    per (source, tri) row BEFORE the per-source sum (the source_kl
+    protocol), so the distributed sum is order-independent and matches
+    the oracle bit-for-bit; the exchange moves O(distinct trigrams)."""
+    counts = _source_tri_counts(sf_dir)
+
+    def term(batch: pa.Table) -> pa.Table:
+        c = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        ti = np.floor(c * np.log(c) * 1e9 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "ti": pa.array(ti),
+                "n_total": pc.cast(batch.column("cnt"), pa.int64()),
+            }
+        )
+
+    agg = _sum_groupby(
+        counts.map_batches(term, batch_format="pyarrow"), ["source"], ["ti", "n_total"]
+    ).to_pandas()  # O(sources)
+    n = agg["n_total"].to_numpy(dtype=np.int64).astype(np.float64)
+    s = agg["ti"].to_numpy(dtype=np.int64).astype(np.float64) / 1e9
+    ent = np.log(n) - s / n
+    ent = np.floor(ent * 1e6 + 0.5) / 1e6
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(agg["source"], type=pa.string()),
+            "n_total": pa.array(agg["n_total"].to_numpy(dtype=np.int64)),
+            "entropy": pa.array(ent, type=pa.float64()),
+        }
+    )
+
+
+def q_user_first_last_event(sf_dir: str):
+    """Per-user first/last event type by (ts, event_id) — the
+    argmin/argmax-per-group workload (FIRST_VALUE / LAST_VALUE
+    windows).  Same bucketed shape as user_cumulative_value: users
+    hash into CUM_USER_BUCKETS groups, one lexsort per bucket finds
+    every user's segment, firsts/lasts are the segment edge rows — no
+    per-user Python call."""
+    import ray.data as rd
+
+    from ..util.hashing import splitmix64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(uid.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        return batch.append_column("_ub", pa.array(b))
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = group.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(uid_s)) + 1))
+        ends = np.concatenate((starts[1:], [len(uid_s)])) - 1
+        take = lambda idx: et.take(pa.array(order[idx].astype(np.int64)))
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid_s[starts]),
+                "first_type": take(starts),
+                "last_type": take(ends),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(bucket_edges, batch_format="pyarrow")
+    )
+
+
+def q_brand_discount_stats(sf_dir: str):
+    """Per-brand sale statistics: item count, exact summed discount
+    (1e-4 units) and its float average — the broadcast-dimension
+    rollup shape (part is O(SF x 200) rows: partkey -> brand LUT ships
+    once; lineitem streams shuffle-free into an O(brands) groupby)."""
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pkeys = part.column("p_partkey").to_numpy().astype(np.int64)
+    p_ord = np.argsort(pkeys)
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)[p_ord]
+    ref = ray.put((pkeys[p_ord], brands))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        keys, br = ray.get(ref)
+        idx = np.searchsorted(keys, batch.column("l_partkey").to_numpy(zero_copy_only=False))
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "p_brand": pa.array(br[idx], type=pa.string()),
+                "n_items": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_disc_e4": pa.array(np.floor(disc * 10_000 + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_discount"])
+    agg = _sum_groupby(
+        li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_brand"], ["n_items", "sum_disc_e4"],
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)  # O(brands)
+    avg = t.column("sum_disc_e4").to_numpy().astype(np.float64) / (
+        t.column("n_items").to_numpy().astype(np.float64) * 10_000.0
+    )
+    return t.append_column("avg_disc", pa.array(avg, type=pa.float64()))
 
 
 QUERIES = {
@@ -5272,6 +5435,10 @@ QUERIES = {
     "source_distinct_trigram_ratio": q_source_distinct_trigram_ratio,
     "vocab_rank_map": q_vocab_rank_map,
     "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
+    "orders_cumulative_by_date": q_orders_cumulative_by_date,
+    "source_trigram_entropy": q_source_trigram_entropy,
+    "user_first_last_event": q_user_first_last_event,
+    "brand_discount_stats": q_brand_discount_stats,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -6597,4 +6764,57 @@ ORACLE_SQL["near_dup_cluster_sizes"] = f"""
     )
     select size, cast(count(*) as bigint) as n_clusters
     from s group by size
+"""
+
+ORACLE_SQL["orders_cumulative_by_date"] = """
+    with d as (
+      select cast(epoch_us(o_orderdate) // 86400000000 as bigint) as day,
+             cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents
+      from orders
+    ),
+    a as (select day, cast(sum(cents) as bigint) as day_rev_c from d group by day)
+    select day, day_rev_c,
+           cast(sum(day_rev_c) over (order by day
+                rows between unbounded preceding and current row) as bigint) as cum_rev_c
+    from a
+"""
+
+ORACLE_SQL["source_trigram_entropy"] = """
+    with d as (select source, string_split(text, ' ') as ws from documents),
+    g as (
+      select source,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in generate_series(1, len(ws) - 2)]) as tri
+      from d
+    ),
+    c as (select source, tri, cast(count(*) as bigint) as cnt from g group by source, tri),
+    t as (select source, cast(floor(cnt * ln(cnt) * 1e9 + 0.5) as bigint) as ti, cnt from c),
+    a as (select source, cast(sum(ti) as bigint) as ti,
+                 cast(sum(cnt) as bigint) as n_total
+          from t group by source)
+    select source, n_total,
+           floor((ln(n_total) - (ti / 1e9) / n_total) * 1e6 + 0.5) / 1e6 as entropy
+    from a
+"""
+
+ORACLE_SQL["user_first_last_event"] = """
+    select distinct user_id,
+           first_value(event_type) over w as first_type,
+           last_value(event_type) over (partition by user_id order by ts, event_id
+                rows between unbounded preceding and unbounded following) as last_type,
+           cast(count(*) over (partition by user_id) as bigint) as n_events
+    from events
+    window w as (partition by user_id order by ts, event_id)
+"""
+
+ORACLE_SQL["brand_discount_stats"] = """
+    with w as (
+      select p_brand, cast(floor(l_discount * 10000 + 0.5) as bigint) as d_e4
+      from lineitem join part on l_partkey = p_partkey
+    )
+    select p_brand, cast(count(*) as bigint) as n_items,
+           cast(sum(d_e4) as bigint) as sum_disc_e4,
+           cast(sum(d_e4) as bigint)::double
+             / (cast(count(*) as bigint)::double * 10000.0) as avg_disc
+    from w group by p_brand
 """

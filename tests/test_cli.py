@@ -178,3 +178,20 @@ def test_cli_curate_end_to_end(tmp_path):
     assert r2["encoded_partitions"] == 0  # all partitions skipped via manifest
     assert r2["total_partitions"] == r["total_partitions"] > 0
     assert r2["n_tokens"] == r["n_tokens"]
+
+
+def test_cli_query(tmp_path):
+    """query subcommand: --list enumerates the registry; a named run
+    prints head rows; --out writes parquet."""
+    r = run_cli("query", "--list")
+    assert "per_source_stats" in r["queries"]
+    assert set(r["oracle_checked"]) <= set(r["queries"])
+
+    r = run_cli("query", "distinct_sources", "--sf-dir", "/root/testdata/sf0.001")
+    assert r["ok"] and len(r["head"]) > 0 and "source" in r["head"][0]
+
+    out = str(tmp_path / "res")
+    r = run_cli("query", "per_source_stats", "--sf-dir", "/root/testdata/sf0.001",
+                "--out", out)
+    assert r["ok"] and r["rows"] == 20
+    assert pq.read_table(out).num_rows == 20

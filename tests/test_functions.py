@@ -1685,3 +1685,54 @@ def test_connected_components_auto_threshold_switch(ray_session):
     big = connected_components(t, strategy="auto", single_task_max=1).to_pandas()
     key = lambda df: sorted(map(tuple, df.itertuples(index=False, name=None)))
     assert key(small) == key(big)
+
+
+def test_user_window_ops_hot_user_skew(ray_session, tmp_path):
+    """user_cumulative_value / user_first_last_event on a corpus where
+    one user owns 80% of events: the bucket shape must still produce
+    the exact pandas window answer (the hot user's history is the
+    irreducible partition grain, like any SQL window partition)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    uid = np.where(rng.random(n) < 0.8, 1, rng.integers(2, 50, n)).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype("datetime64[us]")
+    val = np.round(rng.random(n) * 100, 2)
+    et = rng.choice(["view", "cart", "purchase"], n)
+    t = pa.table({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts, "user_id": uid, "event_type": et,
+        "value": val, "props": ["{}"] * n,
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    _pq.write_table(t, str(d / "events.parquet"))
+
+    from fileconvert_ray.functions.queries import (
+        q_user_cumulative_value,
+        q_user_first_last_event,
+    )
+
+    df = t.to_pandas()
+    df["cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    df["cum"] = df.groupby("user_id")["cents"].cumsum()
+
+    got = (
+        q_user_cumulative_value(str(d))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    want = df.sort_values("event_id", ignore_index=True)
+    assert (got["cum_value_c"].to_numpy() == want["cum"].to_numpy()).all()
+
+    fl = q_user_first_last_event(str(d)).to_pandas().sort_values("user_id", ignore_index=True)
+    first = df.groupby("user_id").first()
+    last = df.groupby("user_id").last()
+    assert (fl.set_index("user_id")["first_type"] == first["event_type"]).all()
+    assert (fl.set_index("user_id")["last_type"] == last["event_type"]).all()
+    assert int(fl.loc[fl.user_id == 1, "n_events"].iloc[0]) == int((uid == 1).sum())
