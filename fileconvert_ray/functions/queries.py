@@ -5310,6 +5310,272 @@ def q_brand_discount_stats(sf_dir: str):
     return t.append_column("avg_disc", pa.array(avg, type=pa.float64()))
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: the filter-dominated whole-table scan.  Both
+    predicates push to parquet row groups, the per-batch partial is two
+    int64 sums, the exchange moves ONE row.  Revenue in exact cents
+    (floor(p*d*100+0.5) is the identical IEEE double product + round on
+    both sides; cents keep the 100-TB global sum ~1e15, far from int64
+    overflow)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(
+            (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n_items": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "revenue_c": pa.array(np.floor(p * d * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    s = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n_items", "revenue_c"]
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_items": pa.array([int(s["sum(n_items)"])], type=pa.int64()),
+            "revenue_c": pa.array([int(s["sum(revenue_c)"])], type=pa.int64()),
+        }
+    )
+
+
+def q_priority_return_orders(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS + groupby): orders per priority class
+    having >=1 returned lineitem.  The returnflag filter pushes to the
+    lineitem read; hash_join mode="semi" ships only the key column
+    through the exchange (no fanout); the rollup moves O(priorities)."""
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    returned = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+    hit = hash_join(
+        orders, returned, left_on="o_orderkey", right_on="l_orderkey",
+        right_cols=["l_orderkey"], n_buckets=32, mode="semi",
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _sum_groupby(
+        hit.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority"], ["n_orders"],
+    )
+
+
+def q_linestatus_priority_mix(sf_dir: str):
+    """TPC-H Q12 shape: big x big co-partitioned join -> tiny groupby
+    with conditional counts.  lineitem ships 16 B/row (key + one
+    dictionary-coded status), orders ships key + priority; per-status
+    high/low counts are a vectorized isin over the joined batches and
+    the final exchange moves O(statuses)."""
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linestatus"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderpriority"], n_buckets=32,
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        codes, vals = _dict_codes(batch.column("r_o_orderpriority"))
+        hi_lut = np.array([v in ("1-URGENT", "2-HIGH") for v in vals], dtype=np.int64)
+        hi = hi_lut[codes]
+        return pa.Table.from_pydict(
+            {
+                "l_linestatus": batch.column("l_linestatus"),
+                "high_line_count": pa.array(hi),
+                "low_line_count": pa.array(1 - hi),
+            }
+        )
+
+    return _sum_groupby(
+        joined.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_linestatus"], ["high_line_count", "low_line_count"],
+    )
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """DENSE_RANK <= 2 per customer by price — the ranked-window
+    workload with ties kept.  Customers hash into CUM_USER_BUCKETS
+    groups; within a bucket ONE lexsort orders every customer's
+    segment by (cents desc, orderkey) and the dense rank is a cumsum
+    of value-change flags rebased at segment starts — no per-customer
+    Python call.  Prices compared in exact cents so rank ties are
+    bit-deterministic on both sides."""
+    import ray.data as rd
+
+    from ..util.hashing import splitmix64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(ck.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        return batch.append_column("_cb", pa.array(b))
+
+    def bucket_rank(group: pa.Table) -> pa.Table:
+        cust = group.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((okey, -cents, cust))
+        c, v, k = cust[order], cents[order], okey[order]
+        new_seg = np.empty(len(c), dtype=bool)
+        new_seg[0] = True
+        np.not_equal(c[1:], c[:-1], out=new_seg[1:])
+        val_change = new_seg.copy()
+        val_change[1:] |= v[1:] != v[:-1]
+        cv = np.cumsum(val_change)
+        seg_id = np.cumsum(new_seg) - 1
+        rnk = cv - cv[np.flatnonzero(new_seg)][seg_id] + 1
+        keep = rnk <= 2
+        return pa.Table.from_pydict(
+            {
+                "o_custkey": pa.array(c[keep]),
+                "o_orderkey": pa.array(k[keep]),
+                "price_c": pa.array(v[keep]),
+                "rnk": pa.array(rnk[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cb")
+        .map_groups(bucket_rank, batch_format="pyarrow")
+    )
+
+
+def q_event_type_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — two staged
+    exchanges: per-batch (type, user) unique partials -> groupby
+    collapses to the distinct pair set (moves O(distinct pairs), never
+    O(events)), then a ones-rollup of O(types) rows.  The standard
+    exact-distinct shape when the pair domain fits the cluster and a
+    sketch (hourly_approx_users' HLL) isn't acceptable."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        codes, vals = _dict_codes(batch.column("event_type"))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rec = np.empty(len(uid), dtype=[("c", np.int64), ("u", np.int64)])
+        rec["c"], rec["u"] = codes, uid
+        uniq = np.unique(rec)
+        lut = np.asarray(vals, dtype=object)
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(lut[uniq["c"]], type=pa.string()),
+                "user_id": pa.array(uniq["u"]),
+                "one": pa.array(np.ones(len(uniq), dtype=np.int64)),
+            }
+        )
+
+    pairs = _sum_groupby(
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "user_id"], ["one"],
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "n_users": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return _sum_groupby(
+        pairs.map_batches(ones, batch_format="pyarrow"), ["event_type"], ["n_users"]
+    )
+
+
+def q_user_event_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics — the LAG window workload.
+    Same bucket shape as user_first_last_event: one lexsort per hash
+    bucket, gaps are a masked diff over the sorted timestamp vector
+    (segment boundaries excluded), per-user sums via np.add.reduceat /
+    maximum.reduceat on segment slices.  Exact int64 microseconds; the
+    float average is the identical int/int -> double division in the
+    oracle.  Users with a single event have no gap and are dropped
+    (SQL HAVING count(gap) > 0)."""
+    import ray.data as rd
+
+    from ..util.hashing import splitmix64
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(uid.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        return batch.append_column("_ub", pa.array(b))
+
+    def bucket_gaps(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(u)) + 1))
+        lens = np.diff(np.concatenate((starts, [len(u)])))
+        gap = np.diff(t)  # gap[i] = t[i+1]-t[i]; cross-user positions masked next
+        valid = np.ones(len(gap), dtype=bool)
+        valid[starts[1:] - 1] = False  # last row of each segment has no successor gap
+        gz = np.where(valid, gap, 0)
+        gm = np.where(valid, gap, np.int64(-(2**62)))
+        keep = lens > 1
+        sums = np.add.reduceat(np.concatenate((gz, [0])), starts)[keep]
+        maxs = np.maximum.reduceat(np.concatenate((gm, [np.int64(-(2**62))])), starts)[keep]
+        n = (lens - 1)[keep]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[starts][keep]),
+                "n_gaps": pa.array(n.astype(np.int64)),
+                "sum_gap_us": pa.array(sums.astype(np.int64)),
+                "max_gap_us": pa.array(maxs.astype(np.int64)),
+                "avg_gap_us": pa.array(
+                    sums.astype(np.float64) / n.astype(np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(bucket_gaps, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -5439,6 +5705,12 @@ QUERIES = {
     "source_trigram_entropy": q_source_trigram_entropy,
     "user_first_last_event": q_user_first_last_event,
     "brand_discount_stats": q_brand_discount_stats,
+    "forecast_revenue": q_forecast_revenue,
+    "priority_return_orders": q_priority_return_orders,
+    "linestatus_priority_mix": q_linestatus_priority_mix,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "event_type_distinct_users": q_event_type_distinct_users,
+    "user_event_gaps": q_user_event_gaps,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -6817,4 +7089,65 @@ ORACLE_SQL["brand_discount_stats"] = """
            cast(sum(d_e4) as bigint)::double
              / (cast(count(*) as bigint)::double * 10000.0) as avg_disc
     from w group by p_brand
+"""
+
+ORACLE_SQL["forecast_revenue"] = """
+    select cast(count(*) as bigint) as n_items,
+           cast(sum(cast(floor(l_extendedprice * l_discount * 100 + 0.5) as bigint))
+                as bigint) as revenue_c
+    from lineitem
+    where l_discount >= 0.05 and l_discount <= 0.07 and l_quantity < 24
+"""
+
+ORACLE_SQL["priority_return_orders"] = """
+    select o_orderpriority, cast(count(*) as bigint) as n_orders
+    from orders o
+    where exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey and l.l_returnflag = 'R')
+    group by o_orderpriority
+"""
+
+ORACLE_SQL["linestatus_priority_mix"] = """
+    select l_linestatus,
+           cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                         then 1 else 0 end) as bigint) as high_line_count,
+           cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                         then 0 else 1 end) as bigint) as low_line_count
+    from lineitem join orders on l_orderkey = o_orderkey
+    group by l_linestatus
+"""
+
+ORACLE_SQL["top_orders_per_cust"] = """
+    with c as (
+      select o_custkey, o_orderkey,
+             cast(floor(o_totalprice * 100 + 0.5) as bigint) as price_c
+      from orders
+    )
+    select o_custkey, o_orderkey, price_c,
+           cast(dense_rank() over (partition by o_custkey order by price_c desc)
+                as bigint) as rnk
+    from c
+    qualify rnk <= 2
+"""
+
+ORACLE_SQL["event_type_distinct_users"] = """
+    select event_type, cast(count(distinct user_id) as bigint) as n_users
+    from events group by event_type
+"""
+
+ORACLE_SQL["user_event_gaps"] = """
+    with g as (
+      select user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) over
+               (partition by user_id order by ts, event_id) as gap
+      from events
+    )
+    select user_id,
+           cast(count(gap) as bigint) as n_gaps,
+           cast(sum(gap) as bigint) as sum_gap_us,
+           cast(max(gap) as bigint) as max_gap_us,
+           cast(sum(gap) as bigint)::double
+             / cast(count(gap) as bigint)::double as avg_gap_us
+    from g group by user_id
+    having count(gap) > 0
 """

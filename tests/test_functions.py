@@ -1736,3 +1736,51 @@ def test_user_window_ops_hot_user_skew(ray_session, tmp_path):
     assert (fl.set_index("user_id")["first_type"] == first["event_type"]).all()
     assert (fl.set_index("user_id")["last_type"] == last["event_type"]).all()
     assert int(fl.loc[fl.user_id == 1, "n_events"].iloc[0]) == int((uid == 1).sum())
+
+    from fileconvert_ray.functions.queries import q_user_event_gaps
+
+    gaps = q_user_event_gaps(str(d)).to_pandas().set_index("user_id").sort_index()
+    df["us"] = df["ts"].astype("int64")
+    want_gap = df.groupby("user_id")["us"].agg(
+        n_gaps="count", sum_gap_us=lambda s: int(s.max() - s.min()),
+        max_gap_us=lambda s: int(s.diff().max()),
+    )
+    want_gap["n_gaps"] -= 1
+    want_gap = want_gap[want_gap["n_gaps"] > 0]
+    assert (gaps["n_gaps"] == want_gap["n_gaps"]).all()
+    # per-user sorted ts: sum of diffs telescopes to max-min
+    assert (gaps["sum_gap_us"] == want_gap["sum_gap_us"]).all()
+    assert (gaps["max_gap_us"] == want_gap["max_gap_us"]).all()
+
+
+def test_top_orders_per_cust_dense_rank_ties(ray_session, tmp_path):
+    """dense_rank keeps ALL rows tied at ranks 1 and 2: a customer with
+    three orders at the same top price emits three rnk=1 rows plus the
+    rnk=2 tier."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    t = pa.table({
+        "o_orderkey": np.arange(6, dtype=np.int64),
+        "o_custkey": np.array([7, 7, 7, 7, 7, 8], dtype=np.int64),
+        "o_orderstatus": ["O"] * 6,
+        "o_totalprice": [50.0, 50.0, 50.0, 20.0, 10.0, 5.0],
+        "o_orderdate": np.zeros(6, dtype="datetime64[us]"),
+        "o_orderpriority": ["1-URGENT"] * 6,
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    _pq.write_table(t, str(d / "orders.parquet"))
+
+    from fileconvert_ray.functions.queries import q_top_orders_per_cust
+
+    got = q_top_orders_per_cust(str(d)).to_pandas().sort_values(
+        ["o_custkey", "rnk", "o_orderkey"], ignore_index=True
+    )
+    # cust 7: three price-5000c orders all rnk 1, the 2000c order rnk 2
+    # (the 1000c order is rank 3 -> dropped); cust 8: single order rnk 1
+    assert got[got.o_custkey == 7].o_orderkey.tolist() == [0, 1, 2, 3]
+    assert got[got.o_custkey == 7].rnk.tolist() == [1, 1, 1, 2]
+    assert got[got.o_custkey == 8].rnk.tolist() == [1]
