@@ -1,0 +1,87 @@
+"""Semi-structured (JSON string column) field extraction.
+
+The engine treats JSON payload columns the way a 100-TB pipeline has
+to: the overwhelmingly common flat shape is parsed by ONE vectorized
+Arrow ``extract_regex`` kernel pass, and only the rows that fail the
+strict pattern fall back to ``json.loads`` — so the Python-loop cost
+is O(irregular rows), not O(rows).  The strict pattern anchors the
+whole string (``^{"key": int}$``-style), so the fast path can never
+mis-parse a nested / reordered / quoted payload: anything unusual is
+a non-match and takes the exact parser.
+
+SURVEY.md §2.2 E-rows context: this is the semi-structured sibling of
+the R7 cast + R8 projection transforms (reference parity: column
+extraction expressed over a JSON-typed column instead of a native
+one).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["json_int_field", "extract_json_int"]
+
+
+def json_int_field(col, key: str) -> pa.Array:
+    """Extract ``key`` from a flat-JSON string column as int64.
+
+    Returns an int64 array with a null wherever the input is null or
+    the key is absent / non-integer.  Fast path: one anchored
+    ``extract_regex`` over the whole column (matches ``{"key": N}``
+    with any whitespace and any OTHER keys around it, as long as the
+    match is unambiguous — the pattern requires the key to appear as a
+    real member boundary).  Every non-matching row is re-parsed with
+    ``json.loads`` so irregular payloads (nested objects, reordered
+    escapes, floats) are handled exactly, never silently wrong.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # Anchored flat-object pattern with NO string-typed values: every
+    # member is "name": <number|true|false|null>.  With no string
+    # values there is no embedded-quote text for the key pattern to
+    # false-positive inside (`{"s": "\"k\":5,", "k": 7}` does NOT
+    # match and takes the exact parser), and RE2 needs no lookarounds.
+    k = re.escape(key)
+    member = r'"[^"\\]+"\s*:\s*(?:-?[0-9][0-9.eE+\-]*|true|false|null)'
+    pat = (
+        r"^\{\s*(?:" + member + r"\s*,\s*)*"
+        + r'"' + k + r'"\s*:\s*(?P<v>-?\d+)'
+        + r"\s*(?:,\s*" + member + r")*\s*\}$"
+    )
+    m = pc.extract_regex(pc.fill_null(col, ""), pat)
+    v = pc.struct_field(m, "v")
+    out = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+
+    miss = np.flatnonzero(~valid)
+    if miss.size:
+        raw = col.take(pa.array(miss.astype(np.int64))).to_pylist()
+        for i, s in zip(miss, raw):
+            if s is None:
+                continue
+            try:
+                val = json.loads(s).get(key)
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(val, bool) or not isinstance(val, int):
+                continue
+            out[i] = float(val)
+            valid[i] = True
+    res = np.where(valid, out, 0.0).astype(np.int64)
+    return pa.Array.from_pandas(res, mask=~valid, type=pa.int64())
+
+
+def extract_json_int(ds, column: str, key: str, out_col: str):
+    """Dataset-level projection: append ``out_col`` = int64 ``key``
+    extracted from the JSON string ``column``.  One zero-copy
+    map_batches pass; the kernel is vectorized per the module note."""
+
+    def ext(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col, json_int_field(batch.column(column), key))
+
+    return ds.map_batches(ext, batch_format="pyarrow", zero_copy_batch=True)

@@ -5576,6 +5576,64 @@ def q_user_event_gaps(sf_dir: str):
     )
 
 
+def q_props_k_histogram(sf_dir: str):
+    """Semi-structured extraction + rollup: histogram of the JSON
+    ``props.k`` field.  The extract is ONE vectorized extract_regex
+    kernel pass (json.loads touches only irregular rows —
+    functions/jsonextract.py); per-batch np.unique partials make the
+    exchange move O(distinct k), never O(events)."""
+    import ray.data as rd
+
+    from .jsonextract import json_int_field
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = json_int_field(batch.column("props"), "k")
+        kv = k.to_numpy(zero_copy_only=False)
+        kv = kv[~np.isnan(kv)] if kv.dtype.kind == "f" else kv[np.asarray(pc.is_valid(k))]
+        uniq, cnt = np.unique(kv.astype(np.int64), return_counts=True)
+        return pa.Table.from_pydict(
+            {"k": pa.array(uniq), "n_events": pa.array(cnt.astype(np.int64))}
+        )
+
+    return _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], ["n_events"],
+    )
+
+
+def q_props_k_by_type(sf_dir: str):
+    """JSON field extraction joined to a categorical rollup: per
+    event_type count / exact int64 sum / float mean of ``props.k``.
+    Same vectorized extract; the exchange moves O(types)."""
+    import ray.data as rd
+
+    from .jsonextract import json_int_field
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        k = json_int_field(batch.column("props"), "k")
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_k": pc.fill_null(k, 0),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], ["n_events", "sum_k"],
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)  # O(types)
+    avg = t.column("sum_k").to_numpy().astype(np.float64) / t.column("n_events").to_numpy().astype(
+        np.float64
+    )
+    return t.append_column("avg_k", pa.array(avg, type=pa.float64()))
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -5711,6 +5769,8 @@ QUERIES = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "event_type_distinct_users": q_event_type_distinct_users,
     "user_event_gaps": q_user_event_gaps,
+    "props_k_histogram": q_props_k_histogram,
+    "props_k_by_type": q_props_k_by_type,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7150,4 +7210,22 @@ ORACLE_SQL["user_event_gaps"] = """
              / cast(count(gap) as bigint)::double as avg_gap_us
     from g group by user_id
     having count(gap) > 0
+"""
+
+ORACLE_SQL["props_k_histogram"] = """
+    select cast(json_extract(props, '$.k') as bigint) as k,
+           cast(count(*) as bigint) as n_events
+    from events
+    where json_extract(props, '$.k') is not null
+    group by k
+"""
+
+ORACLE_SQL["props_k_by_type"] = """
+    select event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(coalesce(cast(json_extract(props, '$.k') as bigint), 0))
+                as bigint) as sum_k,
+           cast(sum(coalesce(cast(json_extract(props, '$.k') as bigint), 0))
+                as bigint)::double / cast(count(*) as bigint)::double as avg_k
+    from events group by event_type
 """

@@ -1784,3 +1784,43 @@ def test_top_orders_per_cust_dense_rank_ties(ray_session, tmp_path):
     assert got[got.o_custkey == 7].o_orderkey.tolist() == [0, 1, 2, 3]
     assert got[got.o_custkey == 7].rnk.tolist() == [1, 1, 1, 2]
     assert got[got.o_custkey == 8].rnk.tolist() == [1]
+
+
+def test_json_int_field_fast_path_and_fallback():
+    """The regex fast path must never mis-parse: adversarial payloads
+    (quoted '\"k\":5' text inside a string value, nested objects,
+    floats, reordered keys, duplicate keys) all agree with json.loads
+    semantics; nulls and missing keys come back null."""
+    import json
+
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.jsonextract import json_int_field
+
+    rows = [
+        '{"k": 87}',
+        '{"k":0}',
+        '{ "k" : -12 }',
+        '{"a": 1, "k": 7, "b": 2}',          # fast path, key mid-object
+        '{"s": ",\\"k\\":5,", "k": 7}',       # adversarial: 5 inside a string
+        '{"k": 1, "k": 2}',                   # duplicate key -> loads takes last
+        '{"k": {"k": 3}}',                    # nested -> k is not an int
+        '{"k": 2.5}',                         # float -> not an int
+        '{"k": true}',                        # bool is not an int
+        '{"a": 9}',                           # key absent
+        "not json at all",
+        None,
+        '{"k": 99999999999}',
+    ]
+    got = json_int_field(pa.array(rows, type=pa.string()), "k").to_pylist()
+
+    def truth(s):
+        if s is None:
+            return None
+        try:
+            v = json.loads(s).get("k")
+        except (ValueError, AttributeError):
+            return None
+        return v if isinstance(v, int) and not isinstance(v, bool) else None
+
+    assert got == [truth(s) for s in rows]
