@@ -4845,6 +4845,23 @@ def q_promo_revenue(sf_dir: str):
 
 
 CUM_USER_BUCKETS = 64
+WINDOW_BUCKET_TARGET_BYTES = 256 << 20  # per-bucket map_groups task budget
+
+
+def _window_buckets(ds) -> int:
+    """Bucket count for the hash-bucketed window ops: a FIXED count
+    (the old CUM_USER_BUCKETS=64) means corpus/64 bytes per map_groups
+    task — ~1.5 TB at 100 TB.  Size the count from the dataset's
+    metadata byte estimate (no execution for parquet reads) so each
+    bucket's lexsort stays within one worker's heap; results are
+    bucket-count-invariant (each bucket holds WHOLE key partitions),
+    only task granularity changes.  Floor 64 keeps small inputs wide
+    enough to parallelize."""
+    try:
+        nbytes = ds.size_bytes() or 0
+    except Exception:
+        nbytes = 0
+    return max(CUM_USER_BUCKETS, int(nbytes // WINDOW_BUCKET_TARGET_BYTES) + 1)
 
 
 def q_user_cumulative_value(sf_dir: str):
@@ -4864,12 +4881,13 @@ def q_user_cumulative_value(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
+    nb = _window_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         from ..util.hashing import splitmix64
 
-        b = (splitmix64(uid.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        b = (splitmix64(uid.view(np.uint64)) % np.uint64(nb)).view(np.int64)
         return batch.append_column("_ub", pa.array(b))
 
     def bucket_cumsum(group: pa.Table) -> pa.Table:
@@ -5238,10 +5256,11 @@ def q_user_first_last_event(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
+    nb = _window_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (splitmix64(uid.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        b = (splitmix64(uid.view(np.uint64)) % np.uint64(nb)).view(np.int64)
         return batch.append_column("_ub", pa.array(b))
 
     def bucket_edges(group: pa.Table) -> pa.Table:
@@ -5438,10 +5457,11 @@ def q_top_orders_per_cust(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
+    nb = _window_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (splitmix64(ck.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        b = (splitmix64(ck.view(np.uint64)) % np.uint64(nb)).view(np.int64)
         return batch.append_column("_cb", pa.array(b))
 
     def bucket_rank(group: pa.Table) -> pa.Table:
@@ -5534,10 +5554,11 @@ def q_user_event_gaps(sf_dir: str):
     from ..util.hashing import splitmix64
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    nb = _window_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (splitmix64(uid.view(np.uint64)) % np.uint64(CUM_USER_BUCKETS)).view(np.int64)
+        b = (splitmix64(uid.view(np.uint64)) % np.uint64(nb)).view(np.int64)
         return batch.append_column("_ub", pa.array(b))
 
     def bucket_gaps(group: pa.Table) -> pa.Table:
@@ -6961,7 +6982,7 @@ _REV_E4_SQL = (
 )
 
 ORACLE_SQL["local_supplier_volume"] = f"""
-    select n_name, sum({_REV_E4_SQL}) as rev_e4
+    select n_name, cast(sum({_REV_E4_SQL}) as bigint) as rev_e4
     from customer, orders, lineitem, supplier, nation, region
     where c_custkey = o_custkey and l_orderkey = o_orderkey
       and l_suppkey = s_suppkey and c_nationkey = s_nationkey
@@ -6973,7 +6994,8 @@ ORACLE_SQL["local_supplier_volume"] = f"""
 """
 
 ORACLE_SQL["returned_items"] = f"""
-    select c_custkey, c_name, n_name, c_acctbal, sum({_REV_E4_SQL}) as rev_e4
+    select c_custkey, c_name, n_name, c_acctbal,
+           cast(sum({_REV_E4_SQL}) as bigint) as rev_e4
     from customer, orders, lineitem, nation
     where c_custkey = o_custkey and l_orderkey = o_orderkey
       and l_returnflag = 'R' and c_nationkey = n_nationkey
@@ -6987,7 +7009,8 @@ ORACLE_SQL["returned_items"] = f"""
 ORACLE_SQL["large_volume_orders"] = f"""
     with heavy as (
       select l_orderkey,
-             sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) as sum_qty_c
+             cast(sum(cast(floor(l_quantity * 100 + 0.5) as bigint))
+                  as bigint) as sum_qty_c
       from lineitem group by l_orderkey
       having sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) > {Q18_QTY_C}
     )
@@ -6998,8 +7021,9 @@ ORACLE_SQL["large_volume_orders"] = f"""
 
 ORACLE_SQL["promo_revenue"] = f"""
     select cast(extract(month from l_shipdate) as bigint) as month,
-           sum(case when p_type = 'PROMO' then {_REV_E4_SQL} else 0 end) as promo_rev_e4,
-           sum({_REV_E4_SQL}) as total_rev_e4,
+           cast(sum(case when p_type = 'PROMO' then {_REV_E4_SQL} else 0 end)
+                as bigint) as promo_rev_e4,
+           cast(sum({_REV_E4_SQL}) as bigint) as total_rev_e4,
            sum(case when p_type = 'PROMO' then {_REV_E4_SQL} else 0 end)::double
              / sum({_REV_E4_SQL})::double as promo_share
     from lineitem, part
@@ -7011,9 +7035,10 @@ ORACLE_SQL["promo_revenue"] = f"""
 
 ORACLE_SQL["user_cumulative_value"] = """
     select event_id, user_id,
-           sum(cast(floor(value * 100 + 0.5) as bigint))
+           cast(sum(cast(floor(value * 100 + 0.5) as bigint))
              over (partition by user_id order by ts, event_id
-                   rows between unbounded preceding and current row) as cum_value_c
+                   rows between unbounded preceding and current row)
+             as bigint) as cum_value_c
     from events
 """
 

@@ -1824,3 +1824,15 @@ def test_json_int_field_fast_path_and_fallback():
         return v if isinstance(v, int) and not isinstance(v, bool) else None
 
     assert got == [truth(s) for s in rows]
+
+
+def test_window_bucket_count_invariance(ray_session, monkeypatch):
+    """Window-op results must not depend on the bucket count (buckets
+    hold whole user partitions; only task granularity changes)."""
+    from fileconvert_ray.functions import queries as qmod
+
+    sf = "/root/testdata/sf0.001"
+    base = qmod.q_user_event_gaps(sf).to_pandas().sort_values("user_id", ignore_index=True)
+    monkeypatch.setattr(qmod, "CUM_USER_BUCKETS", 3)
+    small = qmod.q_user_event_gaps(sf).to_pandas().sort_values("user_id", ignore_index=True)
+    assert base.equals(small)
