@@ -5655,6 +5655,118 @@ def q_props_k_by_type(sf_dir: str):
     return t.append_column("avg_k", pa.array(avg, type=pa.float64()))
 
 
+NUCLEUS_P10 = 9  # nucleus mass threshold: cum*10 >= tot*9 i.e. p=0.9
+
+
+def q_source_nucleus_vocab(sf_dir: str):
+    """Per-source nucleus (top-p=0.9) vocabulary size — how many
+    distinct tokens cover 90% of a source's token mass (the
+    sampling-nucleus / head-heaviness diagnostic).  Per-batch
+    (source, token) unique partials -> one exchange of O(distinct
+    pairs) rows -> a per-source group of O(source vocab) rows (bounded
+    domain, safe at any corpus size): ONE argsort by (cnt desc, token
+    asc), cumsum, and an integer threshold compare (cum*10 >= tot*9 —
+    no float), so the oracle window matches bit-for-bit."""
+    ds = tokseq_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        denc = src.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        rec = np.empty(len(flat), dtype=[("s", np.int64), ("t", np.int64)])
+        rec["s"] = np.repeat(codes, lens)
+        rec["t"] = flat
+        uniq, cnt = np.unique(rec, return_counts=True)
+        lut = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(lut[uniq["s"]], type=pa.string()),
+                "token": pa.array(uniq["t"]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = _sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "token"], ["cnt"],
+    )
+
+    def nucleus(group: pa.Table) -> pa.Table:
+        tok = group.column("token").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tok, -cnt))
+        cum = np.cumsum(cnt[order])
+        tot = int(cum[-1])
+        k = int(np.searchsorted(cum * 10, tot * NUCLEUS_P10)) + 1
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([group.column("source")[0].as_py()], type=pa.string()),
+                "vocab_size": pa.array([len(tok)], type=pa.int64()),
+                "total_tok": pa.array([tot], type=pa.int64()),
+                "nucleus_k": pa.array([k], type=pa.int64()),
+            }
+        )
+
+    return counts.groupby("source").map_groups(nucleus, batch_format="pyarrow")
+
+
+def q_rare_token_docs(sf_dir: str):
+    """Docs carrying tail tokens (global count <= max_count/10 — a
+    relative threshold so the op is scale-invariant) with the per-doc
+    tail-occurrence count — the tail-quality / contamination-tail
+    filter.  Pass 1 reuses the token_histogram O(vocab) aggregate;
+    the rare id set (bounded by vocab, not corpus) broadcasts once via
+    ray.put as a SORTED array; pass 2 is a shuffle-free searchsorted
+    membership over each batch's flattened tokens + one reduceat per
+    doc.  Exchange total: O(vocab) + zero (pass 2 is map-only).  The
+    threshold compare is integer (cnt*10 <= max) on both sides."""
+    import ray
+
+    hist = q_token_histogram(sf_dir).to_pandas()  # O(vocab)
+    cnts = hist["cnt"].to_numpy(dtype=np.int64)
+    rare = np.sort(
+        hist.loc[cnts * 10 <= int(cnts.max()), "token"].to_numpy(dtype=np.int64)
+    )
+    rare_ref = ray.put(rare)
+
+    ds = tokseq_dataset(sf_dir)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        r = ray.get(rare_ref)
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(r, flat)
+        hit = (idx < len(r)) & (r[np.minimum(idx, len(r) - 1)] == flat) if len(r) else \
+            np.zeros(len(flat), dtype=bool)
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        per_doc = np.add.reduceat(np.concatenate((hit.astype(np.int64), [0])), offsets)
+        per_doc = np.where(lens > 0, per_doc, 0)
+        keep = per_doc > 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.string()).filter(
+                    pa.array(keep)
+                ),
+                "n_rare": pa.array(per_doc[keep]),
+                "n_tok": pa.array(lens[keep]),
+            }
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -5792,6 +5904,8 @@ QUERIES = {
     "user_event_gaps": q_user_event_gaps,
     "props_k_histogram": q_props_k_histogram,
     "props_k_by_type": q_props_k_by_type,
+    "source_nucleus_vocab": q_source_nucleus_vocab,
+    "rare_token_docs": q_rare_token_docs,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7253,4 +7367,35 @@ ORACLE_SQL["props_k_by_type"] = """
            cast(sum(coalesce(cast(json_extract(props, '$.k') as bigint), 0))
                 as bigint)::double / cast(count(*) as bigint)::double as avg_k
     from events group by event_type
+"""
+
+ORACLE_SQL["source_nucleus_vocab"] = """
+    with s as (select source, unnest(string_split(text, ' ')) as word
+               from documents),
+    c as (select source, word, cast(count(*) as bigint) as cnt
+          from s group by source, word),
+    r as (select source, cnt,
+            cast(sum(cnt) over (partition by source order by cnt desc, word asc
+                 rows between unbounded preceding and current row) as bigint) as cum,
+            cast(sum(cnt) over (partition by source) as bigint) as tot,
+            cast(row_number() over (partition by source
+                 order by cnt desc, word asc) as bigint) as rn
+          from c)
+    select source, cast(count(*) as bigint) as vocab_size,
+           cast(min(tot) as bigint) as total_tok,
+           cast(min(case when cum * 10 >= tot * 9 then rn end) as bigint) as nucleus_k
+    from r group by source
+"""
+
+ORACLE_SQL["rare_token_docs"] = """
+    with t as (select cast(doc_id as varchar) as doc_id,
+                      len(string_split(text, ' ')) as n_tok,
+                      unnest(string_split(text, ' ')) as word
+               from documents),
+    g as (select word, count(*) as cnt from t group by word),
+    c as (select word from g where cnt * 10 <= (select max(cnt) from g))
+    select doc_id, cast(count(*) as bigint) as n_rare,
+           cast(min(n_tok) as bigint) as n_tok
+    from t join c using (word)
+    group by doc_id
 """
