@@ -114,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after writing the split document sets")
     r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
 
+    f = sub.add_parser("profile", help="per-column stats of a parquet table")
+    f.add_argument("input", help="parquet file or directory")
+    f.add_argument("--columns", default=None,
+                   help="comma-separated subset (default: all columns)")
+
     q = sub.add_parser("query", help="run a registered analysis pipeline by name")
     q.add_argument("name", nargs="?", default=None, help="QUERIES key (omit with --list)")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
@@ -297,6 +302,12 @@ def main(argv: list[str] | None = None) -> int:
                 encode=not args.no_encode,
                 target_partition_tokens=args.target_partition_tokens,
             )))
+        elif args.cmd == "profile":
+            from fileconvert_ray.functions.profile import profile_parquet
+
+            cols = args.columns.split(",") if args.columns else None
+            t = profile_parquet(args.input, columns=cols)
+            print(json.dumps({"ok": True, "profile": t.to_pylist()}))
         elif args.cmd == "query":
             from fileconvert_ray.functions.queries import ORACLE_SQL, QUERIES
 

@@ -5767,6 +5767,17 @@ def q_rare_token_docs(sf_dir: str):
     return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_profile_orders(sf_dir: str):
+    """Table profiler over orders: per-column rows / nulls / EXACT
+    distinct / min-max (numerics as float64 with timestamps as epoch
+    µs, strings as strings).  Shapes per functions/profile.py: block →
+    one row per column for min/max/nulls; exact distinct moves
+    O(Σ per-column distinct) through one (column, value) groupby."""
+    from .profile import profile_parquet
+
+    return profile_parquet(f"{sf_dir}/orders.parquet")
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -5906,6 +5917,7 @@ QUERIES = {
     "props_k_by_type": q_props_k_by_type,
     "source_nucleus_vocab": q_source_nucleus_vocab,
     "rare_token_docs": q_rare_token_docs,
+    "profile_orders": q_profile_orders,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7399,3 +7411,29 @@ ORACLE_SQL["rare_token_docs"] = """
     from t join c using (word)
     group by doc_id
 """
+
+def _profile_col_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"min({col})::double", f"max({col})::double"
+        ms = xs = "cast(null as varchar)"
+    elif kind == "ts":
+        mn, mx = f"min(epoch_us({col}))::double", f"max(epoch_us({col}))::double"
+        ms = xs = "cast(null as varchar)"
+    else:
+        mn = mx = "cast(null as double)"
+        ms, xs = f"min({col})", f"max({col})"
+    return f"""
+      select '{col}' as column, cast(count(*) as bigint) as n_rows,
+             cast(sum(case when {col} is null then 1 else 0 end) as bigint) as n_nulls,
+             cast(count(distinct {col}) as bigint) as n_distinct,
+             {mn} as min_num, {mx} as max_num, {ms} as min_str, {xs} as max_str
+      from orders"""
+
+
+ORACLE_SQL["profile_orders"] = " union all ".join(
+    _profile_col_sql(c, k)
+    for c, k in [
+        ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+        ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+    ]
+)

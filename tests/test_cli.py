@@ -195,3 +195,11 @@ def test_cli_query(tmp_path):
                 "--out", out)
     assert r["ok"] and r["rows"] == 20
     assert pq.read_table(out).num_rows == 20
+
+
+def test_cli_profile():
+    r = run_cli("profile", "/root/testdata/sf0.001/orders.parquet")
+    cols = {p["column"]: p for p in r["profile"]}
+    assert r["ok"] and len(cols) == 6
+    assert cols["o_orderkey"]["n_nulls"] == 0
+    assert cols["o_orderpriority"]["n_distinct"] == 5

@@ -1836,3 +1836,38 @@ def test_window_bucket_count_invariance(ray_session, monkeypatch):
     monkeypatch.setattr(qmod, "CUM_USER_BUCKETS", 3)
     small = qmod.q_user_event_gaps(sf).to_pandas().sort_values("user_id", ignore_index=True)
     assert base.equals(small)
+
+
+def test_profile_parquet_nulls_and_lists(ray_session, tmp_path):
+    """Profiler: exact distinct / null counts on a table with nulls,
+    a float column with near-identical values (string-cast injectivity),
+    and a list column (rows/nulls only, no distinct or ordering)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    t = pa.table({
+        "i": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+        "f": pa.array([0.1, 0.1 + 2**-55, 0.1, None, -3.5], type=pa.float64()),
+        "s": pa.array(["b", None, "a", "a", "zz"], type=pa.string()),
+        "ts": pa.array(
+            np.array([0, 1, 1, 2, 3], dtype="datetime64[us]"), type=pa.timestamp("us")
+        ),
+        "lst": pa.array([[1, 2], None, [], [3], [4]], type=pa.list_(pa.int32())),
+    })
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+
+    from fileconvert_ray.functions.profile import profile_parquet
+
+    prof = {r["column"]: r for r in profile_parquet(p).to_pylist()}
+    assert prof["i"] == {"column": "i", "n_rows": 5, "n_nulls": 1, "n_distinct": 3,
+                         "min_num": 1.0, "max_num": 5.0, "min_str": None, "max_str": None}
+    assert prof["f"]["n_distinct"] == 3  # 0.1 and 0.1+2^-55 are distinct doubles
+    assert prof["f"]["min_num"] == -3.5
+    assert prof["s"] == {"column": "s", "n_rows": 5, "n_nulls": 1, "n_distinct": 3,
+                         "min_num": None, "max_num": None, "min_str": "a", "max_str": "zz"}
+    assert prof["ts"]["n_distinct"] == 4 and prof["ts"]["max_num"] == 3.0
+    assert prof["lst"]["n_rows"] == 5 and prof["lst"]["n_nulls"] == 1
+    assert prof["lst"]["n_distinct"] == 0 and prof["lst"]["min_num"] is None
