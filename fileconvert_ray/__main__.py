@@ -114,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after writing the split document sets")
     r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
 
+    x = sub.add_parser(
+        "export-range",
+        help="hive-partition a parquet table into key-range buckets (sort-free)",
+    )
+    x.add_argument("input", help="parquet file or directory")
+    x.add_argument("--out", required=True)
+    x.add_argument("--by", required=True, help="numeric/temporal partition key")
+    x.add_argument("--partitions", type=int, default=16)
+
     f = sub.add_parser("profile", help="per-column stats of a parquet table")
     f.add_argument("input", help="parquet file or directory")
     f.add_argument("--columns", default=None,
@@ -302,6 +311,13 @@ def main(argv: list[str] | None = None) -> int:
                 encode=not args.no_encode,
                 target_partition_tokens=args.target_partition_tokens,
             )))
+        elif args.cmd == "export-range":
+            from fileconvert_ray.functions.export import range_partition_parquet
+
+            man = range_partition_parquet(
+                args.input, args.out, args.by, n_partitions=args.partitions
+            )
+            print(json.dumps({"ok": True, **man}))
         elif args.cmd == "profile":
             from fileconvert_ray.functions.profile import profile_parquet
 

@@ -203,3 +203,10 @@ def test_cli_profile():
     assert r["ok"] and len(cols) == 6
     assert cols["o_orderkey"]["n_nulls"] == 0
     assert cols["o_orderpriority"]["n_distinct"] == 5
+
+
+def test_cli_export_range(tmp_path):
+    out = str(tmp_path / "rx")
+    r = run_cli("export-range", "/root/testdata/sf0.001/orders.parquet",
+                "--out", out, "--by", "o_totalprice", "--partitions", "4")
+    assert r["ok"] and r["n_rows"] == 1500 and len(r["buckets"]) == 4

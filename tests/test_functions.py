@@ -1871,3 +1871,43 @@ def test_profile_parquet_nulls_and_lists(ray_session, tmp_path):
     assert prof["ts"]["n_distinct"] == 4 and prof["ts"]["max_num"] == 3.0
     assert prof["lst"]["n_rows"] == 5 and prof["lst"]["n_nulls"] == 1
     assert prof["lst"]["n_distinct"] == 0 and prof["lst"]["min_num"] is None
+
+
+def test_range_partition_parquet(ray_session, tmp_path):
+    """Range export: buckets are DISJOINT and ordered by construction
+    (max of bucket i <= boundary i <= min of bucket i+1), counts are
+    complete, sizes are roughly balanced (KLL epsilon), and the
+    manifest matches the layout."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from fileconvert_ray.functions.export import range_partition_parquet
+
+    out = str(tmp_path / "ranges")
+    man = range_partition_parquet(
+        "/root/testdata/sf0.001/orders.parquet", out, "o_totalprice", n_partitions=8
+    )
+    disk = _json.load(open(f"{out}/_range_manifest.json"))
+    assert disk == man
+    total = _pq.read_table("/root/testdata/sf0.001/orders.parquet").num_rows
+    assert man["n_rows"] == total
+
+    bounds = man["boundaries"]
+    prev_max = -float("inf")
+    for bid in sorted(int(b) for b in man["buckets"]):
+        vals = []
+        for fn in _glob.glob(f"{out}/range_bucket={bid}/*.parquet"):
+            vals.extend(_pq.read_table(fn, columns=["o_totalprice"])
+                        .column("o_totalprice").to_pylist())
+        assert len(vals) == man["buckets"][str(bid)]
+        assert min(vals) > prev_max or prev_max == -float("inf")
+        # side="right" assignment: bucket i holds bounds[i-1] <= v < bounds[i]
+        if bid > 0:
+            assert min(vals) >= bounds[bid - 1]
+        if bid < len(bounds):
+            assert max(vals) < bounds[bid]
+        prev_max = max(vals)
+        # balance: no bucket more than 3x its fair share
+        assert man["buckets"][str(bid)] <= 3 * total / len(man["buckets"]) + 8
