@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["range_partition_parquet"]
+__all__ = ["range_partition_parquet", "read_range"]
 
 
 def _as_f64(col, t: pa.DataType) -> np.ndarray:
@@ -96,3 +96,47 @@ def range_partition_parquet(
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(out_dir, "_range_manifest.json"))
     return manifest
+
+
+def read_range(out_dir: str, lo: float | None = None, hi: float | None = None,
+               *, columns: list[str] | None = None):
+    """Read back a ``range_partition_parquet`` layout restricted to
+    key interval [lo, hi) — the manifest prunes whole bucket
+    directories BEFORE any file opens (bucket i spans
+    [boundaries[i-1], boundaries[i])), and a residual row filter
+    trims the two edge buckets.  A selective range touches O(1)
+    directories regardless of table size."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_range_manifest.json")) as f:
+        man = json.load(f)
+    bounds = np.asarray(man["boundaries"], dtype=np.float64)
+    by = man["by"]
+
+    first = 0 if lo is None else int(np.searchsorted(bounds, lo, side="right"))
+    last = len(bounds) if hi is None else int(np.searchsorted(bounds, hi, side="left"))
+    files = []
+    for b in range(first, last + 1):
+        if str(b) not in man["buckets"]:
+            continue
+        d = os.path.join(out_dir, f"range_bucket={b}")
+        files.extend(
+            os.path.join(d, fn) for fn in sorted(os.listdir(d)) if fn.endswith(".parquet")
+        )
+    if not files:
+        return rd.from_items([])
+    ds = rd.read_parquet(files, columns=columns)
+
+    if lo is None and hi is None:
+        return ds
+
+    def trim(batch: pa.Table) -> pa.Table:
+        v = _as_f64(batch.column(by), batch.schema.field(by).type)
+        m = np.ones(len(v), dtype=bool)
+        if lo is not None:
+            m &= v >= lo
+        if hi is not None:
+            m &= v < hi
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(trim, batch_format="pyarrow", zero_copy_batch=True)

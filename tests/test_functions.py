@@ -1911,3 +1911,28 @@ def test_range_partition_parquet(ray_session, tmp_path):
         prev_max = max(vals)
         # balance: no bucket more than 3x its fair share
         assert man["buckets"][str(bid)] <= 3 * total / len(man["buckets"]) + 8
+
+
+def test_read_range_prunes_buckets(ray_session, tmp_path):
+    """read_range touches only the manifest-selected bucket dirs and
+    returns exactly the rows a full-scan filter would."""
+    import pyarrow.parquet as _pq
+
+    from fileconvert_ray.functions.export import range_partition_parquet, read_range
+
+    out = str(tmp_path / "ranges")
+    man = range_partition_parquet(
+        "/root/testdata/sf0.001/orders.parquet", out, "o_totalprice", n_partitions=8
+    )
+    lo, hi = man["boundaries"][2], man["boundaries"][5]
+    got = read_range(out, lo, hi).to_pandas()
+    full = _pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).to_pandas()
+    want = full[(full.o_totalprice >= lo) & (full.o_totalprice < hi)]
+    assert len(got) == len(want)
+    assert sorted(got.o_orderkey) == sorted(want.o_orderkey)
+    # unbounded read returns everything
+    assert read_range(out).count() == len(full)
+    # empty interval
+    assert read_range(out, 1.0, 1.0).count() == 0
