@@ -127,10 +127,11 @@ def read_range(out_dir: str, lo: float | None = None, hi: float | None = None,
         return rd.from_items([])
     ds = rd.read_parquet(files, columns=columns)
 
-    if lo is None and hi is None:
-        return ds
-
     def trim(batch: pa.Table) -> pa.Table:
+        if "range_bucket" in batch.column_names:  # layout metadata, not user data
+            batch = batch.drop_columns(["range_bucket"])
+        if lo is None and hi is None:
+            return batch
         v = _as_f64(batch.column(by), batch.schema.field(by).type)
         m = np.ones(len(v), dtype=bool)
         if lo is not None:

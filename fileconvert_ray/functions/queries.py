@@ -5778,6 +5778,29 @@ def q_profile_orders(sf_dir: str):
     return profile_parquet(f"{sf_dir}/orders.parquet")
 
 
+RANGE_SCAN_LO, RANGE_SCAN_HI = 100_000.0, 200_000.0
+
+
+def q_price_range_scan(sf_dir: str):
+    """Range-layout round trip under the value oracle: orders export
+    into a KLL range-partitioned hive layout, then a manifest-pruned
+    read_range([lo, hi)) — whole bucket dirs are skipped before any
+    file opens (functions/export.py).  The oracle is the equivalent
+    predicate scan, so any mis-bucketed or double-read row breaks
+    value parity."""
+    from .export import range_partition_parquet, read_range
+
+    base = _job_dir(sf_dir, "rangeexp")
+    shutil.rmtree(base, ignore_errors=True)
+    range_partition_parquet(
+        f"{sf_dir}/orders.parquet", base, "o_totalprice", n_partitions=8,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    # (partition_cols strips range_bucket from the file payloads, so the
+    # read returns exactly the three projected columns)
+    return read_range(base, RANGE_SCAN_LO, RANGE_SCAN_HI)
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -5918,6 +5941,7 @@ QUERIES = {
     "source_nucleus_vocab": q_source_nucleus_vocab,
     "rare_token_docs": q_rare_token_docs,
     "profile_orders": q_profile_orders,
+    "price_range_scan": q_price_range_scan,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7437,3 +7461,9 @@ ORACLE_SQL["profile_orders"] = " union all ".join(
         ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
     ]
 )
+
+ORACLE_SQL["price_range_scan"] = f"""
+    select o_orderkey, o_custkey, o_totalprice
+    from orders
+    where o_totalprice >= {RANGE_SCAN_LO} and o_totalprice < {RANGE_SCAN_HI}
+"""
