@@ -87,8 +87,10 @@ def infer_schema(path: str, opts: CsvOptions | None = None) -> pa.Schema:
     conv = pacsv.ConvertOptions(
         column_types=None, null_values=list(opts.null_values), strings_can_be_null=True
     )
-    # read only the sample block; we don't need the whole file for inference
-    with pacsv.open_csv(path, read_options=read_opts, parse_options=parse_opts, convert_options=pacsv.ConvertOptions(null_values=list(opts.null_values), strings_can_be_null=True, column_types={})) as reader:
+    # read only the sample block; we don't need the whole file for
+    # inference.  input_stream(compression="detect") transparently
+    # decompresses .gz/.zst by extension (R1: compressed CSV sources).
+    with pacsv.open_csv(pa.input_stream(path, compression="detect"), read_options=read_opts, parse_options=parse_opts, convert_options=pacsv.ConvertOptions(null_values=list(opts.null_values), strings_can_be_null=True, column_types={})) as reader:
         batch = reader.read_next_batch()
     sample = pa.Table.from_batches([batch]).slice(0, opts.sample_rows)
 
@@ -137,10 +139,15 @@ def read_csv_dataset(paths, opts: CsvOptions | None = None, schema: pa.Schema | 
     import ray.data as rd
 
     opts = opts or CsvOptions()
-    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    plist = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    first = plist[0]
     if schema is None:
         schema = resolve_schema(first, opts)
     keep = _projection(schema.names, opts)
+    gz = [str(p).endswith(".gz") for p in plist]
+    if any(gz) and not all(gz):
+        raise ValueError("mix of gzip and plain CSV paths in one read")
+    extra = {"arrow_open_stream_args": {"compression": "gzip"}} if all(gz) else {}
     ds = rd.read_csv(
         paths,
         read_options=pacsv.ReadOptions(skip_rows=opts.skip_rows),
@@ -151,6 +158,7 @@ def read_csv_dataset(paths, opts: CsvOptions | None = None, schema: pa.Schema | 
             strings_can_be_null=True,
             include_columns=keep,
         ),
+        **extra,
     )
     new_names = sanitize_columns(keep, opts.renames, opts.sanitize)
     if new_names != keep:

@@ -81,3 +81,26 @@ def test_null_sentinels(ray_session, fixture_csv):
     df = read_csv_dataset(fixture_csv).to_pandas()
     # i%4 in (0,1,2) -> null note ('' / NULL / NA)
     assert df["note"].isna().sum() == 750
+
+
+def test_gzip_csv_source(ray_session, fixture_csv, tmp_path):
+    """R1 conformance for compressed sources: a .csv.gz reads to the
+    SAME typed table as the plain file (inference included), and mixed
+    gz/plain path lists are rejected."""
+    import gzip
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    gz = str(tmp_path / "fixture.csv.gz")
+    with open(fixture_csv, "rb") as src, gzip.open(gz, "wb") as dst:
+        _shutil.copyfileobj(src, dst)
+
+    assert infer_schema(gz) == infer_schema(fixture_csv)
+
+    plain = read_csv_dataset(fixture_csv).to_pandas()
+    comp = read_csv_dataset(gz).to_pandas()
+    assert plain.equals(comp)
+
+    with _pytest.raises(ValueError, match="mix of gzip"):
+        read_csv_dataset([fixture_csv, gz])
