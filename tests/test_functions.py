@@ -1936,3 +1936,39 @@ def test_read_range_prunes_buckets(ray_session, tmp_path):
     assert read_range(out).count() == len(full)
     # empty interval
     assert read_range(out, 1.0, 1.0).count() == 0
+
+
+def test_json_int_field_property():
+    """Property: for randomly generated flat JSON objects (string values
+    may contain quotes/braces/'\"k\":' decoys), json_int_field == the
+    json.loads truth."""
+    import json
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fileconvert_ray.functions.jsonextract import json_int_field
+
+    scalar = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.booleans(),
+        st.none(),
+        st.text(max_size=20),
+    )
+    obj = st.dictionaries(st.text(min_size=1, max_size=8), scalar, max_size=5)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(obj, min_size=1, max_size=20))
+    def check(objs):
+        rows = [json.dumps(o) for o in objs]
+        got = json_int_field(pa.array(rows, type=pa.string()), "k").to_pylist()
+        want = [
+            o.get("k") if isinstance(o.get("k"), int) and not isinstance(o.get("k"), bool)
+            else None
+            for o in objs
+        ]
+        assert got == want
+
+    check()
