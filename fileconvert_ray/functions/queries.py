@@ -5801,6 +5801,98 @@ def q_price_range_scan(sf_dir: str):
     return read_range(base, RANGE_SCAN_LO, RANGE_SCAN_HI)
 
 
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: yearly shipped revenue between two nations in
+    both directions.  The nation pair is data-derived deterministically
+    (the two nations with the most suppliers, name tie-break) so the
+    query is non-degenerate at every scale; both sides compute the
+    identical pair.  Supplier-nation resolves through a broadcast LUT
+    (supplier is O(SF x 10), dwarfed by lineitem) and FILTERS the fact
+    stream to the two nations before any exchange; the two big joins
+    (lineitem x orders on orderkey, then x customer on custkey) are
+    co-partitioned hash_joins carrying 24 B/row; the final rollup is
+    O(2 x years).  Exact 1e-4-dollar revenue."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    name_lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    name_lut[nkeys] = nname
+    skeys = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    s_ord = np.argsort(skeys)
+    s_nation = name_lut[sup.column("s_nationkey").to_numpy().astype(np.int64)][s_ord]
+    sref = ray.put((skeys[s_ord], s_nation))
+    # deterministic non-degenerate pair: most suppliers, name tie-break
+    un, uc = np.unique(s_nation.astype(str), return_counts=True)
+    top = un[np.lexsort((un, -uc))][:2]
+    nation_a, nation_b = str(top[0]), str(top[1])
+    # customer nationkey -> name LUT is O(nations); customer itself joins big
+    nref = ray.put((nkeys, nname))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def widen_supp(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(sref)
+        idx = np.searchsorted(keys, batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+        sn = names[idx]
+        keep = (sn == nation_a) | (sn == nation_b)
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        micros = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[keep]
+        years = (1970 + micros.astype("datetime64[us]").astype("datetime64[Y]").astype(
+            np.int64
+        )).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "supp_nation": pa.array(sn[keep], type=pa.string()),
+                "l_year": pa.array(years),
+                "rev_e4": pa.array(np.floor(p * (1 - d) * 10_000 + 0.5).astype(np.int64)),
+            }
+        )
+
+    fact = li.map_batches(widen_supp, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(fact, orders, left_on="l_orderkey", right_on="o_orderkey",
+                   right_cols=["o_custkey"], n_buckets=32)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, left_on="r_o_custkey", right_on="c_custkey",
+                   right_cols=["c_nationkey"], n_buckets=32)
+
+    def widen_cust(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(nref)
+        lut = np.empty(int(keys.max()) + 1, dtype=object)
+        lut[keys] = names
+        cn = lut[batch.column("r_c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)]
+        sn = batch.column("supp_nation").to_numpy(zero_copy_only=False)
+        keep = ((cn == nation_a) | (cn == nation_b)) & (cn != sn)
+        return pa.Table.from_pydict(
+            {
+                "supp_nation": pa.array(sn[keep], type=pa.string()),
+                "cust_nation": pa.array(cn[keep], type=pa.string()),
+                "l_year": pc.cast(batch.column("l_year"), pa.int64()).filter(pa.array(keep)),
+                "rev_e4": pc.cast(batch.column("rev_e4"), pa.int64()).filter(pa.array(keep)),
+            }
+        )
+
+    return _sum_groupby(
+        j2.map_batches(widen_cust, batch_format="pyarrow", zero_copy_batch=True),
+        ["supp_nation", "cust_nation", "l_year"], ["rev_e4"],
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -5942,6 +6034,7 @@ QUERIES = {
     "rare_token_docs": q_rare_token_docs,
     "profile_orders": q_profile_orders,
     "price_range_scan": q_price_range_scan,
+    "nation_trade_volume": q_nation_trade_volume,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7466,4 +7559,25 @@ ORACLE_SQL["price_range_scan"] = f"""
     select o_orderkey, o_custkey, o_totalprice
     from orders
     where o_totalprice >= {RANGE_SCAN_LO} and o_totalprice < {RANGE_SCAN_HI}
+"""
+
+ORACLE_SQL["nation_trade_volume"] = """
+    with sc as (select n_name, count(*) as c
+                from supplier join nation on n_nationkey = s_nationkey
+                group by n_name),
+    top2 as (select n_name from sc order by c desc, n_name limit 2)
+    select n1.n_name as supp_nation, n2.n_name as cust_nation,
+           cast(extract(year from l_shipdate) as bigint) as l_year,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                         as bigint)) as bigint) as rev_e4
+    from lineitem
+    join supplier on s_suppkey = l_suppkey
+    join nation n1 on n1.n_nationkey = s_nationkey
+    join orders on o_orderkey = l_orderkey
+    join customer on c_custkey = o_custkey
+    join nation n2 on n2.n_nationkey = c_nationkey
+    where n1.n_name in (select n_name from top2)
+      and n2.n_name in (select n_name from top2)
+      and n1.n_name <> n2.n_name
+    group by supp_nation, cust_nation, l_year
 """
