@@ -5893,6 +5893,46 @@ def q_nation_trade_volume(sf_dir: str):
     )
 
 
+def q_orders_month_delta(sf_dir: str):
+    """Month-over-month revenue deltas — LAG over an AGGREGATE (the
+    time-series reporting shape): one shuffle-free widen into an
+    O(months) exact-cents groupby, then the lag/delta run over the
+    O(months) driver rows in month order.  month = year*100+mm int64;
+    first month's prev/delta coalesce to 0 on both sides."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        d = micros.astype("datetime64[us]")
+        y = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        mm = (d.astype("datetime64[M]").astype(np.int64) % 12) + 1
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "month": pa.array(y * 100 + mm),
+                "rev_c": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["month"], ["rev_c"],
+    ).to_pandas()  # O(months)
+    agg = agg.sort_values("month", ignore_index=True)
+    rev = agg["rev_c"].to_numpy(dtype=np.int64)
+    prev = np.concatenate(([0], rev[:-1]))
+    return pa.Table.from_pydict(
+        {
+            "month": pa.array(agg["month"].to_numpy(dtype=np.int64)),
+            "rev_c": pa.array(rev),
+            "prev_rev_c": pa.array(prev),
+            "delta_c": pa.array(rev - prev),
+        }
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -6035,6 +6075,7 @@ QUERIES = {
     "profile_orders": q_profile_orders,
     "price_range_scan": q_price_range_scan,
     "nation_trade_volume": q_nation_trade_volume,
+    "orders_month_delta": q_orders_month_delta,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7580,4 +7621,19 @@ ORACLE_SQL["nation_trade_volume"] = """
       and n2.n_name in (select n_name from top2)
       and n1.n_name <> n2.n_name
     group by supp_nation, cust_nation, l_year
+"""
+
+ORACLE_SQL["orders_month_delta"] = """
+    with m as (
+      select cast(extract(year from o_orderdate) * 100
+                  + extract(month from o_orderdate) as bigint) as month,
+             cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
+                  as bigint) as rev_c
+      from orders group by month
+    )
+    select month, rev_c,
+           cast(coalesce(lag(rev_c) over (order by month), 0) as bigint) as prev_rev_c,
+           cast(rev_c - coalesce(lag(rev_c) over (order by month), 0)
+                as bigint) as delta_c
+    from m
 """
