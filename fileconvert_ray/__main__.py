@@ -136,6 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the result as parquet here instead of printing")
     q.add_argument("--limit", type=int, default=20, help="rows to print when not writing")
     q.add_argument("--list", action="store_true", help="list registered query names")
+    q.add_argument("--stats", action="store_true",
+                   help="print ray.data execution stats after the run")
     return p
 
 
@@ -345,12 +347,17 @@ def main(argv: list[str] | None = None) -> int:
                 res.write_parquet(args.out)
                 import pyarrow.dataset as pds
 
-                print(json.dumps({"ok": True, "out": args.out,
-                                  "rows": int(pds.dataset(args.out).count_rows())}))
+                out = {"ok": True, "out": args.out,
+                       "rows": int(pds.dataset(args.out).count_rows())}
+                if args.stats:
+                    out["stats"] = res.stats()[:4000]
+                print(json.dumps(out))
                 return 0
             if isinstance(res, ray.data.Dataset):
                 df = res.limit(args.limit).to_pandas()
                 n = None  # avoid a second full pass just to count
+                if args.stats:
+                    print(res.stats()[:4000], file=__import__("sys").stderr)
             else:
                 df = res.to_pandas() if isinstance(res, pa.Table) else pd.DataFrame(res)
                 n = int(len(df))
