@@ -5772,10 +5772,25 @@ def q_profile_orders(sf_dir: str):
     distinct / min-max (numerics as float64 with timestamps as epoch
     µs, strings as strings).  Shapes per functions/profile.py: block →
     one row per column for min/max/nulls; exact distinct moves
-    O(Σ per-column distinct) through one (column, value) groupby."""
+    O(Σ per-column distinct) through one (column, value) groupby.
+    Nulls coalesce to -1 / '' for the value-hash compare (NaN != NaN —
+    the orders_full_customer protocol); the library function keeps
+    real nulls."""
     from .profile import profile_parquet
 
-    return profile_parquet(f"{sf_dir}/orders.parquet")
+    t = profile_parquet(f"{sf_dir}/orders.parquet")
+    return pa.Table.from_pydict(
+        {
+            "column": t.column("column"),
+            "n_rows": t.column("n_rows"),
+            "n_nulls": t.column("n_nulls"),
+            "n_distinct": t.column("n_distinct"),
+            "min_num": pc.fill_null(t.column("min_num"), -1.0),
+            "max_num": pc.fill_null(t.column("max_num"), -1.0),
+            "min_str": pc.fill_null(t.column("min_str"), ""),
+            "max_str": pc.fill_null(t.column("max_str"), ""),
+        }
+    )
 
 
 RANGE_SCAN_LO, RANGE_SCAN_HI = 100_000.0, 200_000.0
@@ -7573,12 +7588,12 @@ ORACLE_SQL["rare_token_docs"] = """
 def _profile_col_sql(col: str, kind: str) -> str:
     if kind == "num":
         mn, mx = f"min({col})::double", f"max({col})::double"
-        ms = xs = "cast(null as varchar)"
+        ms = xs = "''"
     elif kind == "ts":
         mn, mx = f"min(epoch_us({col}))::double", f"max(epoch_us({col}))::double"
-        ms = xs = "cast(null as varchar)"
+        ms = xs = "''"
     else:
-        mn = mx = "cast(null as double)"
+        mn = mx = "cast(-1 as double)"
         ms, xs = f"min({col})", f"max({col})"
     return f"""
       select '{col}' as column, cast(count(*) as bigint) as n_rows,
