@@ -5948,6 +5948,42 @@ def q_orders_month_delta(sf_dir: str):
     )
 
 
+def q_token_zipf_fit(sf_dir: str):
+    """Least-squares Zipf fit over the token frequency spectrum:
+    slope/intercept of ln(freq) ~ ln(rank), ranks by (cnt desc, token
+    asc).  The distributed part is the O(vocab) token histogram; the
+    fit runs over the bounded O(vocab) rows with every per-term value
+    rounded to 1e-3 fixed point BEFORE the sums (int64-exact,
+    order-independent — the source_kl protocol), so the oracle's
+    window-ranked version matches bit-for-bit.  The final slope /
+    intercept combine the exact integer sums in a fixed sequence of
+    float64 ops, rounded to 1e-6."""
+    hist = q_token_histogram(sf_dir).to_pandas()  # O(vocab)
+    tok = hist["token"].to_numpy(dtype=np.int64)
+    cnt = hist["cnt"].to_numpy(dtype=np.int64)
+    order = np.lexsort((tok, -cnt))
+    c = cnt[order].astype(np.float64)
+    r = np.arange(1, len(c) + 1, dtype=np.float64)
+    xi = np.floor(np.log(r) * 1e3 + 0.5).astype(np.int64)
+    yi = np.floor(np.log(c) * 1e3 + 0.5).astype(np.int64)
+    n = np.int64(len(c))
+    sx, sy = int(xi.sum()), int(yi.sum())
+    sxy, sxx = int((xi * yi).sum()), int((xi * xi).sum())
+    slope = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        float(n) * float(sxx) - float(sx) * float(sx)
+    )
+    slope = np.floor(slope * 1e6 + 0.5) / 1e6
+    intercept = (float(sy) / 1e3 - slope * (float(sx) / 1e3)) / float(n)
+    intercept = np.floor(intercept * 1e6 + 0.5) / 1e6
+    return pa.Table.from_pydict(
+        {
+            "vocab": pa.array([int(n)], type=pa.int64()),
+            "slope": pa.array([float(slope)], type=pa.float64()),
+            "intercept": pa.array([float(intercept)], type=pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -6091,6 +6127,7 @@ QUERIES = {
     "price_range_scan": q_price_range_scan,
     "nation_trade_volume": q_nation_trade_volume,
     "orders_month_delta": q_orders_month_delta,
+    "token_zipf_fit": q_token_zipf_fit,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7651,4 +7688,27 @@ ORACLE_SQL["orders_month_delta"] = """
            cast(rev_c - coalesce(lag(rev_c) over (order by month), 0)
                 as bigint) as delta_c
     from m
+"""
+
+ORACLE_SQL["token_zipf_fit"] = f"""
+    with h as ({ORACLE_SQL["token_histogram"]}),
+    r as (select cast(row_number() over (order by cnt desc, token asc)
+                      as bigint) as rnk, cnt from h),
+    t as (select cast(floor(ln(rnk) * 1e3 + 0.5) as bigint) as xi,
+                 cast(floor(ln(cnt) * 1e3 + 0.5) as bigint) as yi
+          from r),
+    s as (select cast(count(*) as bigint) as n,
+                 cast(sum(xi) as bigint) as sx, cast(sum(yi) as bigint) as sy,
+                 cast(sum(xi * yi) as bigint) as sxy,
+                 cast(sum(xi * xi) as bigint) as sxx
+          from t),
+    k as (select n, sx, sy,
+                 floor((n::double * sxy::double - sx::double * sy::double)
+                       / (n::double * sxx::double - sx::double * sx::double)
+                       * 1e6 + 0.5) / 1e6 as slope
+          from s)
+    select n as vocab, slope,
+           floor((sy::double / 1e3 - slope * (sx::double / 1e3)) / n::double
+                 * 1e6 + 0.5) / 1e6 as intercept
+    from k
 """
