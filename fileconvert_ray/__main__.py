@@ -114,6 +114,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after writing the split document sets")
     r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
 
+    so = sub.add_parser(
+        "sort",
+        help="globally sort a parquet table (output files are range-ordered "
+        "by name: the writer embeds the block index)",
+    )
+    so.add_argument("input", help="parquet file or directory")
+    so.add_argument("--out", required=True)
+    so.add_argument("--by", required=True, help="sort key column")
+    so.add_argument("--desc", action="store_true")
+
     x = sub.add_parser(
         "export-range",
         help="hive-partition a parquet table into key-range buckets (sort-free)",
@@ -313,6 +323,16 @@ def main(argv: list[str] | None = None) -> int:
                 encode=not args.no_encode,
                 target_partition_tokens=args.target_partition_tokens,
             )))
+        elif args.cmd == "sort":
+            import pyarrow.dataset as pds
+            import ray.data as rd
+
+            ds = rd.read_parquet(args.input).sort(args.by, descending=args.desc)
+            ds.write_parquet(args.out)
+            print(json.dumps({
+                "ok": True, "out": args.out,
+                "rows": int(pds.dataset(args.out).count_rows()),
+            }))
         elif args.cmd == "export-range":
             from fileconvert_ray.functions.export import range_partition_parquet
 

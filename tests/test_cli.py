@@ -210,3 +210,20 @@ def test_cli_export_range(tmp_path):
     r = run_cli("export-range", "/root/testdata/sf0.001/orders.parquet",
                 "--out", out, "--by", "o_totalprice", "--partitions", "4")
     assert r["ok"] and r["n_rows"] == 1500 and len(r["buckets"]) == 4
+
+
+def test_cli_sort_global_order(tmp_path):
+    """sort subcommand: name-sorted output files hold a globally sorted
+    sequence (the writer embeds the block index in the filename)."""
+    out = str(tmp_path / "sorted")
+    r = run_cli("sort", "/root/testdata/sf0.001/orders.parquet",
+                "--out", out, "--by", "o_totalprice")
+    assert r["ok"] and r["rows"] == 1500
+    prev = float("-inf")
+    for fn in sorted(os.listdir(out)):
+        v = pq.read_table(os.path.join(out, fn), columns=["o_totalprice"])
+        v = v.column("o_totalprice").to_numpy()
+        if not len(v):
+            continue
+        assert v[0] >= prev and (v[1:] >= v[:-1]).all()
+        prev = v[-1]
