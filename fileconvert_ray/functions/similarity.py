@@ -31,6 +31,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.where(norm == 0, 1, norm)
 
 
+
+def _topk_group(group: pa.Table, k: int, score_col: str = "score",
+                descending: bool = True) -> pa.Table:
+    """Per-group top-k as one numpy lexsort + take — no pandas in the
+    map_groups hot path (ties break by nid asc, same as the oracles)."""
+    sc = group.column(score_col).to_numpy(zero_copy_only=False)
+    nid = group.column("nid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((nid, -sc if descending else sc))[:k]
+    return group.take(pa.array(order.astype(np.int64)))
+
+
 def knn_search(ds, query_ref, k: int = 5, *, id_col: str = "vec_id", emb_col: str = "embedding"):
     """Top-k cosine neighbors for each broadcast query vector.
 
@@ -68,8 +79,7 @@ def knn_search(ds, query_ref, k: int = 5, *, id_col: str = "vec_id", emb_col: st
         )
 
     def topk(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["score", "nid"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _topk_group(group, k)
 
     return (
         ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
@@ -145,8 +155,7 @@ def ivf_knn(ds, index_ref, k: int = 5, *, id_col: str = "vec_id", emb_col: str =
         )
 
     def topk(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["score", "nid"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _topk_group(group, k)
 
     return (
         ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
@@ -232,8 +241,7 @@ def ivf_knn_partitioned(index_dir: str, index_ref, k: int = 5, *, id_col: str = 
         )
 
     def topk(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["score", "nid"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _topk_group(group, k)
 
     out = (
         ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
@@ -578,8 +586,7 @@ def pq_knn(ds, cb_ref, query_ref, k: int = 5, *, id_col: str = "vec_id",
         )
 
     def topk(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["adc_dist", "nid"]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _topk_group(group, k, score_col="adc_dist", descending=False)
 
     return (
         ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
