@@ -1470,11 +1470,13 @@ def q_pmi_top_contexts(sf_dir: str):
         )
 
     def final(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(
-            ["pmi", "t2"], ascending=[False, True], ignore_index=True
-        ).head(PMI_TOP_K)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t2v = group.column("t2").to_numpy(zero_copy_only=False)
+        pv = group.column("pmi").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t2v, -pv))[:PMI_TOP_K].astype(np.int64)
+        out = group.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
 
     return (
         pmi_ds.map_batches(partial, batch_format="pyarrow")
@@ -4179,18 +4181,21 @@ def q_top_trigrams_per_source(sf_dir: str):
     )
 
     def topk(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(
-            ["cnt", "tri"], ascending=[False, True], ignore_index=True
-        ).head(TOP_TRI_K)
-        tri = df["tri"].to_numpy(dtype=np.int64)
+        triv = group.column("tri").to_numpy(zero_copy_only=False).astype(np.int64)
+        cntv = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((triv, -cntv))[:TOP_TRI_K].astype(np.int64)
+        tri, cnt = triv[order], cntv[order]
+        src = group.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
         return pa.Table.from_pydict(
             {
-                "source": pa.array(df["source"], type=pa.string()),
-                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+                "source": src.take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
                 "t1": pa.array(tri >> np.int64(42)),
                 "t2": pa.array((tri >> np.int64(21)) & np.int64((1 << 21) - 1)),
                 "t3": pa.array(tri & np.int64((1 << 21) - 1)),
-                "cnt": pa.array(df["cnt"].to_numpy(dtype=np.int64)),
+                "cnt": pa.array(cnt),
             }
         )
 
