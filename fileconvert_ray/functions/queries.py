@@ -1039,7 +1039,10 @@ def q_dup_components(sf_dir: str):
 def q_seeded_sample(sf_dir: str):
     """Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix
     sorts below a cut.  Content-hash sampling is reproducible across
-    runs/cluster sizes and SQL-expressible (unlike RNG sampling)."""
+    runs/cluster sizes and SQL-expressible (unlike RNG sampling).  md5
+    is the DuckDB-parity choice; the at-scale swap is the vectorized
+    hash_strings_u64 (util/hashing.py) with a threshold cut — same
+    shape, one kernel pass (the seeded_shuffle docstring's note)."""
     import hashlib
 
     import ray.data as rd
@@ -2285,7 +2288,10 @@ def q_shipping_priority(sf_dir: str):
         .rename(columns={"r_o_orderdate": "o_orderdate"})
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(top, preserve_index=False)
+    t = pa.Table.from_pandas(top, preserve_index=False)
+    # pin the pandas round-trip's datetime64[s] back to the table's us
+    idx = t.schema.get_field_index("o_orderdate")
+    return t.set_column(idx, "o_orderdate", pc.cast(t.column("o_orderdate"), pa.timestamp("us")))
 
 
 def q_events_in_windows(sf_dir: str):
