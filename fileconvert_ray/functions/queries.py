@@ -5995,6 +5995,41 @@ def q_token_zipf_fit(sf_dir: str):
     )
 
 
+def q_order_lines_histogram(sf_dir: str):
+    """Count-of-counts (the double aggregate): how many orders have
+    exactly n lineitems.  Level 1 is the standard per-batch partial →
+    one O(orders) exchange keyed by orderkey; level 2 re-histograms the
+    per-order counts with per-batch np.unique partials so the second
+    exchange moves O(distinct n) — never O(orders) twice."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "n_lines": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per_order = _sum_groupby(
+        ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], ["n_lines"],
+    )
+
+    def rehist(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_lines").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pa.Table.from_pydict(
+            {"n_lines": pa.array(uniq), "n_orders": pa.array(cnt.astype(np.int64))}
+        )
+
+    return _sum_groupby(
+        per_order.map_batches(rehist, batch_format="pyarrow"), ["n_lines"], ["n_orders"]
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -6139,6 +6174,7 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "orders_month_delta": q_orders_month_delta,
     "token_zipf_fit": q_token_zipf_fit,
+    "order_lines_histogram": q_order_lines_histogram,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7722,4 +7758,11 @@ ORACLE_SQL["token_zipf_fit"] = f"""
            floor((sy::double / 1e3 - slope * (sx::double / 1e3)) / n::double
                  * 1e6 + 0.5) / 1e6 as intercept
     from k
+"""
+
+ORACLE_SQL["order_lines_histogram"] = """
+    with c as (select l_orderkey, cast(count(*) as bigint) as n_lines
+               from lineitem group by l_orderkey)
+    select n_lines, cast(count(*) as bigint) as n_orders
+    from c group by n_lines
 """
