@@ -87,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated source filter (zone-map pruned)")
     d.add_argument("--min-ntok", type=int, default=None)
     d.add_argument("--max-ntok", type=int, default=None)
+    d.add_argument("--columns", default=None,
+                   help="comma-separated projection (skips decoding the rest)")
 
     k = sub.add_parser("pack", help="pack token sequences into fixed-length training rows")
     k.add_argument("input", help="directory/file of tokseq parquet shards")
@@ -273,6 +275,7 @@ def main(argv: list[str] | None = None) -> int:
                 sources=args.sources.split(",") if args.sources else None,
                 min_n_tok=args.min_ntok,
                 max_n_tok=args.max_ntok,
+                columns=args.columns.split(",") if args.columns else None,
             ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
         elif args.cmd == "pack":

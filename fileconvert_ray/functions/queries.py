@@ -2978,7 +2978,10 @@ def q_decode_stats(sf_dir: str):
     """E9 as a streaming consumer: encode the tokseq table, then read
     the encoded containers back as a Dataset (decode_dataset) and
     aggregate per-source stats — oracle-checked against the ORIGINAL
-    documents, so any decode corruption breaks value parity."""
+    documents, so any decode corruption breaks value parity.  The read
+    projects columns=[source, n_tok]: the tokens payload (the bulk of
+    every chunk) is never decoded — read-side pruning applied to the
+    engine's own container format."""
     from ..pipelines.encode_job import EncodeConfig, run_encode
     from ..stages.decoder import decode_dataset
 
@@ -2987,7 +2990,7 @@ def q_decode_stats(sf_dir: str):
     run_encode(
         lambda: tokseq_dataset(sf_dir), EncodeConfig(out_dir=out, target_partition_tokens=200_000)
     ).materialize()
-    ds = decode_dataset(out)
+    ds = decode_dataset(out, columns=["source", "n_tok"])
 
     def widen(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

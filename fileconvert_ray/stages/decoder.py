@@ -21,7 +21,23 @@ from ..codecs import EncodedColumn, decode_array
 from ..sources.tokseq import INPUT_SCHEMA
 
 
-def _decode_chunk(rows: dict[str, list]) -> pa.Table:
+def _needed_encoded(columns: list[str] | None) -> set[str] | None:
+    """Encoded-column names required to materialize ``columns``.
+
+    tokens needs n_tok (offsets are re-derived from it); a list side
+    column ``x`` needs ``x@lens`` + ``x@values``.  None = everything."""
+    if columns is None:
+        return None
+    need = set(columns)
+    if "tokens" in need:
+        need.add("n_tok")
+    for c in list(need):
+        need.add(c + "@lens")
+        need.add(c + "@values")
+    return need
+
+
+def _decode_chunk(rows: dict[str, list], columns: list[str] | None = None) -> pa.Table:
     cols: dict[str, pa.Array] = {}
     for i in range(len(rows["column"])):
         enc = EncodedColumn(
@@ -34,6 +50,30 @@ def _decode_chunk(rows: dict[str, list]) -> pa.Table:
             crc32=rows["crc32"][i],
         )
         cols[enc.column] = decode_array(enc)
+    if columns is not None:
+        # projected decode: assemble ONLY the requested columns
+        built: dict[str, pa.Array] = {}
+        for name in columns:
+            if name == "tokens":
+                lens = cols["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                built[name] = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), cols["tokens"]
+                )
+            elif name + "@values" in cols:
+                lens_arr = cols[name + "@lens"]
+                filled = lens_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+                offs = np.concatenate(([0], np.cumsum(filled)))
+                offsets = pa.array(offs, type=pa.int32())
+                if lens_arr.null_count:
+                    null_mask = np.concatenate(
+                        (~lens_arr.is_valid().to_numpy(zero_copy_only=False), [False])
+                    )
+                    offsets = pa.array(offs, type=pa.int32(), mask=null_mask)
+                built[name] = pa.ListArray.from_arrays(offsets, cols[name + "@values"])
+            else:
+                built[name] = cols[name]
+        return pa.table(built)
     n_tok = cols["n_tok"]
     lens = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens)))
@@ -103,12 +143,20 @@ def decode_container_table(cont: pa.Table) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
-def iter_partition_chunks(container_path: str):
+def iter_partition_chunks(container_path: str, columns: list[str] | None = None):
     """Stream-decode a container file ROW GROUP by row group — the
     writer emits one row group per chunk, so peak transient memory is
     one chunk's payloads + its decoded rows, not the whole container.
     A chunk spanning row groups (containers written before the
-    one-rg-per-chunk layout) is carried over and decoded whole."""
+    one-rg-per-chunk layout) is carried over and decoded whole.
+
+    ``columns`` prunes at DECODE granularity: each encoded column is
+    its own container row, so unrequested columns' payloads are never
+    copied out nor run through their codec (a stats consumer skipping
+    ``tokens`` skips ~90% of the decode work).  The row-group bytes
+    still stream from disk — pruning cuts CPU + heap, not container
+    I/O (one row group interleaves all columns of a chunk)."""
+    needed = _needed_encoded(columns)
     pf = pq.ParquetFile(container_path)
     n_rg = pf.metadata.num_row_groups
     pending: pa.Table | None = None
@@ -129,7 +177,9 @@ def iter_partition_chunks(container_path: str):
             bounds = bounds[:-1]
         for i, j in zip(bounds[:-1], bounds[1:]):
             sub = t.slice(int(i), int(j - i))
-            yield _decode_chunk({k: sub.column(k).to_pylist() for k in _CHUNK_COLS})
+            if needed is not None:
+                sub = sub.filter(pc.is_in(sub.column("column"), value_set=pa.array(sorted(needed))))
+            yield _decode_chunk({k: sub.column(k).to_pylist() for k in _CHUNK_COLS}, columns)
 
 
 def read_partition(container_path: str) -> pa.Table:
@@ -178,13 +228,16 @@ def decode_dataset(
     sources: list[str] | None = None,
     min_n_tok: int | None = None,
     max_n_tok: int | None = None,
+    columns: list[str] | None = None,
 ):
     """Completed partitions as a streaming decoded Dataset (E9).
 
     With a predicate, manifest zone maps prune whole partitions before
     any container is opened (prune_partitions), and the surviving rows
     are filtered vectorized after decode — the residual filter keeps
-    semantics exact while the zone maps cut the I/O."""
+    semantics exact while the zone maps cut the I/O.  ``columns``
+    prunes at decode granularity (see iter_partition_chunks): columns
+    a predicate needs are decoded for the filter, then dropped."""
     import ray.data as rd
 
     from ..state.manifest import JobDirs, completed_partitions
@@ -199,20 +252,30 @@ def decode_dataset(
         part_ids = sorted(completed_partitions(out_dir))
     paths = [dirs.container_path(p) for p in part_ids]
 
+    decode_cols = columns
+    extra: list[str] = []
+    if columns is not None and filtered:
+        if (min_n_tok is not None or max_n_tok is not None) and "n_tok" not in columns:
+            extra.append("n_tok")
+        if sources is not None and "source" not in columns:
+            extra.append("source")
+        decode_cols = list(columns) + extra
+
     def decode(batch: pa.Table):
         # one task per container file; GENERATOR udf — each encoded
         # chunk is yielded as its own output batch, so the task's peak
         # memory is one chunk, not the whole partition (streamed row
         # groups via iter_partition_chunks)
         for p in batch.column("path").to_pylist():
-            for t in iter_partition_chunks(p):
+            for t in iter_partition_chunks(p, decode_cols):
                 if filtered:
                     mask = np.ones(t.num_rows, dtype=bool)
-                    nt = t.column("n_tok").to_numpy(zero_copy_only=False)
-                    if min_n_tok is not None:
-                        mask &= nt >= min_n_tok
-                    if max_n_tok is not None:
-                        mask &= nt <= max_n_tok
+                    if min_n_tok is not None or max_n_tok is not None:
+                        nt = t.column("n_tok").to_numpy(zero_copy_only=False)
+                        if min_n_tok is not None:
+                            mask &= nt >= min_n_tok
+                        if max_n_tok is not None:
+                            mask &= nt <= max_n_tok
                     if sources is not None:
                         mask &= pc.is_in(
                             t.column("source"), value_set=pa.array(sources)
@@ -221,6 +284,8 @@ def decode_dataset(
                         t = t.filter(pa.array(mask))
                     if t.num_rows == 0:
                         continue
+                if extra:
+                    t = t.drop_columns(extra)
                 yield t
 
     return rd.from_items([{"path": p} for p in paths]).map_batches(

@@ -526,3 +526,50 @@ def test_staged_dir_override_roundtrip(ray_session, sf_dir, out_dir, tmp_path):
     assert not os.listdir(os.path.join(out_dir, "staged"))
     v = run_verify(factory, out_dir).to_pandas()
     assert v["ok"].all()
+
+
+def test_projected_decode(ray_session, sf_dir, out_dir):
+    """decode_dataset(columns=...) equals the full decode's projection;
+    the tokens payload is genuinely skipped (decode_array never sees
+    the tokens column), and predicate columns decode for the filter
+    then drop."""
+    from unittest import mock
+
+    from fileconvert_ray.stages import decoder as dec
+    from fileconvert_ray.stages.decoder import decode_dataset, iter_partition_chunks
+    from fileconvert_ray.state.manifest import JobDirs, completed_partitions
+
+    run_encode(
+        lambda: tokseq_dataset(sf_dir), EncodeConfig(out_dir=out_dir, target_partition_tokens=2000)
+    ).materialize()
+
+    full = decode_dataset(out_dir).to_pandas().sort_values("doc_id", ignore_index=True)
+
+    proj = (
+        decode_dataset(out_dir, columns=["doc_id", "n_tok", "source"])
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert list(proj.columns) == ["doc_id", "n_tok", "source"]
+    assert proj.equals(full[["doc_id", "n_tok", "source"]])
+
+    # predicate + projection: filter column decodes, then drops
+    sub = (
+        decode_dataset(out_dir, sources=["src0"], columns=["doc_id"])
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    want = full[full.source == "src0"]["doc_id"].sort_values(ignore_index=True)
+    assert sub["doc_id"].tolist() == want.tolist()
+
+    # the pruned path never decodes the tokens payload
+    path = JobDirs(out_dir).container_path(sorted(completed_partitions(out_dir))[0])
+    seen = []
+    real = dec.decode_array
+
+    def spy(enc):
+        seen.append(enc.column)
+        return real(enc)
+
+    with mock.patch.object(dec, "decode_array", side_effect=spy):
+        t = next(iter_partition_chunks(path, ["doc_id", "n_tok"]))
+    assert set(t.column_names) == {"doc_id", "n_tok"}
+    assert "tokens" not in seen
