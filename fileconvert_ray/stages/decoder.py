@@ -143,7 +143,24 @@ def decode_container_table(cont: pa.Table) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
-def iter_partition_chunks(container_path: str, columns: list[str] | None = None):
+def _chunk_zone_skip(sub: pa.Table, n_tok_range) -> bool:
+    """True when the chunk's n_tok zone (written by the encoder into
+    the n_tok row's params) proves no row matches [lo, hi].  Chunks
+    from pre-zone containers have no keys and never skip."""
+    lo, hi = n_tok_range
+    names = sub.column("column").to_pylist()
+    try:
+        i = names.index("n_tok")
+    except ValueError:
+        return False
+    p = json.loads(sub.column("params")[i].as_py())
+    if "zmin" not in p:
+        return False
+    return (lo is not None and p["zmax"] < lo) or (hi is not None and p["zmin"] > hi)
+
+
+def iter_partition_chunks(container_path: str, columns: list[str] | None = None,
+                          n_tok_range: tuple[int | None, int | None] | None = None):
     """Stream-decode a container file ROW GROUP by row group — the
     writer emits one row group per chunk, so peak transient memory is
     one chunk's payloads + its decoded rows, not the whole container.
@@ -177,6 +194,8 @@ def iter_partition_chunks(container_path: str, columns: list[str] | None = None)
             bounds = bounds[:-1]
         for i, j in zip(bounds[:-1], bounds[1:]):
             sub = t.slice(int(i), int(j - i))
+            if n_tok_range is not None and _chunk_zone_skip(sub, n_tok_range):
+                continue  # chunk zone map proves no row matches
             if needed is not None:
                 sub = sub.filter(pc.is_in(sub.column("column"), value_set=pa.array(sorted(needed))))
             yield _decode_chunk({k: sub.column(k).to_pylist() for k in _CHUNK_COLS}, columns)
@@ -266,8 +285,13 @@ def decode_dataset(
         # chunk is yielded as its own output batch, so the task's peak
         # memory is one chunk, not the whole partition (streamed row
         # groups via iter_partition_chunks)
+        rng = (
+            (min_n_tok, max_n_tok)
+            if (min_n_tok is not None or max_n_tok is not None)
+            else None
+        )
         for p in batch.column("path").to_pylist():
-            for t in iter_partition_chunks(p, decode_cols):
+            for t in iter_partition_chunks(p, decode_cols, n_tok_range=rng):
                 if filtered:
                     mask = np.ones(t.num_rows, dtype=bool)
                     if min_n_tok is not None or max_n_tok is not None:

@@ -59,6 +59,27 @@ CONTAINER_SCHEMA = pa.schema(
 
 COLUMNS = ("doc_id", "source", "n_tok", "tokens")
 
+
+def _ntok_zone(sub: pa.Table) -> tuple[int, int] | None:
+    """Chunk-granular zone map: (min, max) of the chunk's n_tok.  Rides
+    the n_tok row's params JSON (decode_array ignores unknown keys, so
+    containers stay readable by any decoder version)."""
+    if "n_tok" not in sub.column_names or sub.num_rows == 0:
+        return None
+    mm = pc.min_max(sub.column("n_tok"))
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
+def _params_json(ec, zone: tuple[int, int] | None) -> str:
+    if zone is not None and ec.column == "n_tok":
+        p = dict(ec.params)
+        p["zmin"], p["zmax"] = zone
+        return json.dumps(p)
+    return json.dumps(ec.params)
+
 # metadata rows that replace payload-bearing chunk rows in the shuffle
 # when the staged external shuffle is on: the groupby moves O(chunks)
 # tiny rows while payloads wait on disk for exactly one read
@@ -264,13 +285,14 @@ class ChunkEncoder:
                 source_key=source,
                 choice_registry=self.choice_registry,
             )
+            zone = _ntok_zone(sub)
             for ec in encoded:
                 cols["part_id"].append(part_id)
                 cols["source"].append(source)
                 cols["chunk_uid"].append(chunk_uid)
                 cols["column"].append(ec.column)
                 cols["codec"].append(ec.codec)
-                cols["params"].append(json.dumps(ec.params))
+                cols["params"].append(_params_json(ec, zone))
                 cols["payload"].append(ec.payload)
                 cols["n_values"].append(ec.n_values)
                 cols["n_rows"].append(sub.num_rows)
@@ -597,13 +619,14 @@ class PartitionWriter:
                 choice_registry=self.choice_registry,
             )
             chunk_uid = uuid.uuid4().hex
+            zone = _ntok_zone(sub)
             for ec in encoded:
                 cols["part_id"].append(part_id)
                 cols["source"].append(source)
                 cols["chunk_uid"].append(chunk_uid)
                 cols["column"].append(ec.column)
                 cols["codec"].append(ec.codec)
-                cols["params"].append(json.dumps(ec.params))
+                cols["params"].append(_params_json(ec, zone))
                 cols["payload"].append(ec.payload)
                 cols["n_values"].append(ec.n_values)
                 cols["n_rows"].append(sub.num_rows)

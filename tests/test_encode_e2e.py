@@ -573,3 +573,32 @@ def test_projected_decode(ray_session, sf_dir, out_dir):
         t = next(iter_partition_chunks(path, ["doc_id", "n_tok"]))
     assert set(t.column_names) == {"doc_id", "n_tok"}
     assert "tokens" not in seen
+
+
+def test_chunk_zone_map_skips_decode(ray_session, sf_dir, out_dir):
+    """Chunk-granular zone maps: a selective n_tok range decodes FEWER
+    chunks than a full scan (the skip happens before any payload is
+    touched) while decode_dataset's filtered result stays exact."""
+    from fileconvert_ray.stages.decoder import decode_dataset, iter_partition_chunks
+    from fileconvert_ray.state.manifest import JobDirs, completed_partitions
+
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out_dir, target_partition_tokens=20000, compact_chunk_tokens=500),
+    ).materialize()
+
+    dirs = JobDirs(out_dir)
+    paths = [dirs.container_path(p) for p in sorted(completed_partitions(out_dir))]
+    n_all = sum(1 for p in paths for _ in iter_partition_chunks(p))
+    hi_cut = 90
+    n_rng = sum(1 for p in paths for _ in iter_partition_chunks(p, n_tok_range=(hi_cut, None)))
+    assert 0 < n_rng < n_all  # chunks actually skipped
+
+    got = (
+        decode_dataset(out_dir, min_n_tok=hi_cut)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    ref = decode_dataset(out_dir).to_pandas()
+    ref = ref[ref.n_tok >= hi_cut].sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["n_tok"].tolist() == ref["n_tok"].tolist()
