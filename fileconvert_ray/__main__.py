@@ -116,6 +116,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after writing the split document sets")
     r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
 
+    lk = sub.add_parser(
+        "lookup",
+        help="point-lookup doc ids in an encoded out dir (index-free: the "
+        "partition is hash(doc_id) %% buckets)",
+    )
+    lk.add_argument("out_dir", help="the encode out dir")
+    lk.add_argument("--ids", required=True, help="comma-separated doc ids")
+    lk.add_argument("--sources", default=None,
+                    help="comma-separated source hint (fanout 1 per id)")
+    lk.add_argument("--to", default=None, help="write hits as parquet here")
+
     so = sub.add_parser(
         "sort",
         help="globally sort a parquet table (output files are range-ordered "
@@ -326,6 +337,30 @@ def main(argv: list[str] | None = None) -> int:
                 encode=not args.no_encode,
                 target_partition_tokens=args.target_partition_tokens,
             )))
+        elif args.cmd == "lookup":
+            from fileconvert_ray.stages.decoder import lookup_docs
+
+            t = lookup_docs(
+                args.out_dir, args.ids.split(","),
+                sources=args.sources.split(",") if args.sources else None,
+            )
+            if args.to:
+                import pyarrow.parquet as pq_
+
+                pq_.write_table(t, args.to)
+                print(json.dumps({"ok": True, "rows": t.num_rows, "out": args.to}))
+            else:
+                print(json.dumps({
+                    "ok": True, "rows": t.num_rows,
+                    "docs": [
+                        {"doc_id": d, "n_tok": n, "source": s}
+                        for d, n, s in zip(
+                            t.column("doc_id").to_pylist(),
+                            t.column("n_tok").to_pylist(),
+                            t.column("source").to_pylist(),
+                        )
+                    ],
+                }))
         elif args.cmd == "sort":
             import pyarrow.dataset as pds
             import ray.data as rd

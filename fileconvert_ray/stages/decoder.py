@@ -160,7 +160,8 @@ def _chunk_zone_skip(sub: pa.Table, n_tok_range) -> bool:
 
 
 def iter_partition_chunks(container_path: str, columns: list[str] | None = None,
-                          n_tok_range: tuple[int | None, int | None] | None = None):
+                          n_tok_range: tuple[int | None, int | None] | None = None,
+                          only_chunks: set[int] | None = None):
     """Stream-decode a container file ROW GROUP by row group — the
     writer emits one row group per chunk, so peak transient memory is
     one chunk's payloads + its decoded rows, not the whole container.
@@ -174,6 +175,7 @@ def iter_partition_chunks(container_path: str, columns: list[str] | None = None,
     still stream from disk — pruning cuts CPU + heap, not container
     I/O (one row group interleaves all columns of a chunk)."""
     needed = _needed_encoded(columns)
+    ci = -1  # chunk ordinal — deterministic per file, shared across passes
     pf = pq.ParquetFile(container_path)
     n_rg = pf.metadata.num_row_groups
     pending: pa.Table | None = None
@@ -193,6 +195,9 @@ def iter_partition_chunks(container_path: str, columns: list[str] | None = None,
             t = t.slice(0, int(bounds[-2]))
             bounds = bounds[:-1]
         for i, j in zip(bounds[:-1], bounds[1:]):
+            ci += 1
+            if only_chunks is not None and ci not in only_chunks:
+                continue  # two-phase consumer already knows this chunk misses
             sub = t.slice(int(i), int(j - i))
             if n_tok_range is not None and _chunk_zone_skip(sub, n_tok_range):
                 continue  # chunk zone map proves no row matches
@@ -315,3 +320,72 @@ def decode_dataset(
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         decode, batch_format="pyarrow", batch_size=1
     )
+
+
+def lookup_docs(out_dir: str, doc_ids, sources: list[str] | None = None) -> pa.Table:
+    """Point lookup on the encoded corpus — NO index needed: partition
+    assignment is ``hash(doc_id) % buckets(source)`` (stages/partition
+    make_assigner), so each requested id maps to exactly ONE candidate
+    partition per source.  With the source known the fanout is one
+    container; unknown, one container per source — never a scan.
+
+    Within each candidate container the lookup is two-phase: pass 1
+    decodes ONLY the doc_id column (every other payload is skipped —
+    the columns= pruning) to find the chunks that hit; pass 2 re-reads
+    just those chunk ordinals in full.  Ordinals are deterministic per
+    file, so the two passes agree.
+
+    Partitions whose label does not follow the assigner's
+    ``{source}-b{NNNN}`` scheme (e.g. rewritten by compaction) fall
+    back to candidacy for their whole source — correctness never
+    depends on the label arithmetic."""
+    from ..state.manifest import JobDirs, read_manifest_entries
+    from ..util.hashing import hash_strings_u64
+
+    want = sorted({str(d) for d in doc_ids})
+    if not want:
+        return pa.Table.from_pydict({k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA)
+    want_arr = pa.array(want, type=pa.string())
+    hv = hash_strings_u64(want_arr)
+
+    entries = read_manifest_entries(out_dir)
+    dirs = JobDirs(out_dir)
+    by_src: dict[str, list[str]] = {}
+    for pid, rec in entries.items():
+        by_src.setdefault(rec.get("source"), []).append(pid)
+
+    cand: set[str] = set()
+    for src, pids in sorted(by_src.items()):
+        if sources is not None and src not in sources:
+            continue
+        k = len(pids)
+        sans = {p.rsplit("-b", 1)[0] for p in pids if "-b" in p}
+        if k == 0 or len(sans) != 1 or any("-b" not in p for p in pids):
+            cand.update(pids)  # non-scheme labels: whole-source fallback
+            continue
+        san = next(iter(sans))
+        pidset = set(pids)
+        for h in (hv % np.uint64(k)).tolist():
+            label = f"{san}-b{int(h):04d}"
+            if label in pidset:
+                cand.add(label)
+            else:
+                cand.update(pids)  # bucket count drifted: fallback
+                break
+
+    out: list[pa.Table] = []
+    for pid in sorted(cand):
+        path = dirs.container_path(pid)
+        hits = {
+            ci
+            for ci, t in enumerate(iter_partition_chunks(path, columns=["doc_id"]))
+            if pc.any(pc.is_in(t.column("doc_id"), value_set=want_arr)).as_py()
+        }
+        if not hits:
+            continue
+        for t in iter_partition_chunks(path, only_chunks=hits):
+            m = pc.is_in(t.column("doc_id"), value_set=want_arr)
+            out.append(t.filter(m))
+    if not out:
+        return pa.Table.from_pydict({k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA)
+    return pa.concat_tables(out).combine_chunks()

@@ -227,3 +227,19 @@ def test_cli_sort_global_order(tmp_path):
             continue
         assert v[0] >= prev and (v[1:] >= v[:-1]).all()
         prev = v[-1]
+
+
+def test_cli_lookup(tmp_path):
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    shard_dir = tmp_path / "toks"
+    shard_dir.mkdir()
+    t = synth_rows(0, 400)
+    pq.write_table(t, str(shard_dir / "part-0.parquet"))
+    enc = str(tmp_path / "enc")
+    run_cli("encode", str(shard_dir), "--out", enc,
+            "--target-partition-tokens", "3000")
+    ids = t.column("doc_id").to_pylist()[:2]
+    r = run_cli("lookup", enc, "--ids", ",".join(ids))
+    assert r["ok"] and r["rows"] == 2
+    assert sorted(d["doc_id"] for d in r["docs"]) == sorted(ids)

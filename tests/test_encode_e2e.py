@@ -602,3 +602,33 @@ def test_chunk_zone_map_skips_decode(ray_session, sf_dir, out_dir):
     ref = ref[ref.n_tok >= hi_cut].sort_values("doc_id", ignore_index=True)
     assert got["doc_id"].tolist() == ref["doc_id"].tolist()
     assert got["n_tok"].tolist() == ref["n_tok"].tolist()
+
+
+def test_lookup_docs_point_access(ray_session, sf_dir, out_dir):
+    """Index-free point lookup: requested doc_ids come back bit-equal
+    to the source rows, a missing id returns nothing, and the candidate
+    set is partitions-per-source, never the whole corpus."""
+    import numpy as np
+
+    from fileconvert_ray.stages.decoder import lookup_docs
+    from fileconvert_ray.state.manifest import completed_partitions
+
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out_dir, target_partition_tokens=2000),
+    ).materialize()
+    src_table = tokseq_table(sf_dir)
+    ids = [src_table.column("doc_id")[i].as_py() for i in (0, 7, 311)]
+
+    got = lookup_docs(out_dir, ids + ["no-such-doc"]).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(ids)
+    ref = src_table.to_pandas().set_index("doc_id")
+    for _, row in got.iterrows():
+        want = ref.loc[row["doc_id"]]
+        assert row["n_tok"] == want["n_tok"] and row["source"] == want["source"]
+        assert np.array_equal(row["tokens"], want["tokens"])
+
+    # with the source known, fanout is one partition per requested id
+    one = lookup_docs(out_dir, [ids[0]], sources=[got["source"].iloc[0]])
+    assert one.num_rows == 1
+    assert len(completed_partitions(out_dir)) > 3  # lookup had real pruning to do
