@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after writing the split document sets")
     r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
 
+    ins = sub.add_parser("inspect", help="summarize an encode out dir from its manifest")
+    ins.add_argument("out_dir")
+
     lk = sub.add_parser(
         "lookup",
         help="point-lookup doc ids in an encoded out dir (index-free: the "
@@ -337,6 +340,32 @@ def main(argv: list[str] | None = None) -> int:
                 encode=not args.no_encode,
                 target_partition_tokens=args.target_partition_tokens,
             )))
+        elif args.cmd == "inspect":
+            from collections import Counter
+
+            from fileconvert_ray.state.manifest import read_manifest_entries
+
+            entries = read_manifest_entries(args.out_dir)  # O(partitions)
+            codecs: Counter = Counter()
+            per_src: Counter = Counter()
+            tot_rows = tot_tok = tot_bytes = 0
+            for rec in entries.values():
+                tot_rows += int(rec.get("n_rows", 0))
+                tot_tok += int(rec.get("n_tokens", 0))
+                tot_bytes += int(rec.get("container_bytes", 0))
+                per_src[rec.get("source", "?")] += 1
+                for col, codec in rec.get("columns", {}).items():
+                    codecs[f"{col}:{codec}"] += 1
+            print(json.dumps({
+                "ok": True,
+                "partitions": len(entries),
+                "sources": len(per_src),
+                "n_rows": tot_rows,
+                "n_tokens": tot_tok,
+                "container_bytes": tot_bytes,
+                "bytes_per_token": (round(tot_bytes / tot_tok, 4) if tot_tok else None),
+                "codec_mix": dict(sorted(codecs.items())),
+            }))
         elif args.cmd == "lookup":
             from fileconvert_ray.stages.decoder import lookup_docs
 

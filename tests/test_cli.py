@@ -243,3 +243,17 @@ def test_cli_lookup(tmp_path):
     r = run_cli("lookup", enc, "--ids", ",".join(ids))
     assert r["ok"] and r["rows"] == 2
     assert sorted(d["doc_id"] for d in r["docs"]) == sorted(ids)
+
+
+def test_cli_inspect(tmp_path):
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    shard_dir = tmp_path / "toks"
+    shard_dir.mkdir()
+    pq.write_table(synth_rows(0, 300), str(shard_dir / "part-0.parquet"))
+    enc = str(tmp_path / "enc")
+    run_cli("encode", str(shard_dir), "--out", enc, "--target-partition-tokens", "5000")
+    r = run_cli("inspect", enc)
+    assert r["ok"] and r["n_rows"] == 300 and r["partitions"] > 1
+    assert r["n_tokens"] > 0 and 0 < r["bytes_per_token"] < 4
+    assert any(k.startswith("tokens:") for k in r["codec_mix"])
