@@ -6033,6 +6033,65 @@ def q_order_lines_histogram(sf_dir: str):
     )
 
 
+PR_DAMP, PR_ITERS = 0.85, 3
+
+
+def q_token_pagerank(sf_dir: str):
+    """Iterative graph algorithm under the value oracle: 3 damped
+    PageRank iterations over the weighted token-bigram graph (edges =
+    adjacent-token counts; dangling mass not redistributed — same
+    simplification on both sides).  Shape: the edge table is the
+    O(distinct bigrams) aggregate (bounded by vocab², never corpus
+    rows) materialized once and re-streamed per iteration; the rank
+    vector is O(vocab), broadcast via ray.put each round; per-edge
+    contributions are fixed-pointed to 1e-12 int64 BEFORE the per-node
+    sum (order-independent exact sums), and the rank update rounds at
+    1e-9 — the identical float64 op sequence the oracle's chained CTEs
+    run, so three iterations stay bit-equal."""
+    import ray
+
+    edges = q_token_bigrams(sf_dir).materialize()  # O(distinct bigrams)
+
+    def wpart(batch: pa.Table) -> pa.Table:
+        return batch.select(["t1", "cnt"])
+
+    wdf = _sum_groupby(
+        edges.map_batches(wpart, batch_format="pyarrow"), ["t1"], ["cnt"]
+    ).to_pandas()  # O(vocab)
+    hist = q_token_histogram(sf_dir).to_pandas()  # O(vocab)
+    tokens = np.sort(hist["token"].to_numpy(dtype=np.int64))
+    V = len(tokens)
+    wv = np.zeros(V, dtype=np.float64)
+    wv[np.searchsorted(tokens, wdf["t1"].to_numpy(dtype=np.int64))] = wdf["cnt"].to_numpy(
+        dtype=np.int64
+    )
+    r = np.full(V, 1.0 / V, dtype=np.float64)
+
+    for _ in range(PR_ITERS):
+        ref = ray.put((tokens, r, wv))
+
+        def term(batch: pa.Table, _ref=ref) -> pa.Table:
+            tk, rv, ww = ray.get(_ref)
+            t1 = batch.column("t1").to_numpy(zero_copy_only=False)
+            cnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+            i1 = np.searchsorted(tk, t1)
+            te = np.floor(rv[i1] * cnt / ww[i1] * 1e12 + 0.5).astype(np.int64)
+            return pa.Table.from_pydict({"t2": batch.column("t2"), "te": pa.array(te)})
+
+        cdf = _sum_groupby(
+            edges.map_batches(term, batch_format="pyarrow"), ["t2"], ["te"]
+        ).to_pandas()  # O(vocab)
+        c = np.zeros(V, dtype=np.float64)
+        c[np.searchsorted(tokens, cdf["t2"].to_numpy(dtype=np.int64))] = cdf["te"].to_numpy(
+            dtype=np.int64
+        )
+        r = np.floor((0.15 / V + PR_DAMP * (c / 1e12)) * 1e9 + 0.5) / 1e9
+
+    return pa.Table.from_pydict(
+        {"token": pa.array(tokens), "rank": pa.array(r, type=pa.float64())}
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -6178,6 +6237,7 @@ QUERIES = {
     "orders_month_delta": q_orders_month_delta,
     "token_zipf_fit": q_token_zipf_fit,
     "order_lines_histogram": q_order_lines_histogram,
+    "token_pagerank": q_token_pagerank,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7769,3 +7829,38 @@ ORACLE_SQL["order_lines_histogram"] = """
     select n_lines, cast(count(*) as bigint) as n_orders
     from c group by n_lines
 """
+
+def _pagerank_iter_sql(i: int) -> str:
+    return f"""
+    t{i}c as (select e.t2 as token,
+                     cast(sum(cast(floor(r.rank * e.cnt / ow.w * 1e12 + 0.5)
+                                   as bigint)) as bigint) as c
+              from e join r{i - 1} r on e.t1 = r.token
+                     join ow on ow.t1 = e.t1
+              group by e.t2),
+    r{i} as (select vt.token,
+                    floor((0.15 / vn.vz + 0.85 * (coalesce(t{i}c.c, 0) / 1e12))
+                          * 1e9 + 0.5) / 1e9 as rank
+             from vt cross join vn left join t{i}c on vt.token = t{i}c.token)"""
+
+
+ORACLE_SQL["token_pagerank"] = (
+    _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    p as (select w1, lead(w1) over (partition by doc_id order by i) as w2 from u),
+    c as (select w1, w2, cast(count(*) as bigint) as cnt from p
+          where w2 is not null group by w1, w2),
+    e as (select cast(v1.token as bigint) as t1, cast(v2.token as bigint) as t2, c.cnt
+          from c join v v1 on c.w1 = v1.word join v v2 on c.w2 = v2.word),
+    ow as (select t1, cast(sum(cnt) as bigint) as w from e group by t1),
+    vt as (select cast(token as bigint) as token from v),
+    vn as (select cast(count(*) as bigint) as vz from vt),
+    r0 as (select token, 1.0 / vn.vz as rank from vt cross join vn),
+"""
+    + ",".join(_pagerank_iter_sql(i) for i in range(1, PR_ITERS + 1))
+    + f"""
+    select token, rank from r{PR_ITERS}
+"""
+)
