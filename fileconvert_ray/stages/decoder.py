@@ -338,7 +338,12 @@ def lookup_docs(out_dir: str, doc_ids, sources: list[str] | None = None) -> pa.T
     Partitions whose label does not follow the assigner's
     ``{source}-b{NNNN}`` scheme (e.g. rewritten by compaction) fall
     back to candidacy for their whole source — correctness never
-    depends on the label arithmetic."""
+    depends on the label arithmetic.
+
+    This is the POINT-access path (driver-sequential over a handful of
+    candidate containers).  A bulk id list that touches most partitions
+    should instead stream ``decode_dataset(out_dir)`` through a
+    vectorized ``is_in`` / key-only semi-join filter."""
     from ..state.manifest import JobDirs, read_manifest_entries
     from ..util.hashing import hash_strings_u64
 
