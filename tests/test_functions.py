@@ -1972,3 +1972,26 @@ def test_json_int_field_property():
         assert got == want
 
     check()
+
+
+def test_export_and_profile_column_params(ray_session, tmp_path):
+    """Parameter paths: read_range(columns=) projects (plus the key for
+    the trim), and profile_parquet(columns=) restricts the report."""
+    from fileconvert_ray.functions.export import range_partition_parquet, read_range
+    from fileconvert_ray.functions.profile import profile_parquet
+
+    out = str(tmp_path / "r")
+    man = range_partition_parquet(
+        "/root/testdata/sf0.001/orders.parquet", out, "o_totalprice",
+        n_partitions=4, columns=["o_orderkey", "o_totalprice"],
+    )
+    lo = man["boundaries"][1]
+    got = read_range(out, lo, None, columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    assert sorted(got.columns) == ["o_orderkey", "o_totalprice"]
+    assert (got["o_totalprice"] >= lo).all() and len(got) > 0
+
+    prof = profile_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).to_pylist()
+    assert sorted(p["column"] for p in prof) == ["o_custkey", "o_orderstatus"]
+    assert all(p["n_rows"] == 1500 for p in prof)
