@@ -6092,6 +6092,44 @@ def q_token_pagerank(sf_dir: str):
     )
 
 
+def q_decode_members(sf_dir: str):
+    """Bulk membership over the ARCHIVAL format: encode the corpus,
+    stream-decode it PROJECTED (columns=[doc_id, n_tok, source] — the
+    tokens payload never decodes), and keep only the rows whose doc_id
+    is in the deterministic md5-prefix sample set via a key-only
+    hash_join mode="semi" — the "filter a decoded 100-TB corpus by a
+    big id list" shape (lookup_docs is the point-access sibling).  The
+    id side ships only its key column through the exchange."""
+    import ray.data as rd
+
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..stages.decoder import decode_dataset
+    from .joins import hash_join
+
+    out = _job_dir(sf_dir, "decmembers")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir), EncodeConfig(out_dir=out, target_partition_tokens=200_000)
+    ).materialize()
+    dec = decode_dataset(out, columns=["doc_id", "n_tok", "source"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    ids = q_seeded_sample(sf_dir).select_columns(["doc_id"])
+    return hash_join(
+        dec.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ids, left_on="doc_id", right_on="doc_id",
+        right_cols=["doc_id"], n_buckets=16, mode="semi",
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -6238,6 +6276,7 @@ QUERIES = {
     "token_zipf_fit": q_token_zipf_fit,
     "order_lines_histogram": q_order_lines_histogram,
     "token_pagerank": q_token_pagerank,
+    "decode_members": q_decode_members,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7864,3 +7903,11 @@ ORACLE_SQL["token_pagerank"] = (
     select token, rank from r{PR_ITERS}
 """
 )
+
+ORACLE_SQL["decode_members"] = f"""
+    select cast(doc_id as varchar) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           source
+    from documents
+    where substr(md5(cast(doc_id as varchar)), 1, 2) < '{SAMPLE_HEX}'
+"""
