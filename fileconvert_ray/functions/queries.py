@@ -6130,6 +6130,47 @@ def q_decode_members(sf_dir: str):
     )
 
 
+def q_event_anomaly_days(sf_dir: str):
+    """Days whose event count deviates more than 2 population-sigma
+    from the mean — anomaly detection with ZERO float drift: |x-mu| >
+    2*sigma is evaluated as (n*x - S)^2 > 4*(n*Q - S^2) in integer
+    arithmetic (S = sum of counts, Q = sum of squares, n = days), so
+    boundary days can never flip between engines.  The corpus pass is
+    one O(days) groupby; the comparison runs over the O(days) driver
+    rows in PYTHON ints (arbitrary precision — numpy int64 would
+    overflow when daily counts reach 1e9; the oracle uses HUGEINT for
+    the same reason)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(micros // 86_400_000_000),
+                "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], ["n_events"],
+    ).to_pandas()  # O(days)
+    days = agg["day"].to_numpy(dtype=np.int64)
+    x = [int(v) for v in agg["n_events"].to_numpy(dtype=np.int64)]
+    n, S = len(x), sum(x)
+    Q = sum(v * v for v in x)
+    rhs = 4 * (n * Q - S * S)
+    keep = [i for i, v in enumerate(x) if (n * v - S) ** 2 > rhs]
+    return pa.Table.from_pydict(
+        {
+            "day": pa.array([int(days[i]) for i in keep], type=pa.int64()),
+            "n_events": pa.array([x[i] for i in keep], type=pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -6277,6 +6318,7 @@ QUERIES = {
     "order_lines_histogram": q_order_lines_histogram,
     "token_pagerank": q_token_pagerank,
     "decode_members": q_decode_members,
+    "event_anomaly_days": q_event_anomaly_days,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7910,4 +7952,20 @@ ORACLE_SQL["decode_members"] = f"""
            source
     from documents
     where substr(md5(cast(doc_id as varchar)), 1, 2) < '{SAMPLE_HEX}'
+"""
+
+ORACLE_SQL["event_anomaly_days"] = """
+    with d as (
+      select cast(epoch_us(ts) // 86400000000 as bigint) as day,
+             cast(count(*) as bigint) as n_events
+      from events group by day
+    ),
+    s as (select cast(count(*) as hugeint) as n,
+                 cast(sum(n_events) as hugeint) as sm,
+                 cast(sum(n_events * n_events) as hugeint) as q
+          from d)
+    select day, n_events
+    from d, s
+    where (s.n * n_events - s.sm) * (s.n * n_events - s.sm)
+          > 4 * (s.n * s.q - s.sm * s.sm)
 """
