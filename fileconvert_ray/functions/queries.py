@@ -6171,6 +6171,58 @@ def q_event_anomaly_days(sf_dir: str):
     )
 
 
+def q_embedding_norm_stats(sf_dir: str):
+    """Per-label embedding L2-norm statistics: n, exact fixed-point
+    norm sum (1e-6), min/max norm — the embedding-QA rollup (detects
+    un-normalized or collapsed clusters).  Norms compute in float64
+    from the float32 values upcast first (the oracle's ::DOUBLE[] cast
+    — DuckDB list kernels run float32 otherwise), rounded 1e-6 per
+    VECTOR before the label sums so the distributed sum is
+    order-independent.  One O(labels) exchange."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // batch.num_rows
+        m = flat.reshape(batch.num_rows, d)
+        norm = np.sqrt((m * m).sum(axis=1))
+        ne6 = np.floor(norm * 1e6 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "n_vecs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_norm_e6": pa.array(ne6),
+                "min_norm_e6": pa.array(ne6),
+                "max_norm_e6": pa.array(ne6),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["label"]).aggregate(
+            [("n_vecs", "sum"), ("sum_norm_e6", "sum"), ("min_norm_e6", "min"), ("max_norm_e6", "max")]
+        )
+        return g.rename_columns(["label", "n_vecs", "sum_norm_e6", "min_norm_e6", "max_norm_e6"])
+
+    return (
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_norm_e6", alias_name="sum_norm_e6"),
+            Min("min_norm_e6", alias_name="min_norm_e6"),
+            Max("max_norm_e6", alias_name="max_norm_e6"),
+        )
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -6319,6 +6371,7 @@ QUERIES = {
     "token_pagerank": q_token_pagerank,
     "decode_members": q_decode_members,
     "event_anomaly_days": q_event_anomaly_days,
+    "embedding_norm_stats": q_embedding_norm_stats,
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
@@ -7968,4 +8021,19 @@ ORACLE_SQL["event_anomaly_days"] = """
     from d, s
     where (s.n * n_events - s.sm) * (s.n * n_events - s.sm)
           > 4 * (s.n * s.q - s.sm * s.sm)
+"""
+
+ORACLE_SQL["embedding_norm_stats"] = """
+    with n as (
+      select cast(label as bigint) as label,
+             cast(floor(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                     x -> x * x))) * 1e6 + 0.5)
+                  as bigint) as ne6
+      from embeddings
+    )
+    select label, cast(count(*) as bigint) as n_vecs,
+           cast(sum(ne6) as bigint) as sum_norm_e6,
+           cast(min(ne6) as bigint) as min_norm_e6,
+           cast(max(ne6) as bigint) as max_norm_e6
+    from n group by label
 """
