@@ -125,7 +125,15 @@ def read_range(out_dir: str, lo: float | None = None, hi: float | None = None,
         )
     if not files:
         return rd.from_items([])
-    ds = rd.read_parquet(files, columns=columns)
+    # the residual trim needs the range key: when a projection excludes
+    # it, read it anyway and drop it after filtering (same extra-column
+    # pattern as decode_dataset's predicate columns — round-4 advice)
+    read_cols = columns
+    drop_by = False
+    if columns is not None and (lo is not None or hi is not None) and by not in columns:
+        read_cols = list(columns) + [by]
+        drop_by = True
+    ds = rd.read_parquet(files, columns=read_cols)
 
     def trim(batch: pa.Table) -> pa.Table:
         if "range_bucket" in batch.column_names:  # layout metadata, not user data
@@ -138,6 +146,9 @@ def read_range(out_dir: str, lo: float | None = None, hi: float | None = None,
             m &= v >= lo
         if hi is not None:
             m &= v < hi
-        return batch.filter(pa.array(m))
+        batch = batch.filter(pa.array(m))
+        if drop_by:
+            batch = batch.drop_columns([by])
+        return batch
 
     return ds.map_batches(trim, batch_format="pyarrow", zero_copy_batch=True)

@@ -38,6 +38,13 @@ def json_int_field(col, key: str) -> pa.Array:
     real member boundary).  Every non-matching row is re-parsed with
     ``json.loads`` so irregular payloads (nested objects, reordered
     escapes, floats) are handled exactly, never silently wrong.
+
+    Values stay in int64 end to end — never round-tripped through
+    float64, so |v| > 2^53 is exact (round-4 advice).  An integer that
+    does not fit int64 at all is reported as null (out of the output
+    type's representable range), on both the fast and fallback paths:
+    fast-path matches longer than 18 digits are demoted to the exact
+    parser rather than risking a cast error.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -55,8 +62,13 @@ def json_int_field(col, key: str) -> pa.Array:
     )
     m = pc.extract_regex(pc.fill_null(col, ""), pat)
     v = pc.struct_field(m, "v")
-    out = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
-    valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+    # any <=18-char match ("-" + 17 digits / 18 digits) surely fits
+    # int64; longer matches (19+ digits, possibly > 2^63) take the
+    # fallback so the vectorized cast below can never raise
+    v = pc.if_else(pc.less_equal(pc.utf8_length(v), 18), v, pa.scalar(None, pa.string()))
+    v64 = pc.cast(v, pa.int64())
+    out = pc.fill_null(v64, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=True)
+    valid = pc.is_valid(v64).to_numpy(zero_copy_only=False).copy()
 
     miss = np.flatnonzero(~valid)
     if miss.size:
@@ -70,10 +82,11 @@ def json_int_field(col, key: str) -> pa.Array:
                 continue
             if isinstance(val, bool) or not isinstance(val, int):
                 continue
-            out[i] = float(val)
+            if not (-(1 << 63) <= val < (1 << 63)):
+                continue  # unrepresentable in the int64 output -> null
+            out[i] = val
             valid[i] = True
-    res = np.where(valid, out, 0.0).astype(np.int64)
-    return pa.Array.from_pandas(res, mask=~valid, type=pa.int64())
+    return pa.Array.from_pandas(out, mask=~valid, type=pa.int64())
 
 
 def extract_json_int(ds, column: str, key: str, out_col: str):

@@ -49,10 +49,14 @@ def _is_string(t: pa.DataType) -> bool:
 
 def _num_view(col: pa.Array, t: pa.DataType) -> pa.Array:
     """Order-preserving float64 view of a numeric column (timestamps
-    as epoch microseconds — the engine's temporal canonicalization)."""
+    as epoch microseconds — the engine's temporal canonicalization).
+    Used ONLY for the min/max report, whose output schema is float64:
+    the cast is explicitly lossy (safe=False) so int64 values above
+    2^53 report a rounded min/max instead of raising.  The exact
+    distinct pass never comes through here (round-4 advice)."""
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         col = pc.cast(col, pa.int64())
-    return pc.cast(col, pa.float64())
+    return pc.cast(col, pa.float64(), safe=False)
 
 
 def profile_parquet(path: str, columns: list[str] | None = None):
@@ -131,7 +135,12 @@ def profile_parquet(path: str, columns: list[str] | None = None):
         .to_pandas()  # O(columns)
     )
 
-    # pass 2: exact distinct over the orderable columns
+    # pass 2: exact distinct over the orderable columns.  Integer-family
+    # columns (ints, timestamps, dates, bools) canonicalize through
+    # int64 -> string (injective at full 64-bit precision); ONLY real
+    # floating columns go through float64 — routing ints through
+    # float64 would collapse distinct values above 2^53 (round-4
+    # advice), breaking the EXACT-distinct contract for id-like keys.
     def block_distinct(batch: pa.Table) -> pa.Table:
         cols, vals = [], []
         for n in simple:
@@ -139,8 +148,10 @@ def profile_parquet(path: str, columns: list[str] | None = None):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             t = types[n]
-            if _is_numeric(t):
-                col = _num_view(col, t)
+            if pa.types.is_floating(t):
+                col = pc.cast(col, pa.float64())
+            elif _is_numeric(t):
+                col = pc.cast(col, pa.int64())
             u = pc.unique(col.drop_null())
             s = pc.cast(u, pa.string()).to_pylist()
             cols.extend([n] * len(s))

@@ -335,16 +335,25 @@ def lookup_docs(out_dir: str, doc_ids, sources: list[str] | None = None) -> pa.T
     just those chunk ordinals in full.  Ordinals are deterministic per
     file, so the two passes agree.
 
-    Partitions whose label does not follow the assigner's
-    ``{source}-b{NNNN}`` scheme (e.g. rewritten by compaction) fall
-    back to candidacy for their whole source — correctness never
-    depends on the label arithmetic.
+    The bucket modulus comes from the encoder's PERSISTED plan.json
+    (per source, per generation), never from the count of materialized
+    partitions (round-4 advice: a planned bucket with zero docs, or a
+    partially-completed resume, would otherwise shift the modulus and
+    silently resolve ids to the wrong existing partition).  A planned
+    label with no manifest simply contributes no rows — consistent
+    with decode_dataset, which also reads only completed partitions.
+
+    Partitions whose label does not reconstruct from any generation's
+    plan (e.g. rewritten by compaction, or the whole plan.json is
+    missing) fall back to candidacy for their whole source —
+    correctness never depends on the label arithmetic.
 
     This is the POINT-access path (driver-sequential over a handful of
     candidate containers).  A bulk id list that touches most partitions
     should instead stream ``decode_dataset(out_dir)`` through a
     vectorized ``is_in`` / key-only semi-join filter."""
-    from ..state.manifest import JobDirs, read_manifest_entries
+    from ..state.manifest import JobDirs, read_manifest_entries, read_plan_generations
+    from ..stages.partition import gen_tag, sanitized_names
     from ..util.hashing import hash_strings_u64
 
     want = sorted({str(d) for d in doc_ids})
@@ -355,28 +364,49 @@ def lookup_docs(out_dir: str, doc_ids, sources: list[str] | None = None) -> pa.T
 
     entries = read_manifest_entries(out_dir)
     dirs = JobDirs(out_dir)
-    by_src: dict[str, list[str]] = {}
-    for pid, rec in entries.items():
-        by_src.setdefault(rec.get("source"), []).append(pid)
+    try:
+        gens = read_plan_generations(out_dir)  # [(gen, {source: k})]
+    except FileNotFoundError:
+        gens = None
 
     cand: set[str] = set()
-    for src, pids in sorted(by_src.items()):
+    planned: set[str] = set()  # labels reconstructable from some generation's plan
+    if gens is not None:
+        for gen, buckets in gens:
+            san = sanitized_names(buckets)
+            tag = gen_tag(gen)
+            for src, k in sorted(buckets.items()):
+                if sources is not None and src not in sources:
+                    continue
+                k = int(k)
+                if k <= 0:
+                    continue
+                base = f"{san[src]}{tag}-b"
+                # candidate = the one planned bucket per generation; a
+                # planned bucket with no manifest holds no completed
+                # rows, by the encoder's completion contract
+                for h in np.unique(hv % np.uint64(k)).tolist():
+                    label = f"{base}{int(h):04d}"
+                    if label in entries:
+                        cand.add(label)
+                # planned-label set, built WITHOUT enumerating all k
+                # buckets (k can be millions at scale): mark the
+                # manifest labels that parse as this (source, gen)
+                # scheme with an in-range bucket ordinal
+                for pid, rec in entries.items():
+                    if rec.get("source") != src or not pid.startswith(base):
+                        continue
+                    suffix = pid[len(base):]
+                    if suffix.isdigit() and int(suffix) < k:
+                        planned.add(pid)
+    # whole-source fallback for everything the plan can't explain:
+    # compaction output, foreign labels, or a missing plan.json
+    for pid, rec in entries.items():
+        src = rec.get("source")
         if sources is not None and src not in sources:
             continue
-        k = len(pids)
-        sans = {p.rsplit("-b", 1)[0] for p in pids if "-b" in p}
-        if k == 0 or len(sans) != 1 or any("-b" not in p for p in pids):
-            cand.update(pids)  # non-scheme labels: whole-source fallback
-            continue
-        san = next(iter(sans))
-        pidset = set(pids)
-        for h in (hv % np.uint64(k)).tolist():
-            label = f"{san}-b{int(h):04d}"
-            if label in pidset:
-                cand.add(label)
-            else:
-                cand.update(pids)  # bucket count drifted: fallback
-                break
+        if pid not in planned:
+            cand.add(pid)
 
     out: list[pa.Table] = []
     for pid in sorted(cand):

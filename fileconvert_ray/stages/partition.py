@@ -79,9 +79,22 @@ def sanitized_names(sources) -> dict[str, str]:
     return out
 
 
-def make_assigner(plan: dict[str, int]):
-    """Vectorized part_id assignment closure for map_batches."""
-    san = sanitized_names(plan)
+def gen_tag(gen: int) -> str:
+    """Label infix for ingest generation ``gen`` (incremental encode):
+    generation 0 keeps the classic ``{source}-b{NNNN}`` labels (every
+    pre-generation output stays valid); generation g >= 1 appends
+    ``-g{g:02d}`` to the sanitized source so its partitions can never
+    collide with another generation's (sanitized names contain no
+    dashes, which keeps the scheme parseable)."""
+    return f"-g{gen:02d}" if gen else ""
+
+
+def make_assigner(plan: dict[str, int], gen: int = 0):
+    """Vectorized part_id assignment closure for map_batches.
+
+    ``gen``: ingest generation — appended to the sanitized source name
+    (see gen_tag) so each generation's partitions are disjoint."""
+    san = {s: n + gen_tag(gen) for s, n in sanitized_names(plan).items()}
 
     def assign(batch: pa.Table) -> pa.Table:
         src = batch.column("source").combine_chunks()
@@ -90,7 +103,7 @@ def make_assigner(plan: dict[str, int]):
         denc = src.dictionary_encode()
         dsrcs = denc.dictionary.to_pylist()
         ks = np.array([plan.get(s, 1) for s in dsrcs], dtype=np.uint64)
-        names = [san.get(s, sanitize_id(s)) for s in dsrcs]
+        names = [san.get(s, sanitize_id(s) + gen_tag(gen)) for s in dsrcs]
         idx = denc.indices.to_numpy(zero_copy_only=False)
         bucket = (h % ks[idx]).astype(np.int64)
         # part_id strings built via dictionary gather (one python string

@@ -68,6 +68,19 @@ def read_plan(out_dir: str) -> dict:
         return json.loads(f.read())
 
 
+def read_plan_generations(out_dir: str) -> list[tuple[int, dict]]:
+    """[(gen, {source: bucket_count})] for this output dir, oldest
+    first.  A legacy single-plan job (run_encode — no ``generations``
+    key) reads as one generation 0; incremental jobs
+    (run_encode_files) record one entry per ingest generation.
+    Raises FileNotFoundError when plan.json is absent."""
+    plan = read_plan(out_dir)
+    gens = plan.get("generations")
+    if gens:
+        return [(int(g["gen"]), dict(g["buckets"])) for g in gens]
+    return [(0, dict(plan.get("buckets", {})))]
+
+
 def write_manifest_entry(dirs: JobDirs, part_id: str, record: dict) -> None:
     """Lineage record — written only after the container rename landed."""
     _atomic_write_bytes(dirs.manifest_path(part_id), json.dumps(record, sort_keys=True).encode())

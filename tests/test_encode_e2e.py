@@ -632,3 +632,53 @@ def test_lookup_docs_point_access(ray_session, sf_dir, out_dir):
     one = lookup_docs(out_dir, [ids[0]], sources=[got["source"].iloc[0]])
     assert one.num_rows == 1
     assert len(completed_partitions(out_dir)) > 3  # lookup had real pruning to do
+
+
+def test_lookup_docs_planned_empty_bucket(ray_session, out_dir):
+    """Round-4 advice regression (decoder.lookup_docs): the bucket
+    modulus must come from plan.json, not from the count of
+    MATERIALIZED partitions.  Build a corpus whose plan allocates more
+    buckets than get any docs; with the old len(pids) modulus the
+    lookup hashed ids into an existing-but-wrong partition and silently
+    returned nothing."""
+    import numpy as np
+    import ray.data as rd
+
+    from fileconvert_ray.sources.tokseq import INPUT_SCHEMA
+    from fileconvert_ray.stages.decoder import lookup_docs
+    from fileconvert_ray.state.manifest import completed_partitions, read_plan
+    from fileconvert_ray.util.hashing import hash_strings_u64
+
+    # find two doc ids that share a bucket under k=4 so >=2 planned
+    # buckets stay empty (deterministic: hash_strings_u64 is seedless)
+    ids = None
+    for i in range(1000):
+        cand = [f"doc-{i}", f"doc-{i + 1000}"]
+        h = hash_strings_u64(pa.array(cand)) % np.uint64(4)
+        if h[0] == h[1]:
+            ids = cand
+            break
+    assert ids is not None
+
+    tokens = [list(range(2000)), list(range(2000, 4000))]
+    t = pa.Table.from_arrays(
+        [
+            pa.array(ids, type=pa.string()),
+            pa.array(tokens, type=pa.list_(pa.int32())),
+            pa.array([2000, 2000], type=pa.int32()),
+            pa.array(["web", "web"], type=pa.string()),
+        ],
+        schema=INPUT_SCHEMA,
+    )
+    run_encode(
+        lambda: rd.from_arrow(t),
+        EncodeConfig(out_dir=out_dir, target_partition_tokens=1000),
+    ).materialize()
+
+    # premise: the plan allocated more buckets than got containers
+    assert read_plan(out_dir)["buckets"]["web"] == 4
+    assert len(completed_partitions(out_dir)) < 4
+
+    got = lookup_docs(out_dir, ids).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert sorted(got["doc_id"]) == sorted(ids)
+    assert got["n_tok"].tolist() == [2000, 2000]

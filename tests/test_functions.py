@@ -1995,3 +1995,63 @@ def test_export_and_profile_column_params(ray_session, tmp_path):
     ).to_pylist()
     assert sorted(p["column"] for p in prof) == ["o_custkey", "o_orderstatus"]
     assert all(p["n_rows"] == 1500 for p in prof)
+
+
+def test_json_int_field_exact_beyond_2_53():
+    """Round-4 advice regression: values above 2^53 must never round-trip
+    through float64 — fast path, fallback path, and int64 extremes."""
+    import pyarrow as pa
+
+    from fileconvert_ray.functions.jsonextract import json_int_field
+
+    vals = [
+        9007199254740993,          # 2^53 + 1: float64 would give ...992
+        -9007199254740993,
+        (1 << 62) + 1,             # 19 digits -> demoted to exact parser
+        (1 << 63) - 1,
+        -(1 << 63),
+    ]
+    rows = ['{"k": %d}' % v for v in vals]
+    rows.append('{"k": %d}' % (1 << 70))  # unrepresentable in int64 -> null
+    got = json_int_field(pa.array(rows, type=pa.string()), "k").to_pylist()
+    assert got == vals + [None]
+
+
+def test_read_range_projection_excludes_key(ray_session, tmp_path):
+    """Round-4 advice regression: read_range with a projection that
+    excludes the range key plus lo/hi must still trim (the key is read
+    internally and dropped), not raise at execution time."""
+    from fileconvert_ray.functions.export import range_partition_parquet, read_range
+
+    out = str(tmp_path / "r")
+    man = range_partition_parquet(
+        "/root/testdata/sf0.001/orders.parquet", out, "o_totalprice",
+        n_partitions=4, columns=["o_orderkey", "o_totalprice"],
+    )
+    lo, hi = man["boundaries"][0], man["boundaries"][2]
+    got = read_range(out, lo, hi, columns=["o_orderkey"]).to_pandas()
+    assert list(got.columns) == ["o_orderkey"]
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    want = full[(full.o_totalprice >= lo) & (full.o_totalprice < hi)]
+    assert sorted(got["o_orderkey"]) == sorted(want["o_orderkey"])
+
+
+def test_profile_distinct_exact_beyond_2_53(ray_session, tmp_path):
+    """Round-4 advice regression: the profiler's EXACT-distinct pass
+    must not collapse int64 values that collide in float64."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.functions.profile import profile_parquet
+
+    base = 1 << 60
+    vals = [base, base + 1, base + 2, base + 3]  # all equal as float64
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(pa.table({"k": pa.array(vals * 2, type=pa.int64())}), p)
+    prof = {r["column"]: r for r in profile_parquet(p).to_pylist()}
+    assert prof["k"]["n_distinct"] == 4
