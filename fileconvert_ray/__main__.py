@@ -69,8 +69,27 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--staged-dir", default=None,
                    help="shuffle scratch location (tmpfs/NVMe); default out_dir/staged")
 
+    ei = sub.add_parser(
+        "encode-inc",
+        help="append-aware incremental encode: only shards not yet in "
+        "plan.json lineage are encoded (new ingest generation)",
+    )
+    ei.add_argument("inputs", nargs="+",
+                    help="parquet shard paths or directories (the FULL corpus, old + new)")
+    ei.add_argument("--out", required=True)
+    ei.add_argument("--target-partition-tokens", type=int, default=4_000_000)
+    ei.add_argument("--codec", action="append", default=[], metavar="COL=CODEC")
+    ei.add_argument("--no-zstd", action="store_true")
+    ei.add_argument("--no-resume", action="store_true",
+                    help="rebuild from scratch (clears containers AND lineage)")
+    ei.add_argument("--reduce-buckets", type=int, default=None)
+    ei.add_argument("--staged-dir", default=None)
+
     v = sub.add_parser("verify", help="decode-verify an encode output")
-    v.add_argument("input", help="the encode job's input parquet")
+    v.add_argument("input", nargs="?", default=None,
+                   help="the encode job's input parquet (optional for "
+                   "incremental outputs — lineage is in plan.json — and "
+                   "for --mode manifest)")
     v.add_argument("--out", required=True, help="the encode out dir")
     v.add_argument("--mode", choices=["exact", "hash", "manifest"], default="hash")
     v.add_argument("--by", choices=["partition", "source"], default="partition",
@@ -258,15 +277,43 @@ def main(argv: list[str] | None = None) -> int:
                 "n_tokens": int(m["n_tokens"].sum()),
                 "encoded_bytes": int(m["encoded_bytes"].sum()),
             }))
+        elif args.cmd == "encode-inc":
+            import glob as _glob
+
+            from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode_files
+
+            files = []
+            for p in args.inputs:
+                files.extend(
+                    sorted(_glob.glob(os.path.join(p, "*.parquet")))
+                    if os.path.isdir(p) else [p]
+                )
+            cfg = EncodeConfig(
+                out_dir=args.out,
+                target_partition_tokens=args.target_partition_tokens,
+                codec_overrides=_kv_pairs(args.codec),
+                zstd=not args.no_zstd,
+                resume=not args.no_resume,
+                reduce_buckets=args.reduce_buckets,
+                staged_dir=args.staged_dir,
+            )
+            m = run_encode_files(files, cfg).to_pandas()
+            print(json.dumps({
+                "ok": True,
+                "new_partitions": int(len(m)),
+                "n_rows": int(m["n_rows"].sum()) if len(m) else 0,
+                "n_tokens": int(m["n_tokens"].sum()) if len(m) else 0,
+                "encoded_bytes": int(m["encoded_bytes"].sum()) if len(m) else 0,
+            }))
         elif args.cmd == "verify":
             import ray.data as rd
 
             from fileconvert_ray.pipelines.verify_job import run_verify
 
-            v = run_verify(
-                (lambda: rd.read_parquet(args.input)) if args.mode != "manifest" else None,
-                args.out, mode=args.mode, by=args.by,
-            ).to_pandas()
+            factory = None
+            if args.input is not None:
+                factory = lambda: rd.read_parquet(args.input)
+            v = run_verify(factory, args.out, mode=args.mode, by=args.by).to_pandas()
             ok = bool(v["ok"].all()) and len(v) > 0
             print(json.dumps({
                 "ok": ok, "partitions": int(len(v)),

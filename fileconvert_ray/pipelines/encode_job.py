@@ -32,7 +32,14 @@ from ..stages.encoder import (
     stage_raw_task,
     write_bucket_task,
 )
-from ..stages.partition import bucket_plan, make_assigner, make_resume_filter, source_stats
+from ..stages.partition import (
+    bucket_plan,
+    gen_tag,
+    make_assigner,
+    make_resume_filter,
+    sanitized_names,
+    source_stats,
+)
 from ..state.manifest import JobDirs, completed_partitions, write_plan
 
 
@@ -153,7 +160,17 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
                 "resume=False (--no-resume) to rebuild this one."
             )
     write_plan(cfg.out_dir, plan_doc)
+    return _encode_pass(ds_factory, cfg, plan, stats, done=done)
 
+
+def _encode_pass(ds_factory, cfg: EncodeConfig, plan: dict, stats: dict,
+                 *, done: frozenset = frozenset(), gen: int = 0):
+    """One assign -> shuffle -> reduce-encode pass over ``ds_factory()``
+    for a single ingest generation.  ``plan``/``stats`` are the
+    generation's bucket plan and source token totals; ``done`` rows of
+    already-completed partitions are dropped before the shuffle (E7);
+    ``gen`` tags the partition labels (stages/partition.gen_tag) so
+    generations never collide.  Returns the (lazy) metrics Dataset."""
     import ray
 
     n_parts = int(sum(plan.values()))
@@ -167,7 +184,7 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
         write_conc = (1, max(2, min(n_parts, ncpu - 2)))
 
     ds = ds_factory().map_batches(
-        make_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
+        make_assigner(plan, gen=gen), batch_format="pyarrow", zero_copy_batch=True
     )
     if done:
         ds = ds.map_batches(
@@ -275,13 +292,13 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
         # spread evenly over each source's partitions, partitions hashed
         # to buckets exactly as stage_raw_task does).
         from ..stages.encoder import bucket_of_part_ids
-        from ..stages.partition import sanitized_names
 
         san = sanitized_names(plan)
+        tag = gen_tag(gen)
         est = {}
         for src, k in plan.items():
             per_part = stats.get(src, 0) / max(1, k)
-            pids = [f"{san[src]}-b{i:04d}" for i in range(int(k))]
+            pids = [f"{san[src]}{tag}-b{i:04d}" for i in range(int(k))]
             import pyarrow as _pa2
 
             for b in bucket_of_part_ids(_pa2.array(pids, type=_pa2.string()), n_buckets):
@@ -323,3 +340,146 @@ def run_encode(ds_factory, cfg: EncodeConfig, stats_factory=None):
         num_cpus=1.0,
     )
     return metrics
+
+
+# -------------------------- incremental (append-aware) encode
+
+
+def _file_entry(path: str) -> dict:
+    return {"path": os.path.abspath(path), "size": int(os.path.getsize(path))}
+
+
+def _write_gen_plan(out_dir: str, gens: list[dict], cfg: EncodeConfig) -> None:
+    """Atomic plan.json for a generational job.  Top-level buckets /
+    source_tokens mirror generation 0 so pre-generation readers
+    (verify exact single-gen path, older tooling) keep working."""
+    doc = {
+        "buckets": dict(gens[0]["buckets"]) if gens else {},
+        "source_tokens": dict(gens[0]["source_tokens"]) if gens else {},
+        "target_partition_tokens": cfg.target_partition_tokens,
+        "generations": gens,
+    }
+    write_plan(cfg.out_dir, doc)
+
+
+def run_encode_files(input_files, cfg: EncodeConfig, ds_from_files=None,
+                     stats_from_files=None):
+    """Append-aware incremental encode over parquet shard paths
+    (SURVEY.md §12; round-4 verdict item 1).
+
+    Input lineage lives at FILE granularity in plan.json: each ingest
+    GENERATION records the shards it covered (path + size), its own
+    bucket plan, and a ``sealed`` flag.  Re-running with a grown file
+    list encodes ONLY the new shards, into fresh ``{src}-g{NN}-b{KKKK}``
+    partitions — completed partitions and their manifests are never
+    touched, so an appended corpus costs O(new data), not a rebuild.
+    Decode / verify / lookup / queries read across generations
+    transparently (manifest-driven).  A run interrupted mid-generation
+    resumes at partition granularity (the unsealed generation re-runs
+    behind the E7 resume filter); a shard that CHANGED or DISAPPEARED
+    is refused loudly — that is a rewrite, not an append.
+
+    ``ds_from_files(files) -> tokseq Dataset`` defaults to a plain
+    ``read_parquet``; ``stats_from_files`` optionally provides the
+    column-pruned (source, n_tok) read for the stats pass.  Returns
+    the concatenated metrics of every pass this call ran (empty
+    metrics Dataset when everything was already sealed)."""
+    import ray.data as rd
+
+    if ds_from_files is None:
+        ds_from_files = lambda files: rd.read_parquet(list(files))
+
+    files = sorted({os.path.abspath(p) for p in input_files})
+    if not files:
+        raise ValueError("run_encode_files: empty input file list")
+    if not cfg.resume:
+        import shutil
+
+        dirs = JobDirs(cfg.out_dir)
+        for d in (dirs.parts, dirs.manifest, dirs.staged, dirs.tmp):
+            shutil.rmtree(d, ignore_errors=True)
+        plan_path = os.path.join(cfg.out_dir, "plan.json")
+        if os.path.exists(plan_path):
+            os.remove(plan_path)
+    JobDirs(cfg.out_dir).create()
+
+    from ..state.manifest import read_plan
+
+    try:
+        prev = read_plan(cfg.out_dir) if cfg.resume else None
+    except FileNotFoundError:
+        prev = None
+    if prev is not None and "generations" not in prev:
+        raise RuntimeError(
+            f"{cfg.out_dir} was built by run_encode (no file lineage in "
+            "plan.json); incremental encode needs a generational plan. "
+            "Use run_encode on it, or rebuild with run_encode_files."
+        )
+    gens: list[dict] = list(prev["generations"]) if prev else []
+
+    known: dict[str, int] = {}
+    for g in gens:
+        for fe in g["files"]:
+            known[fe["path"]] = int(fe["size"])
+    cur = {p: int(os.path.getsize(p)) for p in files}
+    changed = sorted(p for p in files if p in known and known[p] != cur[p])
+    removed = sorted(p for p in known if p not in cur)
+    if changed or removed:
+        raise RuntimeError(
+            "incremental encode refused: input is not an append of the "
+            f"recorded corpus (changed: {changed[:3]}, removed: "
+            f"{removed[:3]}). Rebuild with resume=False or a fresh out dir."
+        )
+    new_files = [p for p in files if p not in known]
+
+    done = frozenset(completed_partitions(cfg.out_dir))
+    results = []
+
+    # finish any unsealed generation first (crash/interrupt resume):
+    # its partitions re-run behind the resume filter, completed ones
+    # are dropped before the shuffle — partition-granular, like E7
+    for g in gens:
+        if g.get("sealed"):
+            continue
+        gfiles = [fe["path"] for fe in g["files"]]
+        m = _encode_pass(
+            lambda f=gfiles: ds_from_files(f), cfg, dict(g["buckets"]),
+            {k: int(v) for k, v in g["source_tokens"].items()},
+            done=done, gen=int(g["gen"]),
+        ).materialize()
+        results.append(m)
+        g["sealed"] = True
+        _write_gen_plan(cfg.out_dir, gens, cfg)
+
+    if new_files:
+        gen_no = len(gens)
+        stats = source_stats((stats_from_files or ds_from_files)(new_files))
+        plan = bucket_plan(stats, cfg.target_partition_tokens)
+        g = {
+            "gen": gen_no,
+            "buckets": plan,
+            "source_tokens": {k: int(v) for k, v in stats.items()},
+            "target_partition_tokens": cfg.target_partition_tokens,
+            "files": [_file_entry(p) for p in new_files],
+            "sealed": False,
+        }
+        gens.append(g)
+        # record the generation BEFORE encoding: a crash mid-pass leaves
+        # it unsealed and the next run resumes it instead of re-planning
+        _write_gen_plan(cfg.out_dir, gens, cfg)
+        m = _encode_pass(
+            lambda: ds_from_files(new_files), cfg, plan, stats,
+            done=done, gen=gen_no,
+        ).materialize()
+        results.append(m)
+        g["sealed"] = True
+        _write_gen_plan(cfg.out_dir, gens, cfg)
+
+    import ray.data as _rd
+
+    if not results:
+        return _rd.from_items([]).map_batches(lambda b: b)
+    out = results[0]
+    for m in results[1:]:
+        out = out.union(m)
+    return out

@@ -158,13 +158,14 @@ def make_verifier(out_dir: str):
     return verify_group
 
 
-def _hash_partial(batch: pa.Table, plan: dict | None) -> pa.Table:
+def _hash_partial(batch: pa.Table, plan: dict | None, gen: int = 0) -> pa.Table:
     """(part_id, n_rows, hsum) partial for one batch of originals.
     plan=None keys the digests by SOURCE instead of part_id — the
     row-hash sum is additive, so source granularity is invariant to
-    any repartitioning (compaction, re-bucketing) of the output."""
+    any repartitioning (compaction, re-bucketing) of the output.
+    ``gen`` tags the labels for incremental-encode generations."""
     if plan is not None:
-        batch = make_assigner(plan)(batch)
+        batch = make_assigner(plan, gen=gen)(batch)
         pid = batch.column("part_id")
     else:
         pid = batch.column("source")
@@ -218,7 +219,8 @@ def _container_digest(batch: pa.Table, out_dir: str) -> pa.Table:
     return pa.Table.from_pydict(rows)
 
 
-def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partition"):
+def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partition",
+               ds_from_files=None):
     """Returns the per-partition verify Dataset; any ok=False is a failure.
 
     mode="exact": per-row alignment via a part_id shuffle (tests).
@@ -231,15 +233,52 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partiti
     mode="manifest": container decode vs the digests recorded in the
     encode manifests — no input re-read (audit/resume checks;
     ``ds_factory`` may be None).
+
+    Incremental (run_encode_files) outputs verify transparently: the
+    generational plan records each generation's shards, so exact/hash
+    partition-granular checks loop per generation (labels are
+    disjoint) and the originals are re-read from the recorded files —
+    ``ds_factory`` may be None then; ``ds_from_files(files)`` overrides
+    the default ``read_parquet`` when the encode used a custom reader.
     """
-    plan = read_plan(out_dir)["buckets"]
+    plan_doc = read_plan(out_dir)
+    gen_docs = plan_doc.get("generations")
+    if gen_docs:
+        import ray.data as _rd
+
+        if ds_from_files is None:
+            ds_from_files = lambda files: _rd.read_parquet(list(files))
+        gen_specs = [
+            (
+                int(g["gen"]),
+                dict(g["buckets"]),
+                (lambda f=[fe["path"] for fe in g["files"]]: ds_from_files(f)),
+            )
+            for g in gen_docs
+        ]
+        if ds_factory is None:
+            all_files = [fe["path"] for g in gen_docs for fe in g["files"]]
+            ds_factory = lambda: ds_from_files(all_files)
+    else:
+        if ds_factory is None and mode != "manifest":
+            raise ValueError(
+                "run_verify: ds_factory is required for exact/hash modes on "
+                "a non-incremental output (no input lineage in plan.json); "
+                "only mode='manifest' is input-free here."
+            )
+        gen_specs = [(0, plan_doc["buckets"], ds_factory)]
+
     if mode == "exact":
-        ds = ds_factory().map_batches(
-            make_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
-        )
-        return ds.groupby("part_id").map_groups(
-            make_verifier(out_dir), batch_format="pyarrow"
-        )
+        out = None
+        for gen, plan, factory in gen_specs:
+            ds = factory().map_batches(
+                make_assigner(plan, gen=gen), batch_format="pyarrow", zero_copy_batch=True
+            )
+            verdict = ds.groupby("part_id").map_groups(
+                make_verifier(out_dir), batch_format="pyarrow"
+            )
+            out = verdict if out is None else out.union(verdict)
+        return out
 
     import ray.data as rd
 
@@ -304,14 +343,30 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partiti
     # pass A: originals -> per-partition (count, hash-sum).  The partial
     # stream is O(tasks x partitions) tiny rows; merge it VECTORIZED
     # (concat + dictionary-encode + np.add.at) — no per-row driver
-    # Python (round-1 verdict, What's wrong #6)
-    partials = ds_factory().map_batches(
-        _hash_partial, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None, fn_kwargs={"plan": plan if by == "partition" else None},
-    )
-    batches = [
-        b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow") if b.num_rows
-    ]
+    # Python (round-1 verdict, What's wrong #6).  by="partition" runs
+    # one pass per generation (disjoint labels; generation 0 is the
+    # whole job for non-incremental outputs); by="source" needs no
+    # assigner, so one pass over the whole input suffices.
+    batches = []
+    if by == "partition":
+        for gen, plan, factory in gen_specs:
+            partials = factory().map_batches(
+                _hash_partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None, fn_kwargs={"plan": plan, "gen": gen},
+            )
+            batches.extend(
+                b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows
+            )
+    else:
+        partials = ds_factory().map_batches(
+            _hash_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None, fn_kwargs={"plan": None},
+        )
+        batches = [
+            b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
     expected: dict[str, list] = {}
     if batches:
         t = pa.concat_tables(batches).combine_chunks()

@@ -257,3 +257,25 @@ def test_cli_inspect(tmp_path):
     assert r["ok"] and r["n_rows"] == 300 and r["partitions"] > 1
     assert r["n_tokens"] > 0 and 0 < r["bytes_per_token"] < 4
     assert any(k.startswith("tokens:") for k in r["codec_mix"])
+
+
+def test_cli_encode_inc_append(tmp_path):
+    """encode-inc: second invocation with a grown shard list encodes
+    only the new shard; verify needs no input arg (lineage in plan)."""
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    shard_dir = tmp_path / "toks"
+    shard_dir.mkdir()
+    pq.write_table(synth_rows(0, 300, n_sources=4), str(shard_dir / "s0.parquet"))
+    out = str(tmp_path / "enc")
+    r = run_cli("encode-inc", str(shard_dir), "--out", out,
+                "--target-partition-tokens", "500000")
+    assert r["ok"] and r["n_rows"] == 300
+
+    pq.write_table(synth_rows(300, 500, n_sources=4), str(shard_dir / "s1.parquet"))
+    r2 = run_cli("encode-inc", str(shard_dir), "--out", out,
+                 "--target-partition-tokens", "500000")
+    assert r2["ok"] and r2["n_rows"] == 200  # only the appended shard
+
+    v = run_cli("verify", "--out", out, "--mode", "hash")
+    assert v["ok"] and v["n_mismatch"] == 0
