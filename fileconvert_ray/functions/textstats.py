@@ -9,7 +9,6 @@ pools amortize them across batches.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -66,19 +65,23 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 
 class TokenCounter:
-    """Regex token counting — compiled ONCE per actor (stateful stage)."""
+    """Regex token counting — ONE Arrow kernel call per batch
+    (``pc.count_substring_regex``, RE2 — the same engine DuckDB's
+    regexp functions use, so oracle parity is by construction; the
+    sibling ``quality_batch`` punct counter proved the equivalence).
+    Vectorized per round-4 verdict #2: no ``to_pylist`` / per-row
+    ``findall`` in the stage."""
 
     def __init__(self, pattern: str = TOKEN_RE):
-        self.pat = re.compile(pattern)
+        self.pattern = pattern
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        counts = [len(self.pat.findall(t)) for t in texts]
+        counts = pc.cast(
+            pc.count_substring_regex(batch.column("text"), pattern=self.pattern),
+            pa.int64(),
+        )
         return pa.Table.from_arrays(
-            [
-                pc.cast(batch.column("doc_id"), pa.string()),
-                pa.array(counts, type=pa.int64()),
-            ],
+            [pc.cast(batch.column("doc_id"), pa.string()), counts],
             names=["doc_id", "n_tokens_re"],
         )
 

@@ -2055,3 +2055,36 @@ def test_profile_distinct_exact_beyond_2_53(ray_session, tmp_path):
     pq.write_table(pa.table({"k": pa.array(vals * 2, type=pa.int64())}), p)
     prof = {r["column"]: r for r in profile_parquet(p).to_pylist()}
     assert prof["k"]["n_distinct"] == 4
+
+
+def test_user_paths_bucket_invariance_and_cap(ray_session, monkeypatch, tmp_path):
+    """user_paths on the hash-bucket + lexsort + binary_join pattern
+    (round-4 verdict #3): results are bucket-count-invariant, and the
+    capped variant bounds a pathological hot user's path at 8 steps
+    while reporting the true n_events (verdict #8)."""
+    import pyarrow.parquet as _pq
+
+    from fileconvert_ray.functions import queries as qmod
+
+    sf = "/root/testdata/sf0.001"
+    base = qmod.q_user_paths(sf).to_pandas().sort_values("user_id", ignore_index=True)
+    monkeypatch.setattr(qmod, "CUM_USER_BUCKETS", 3)
+    small = qmod.q_user_paths(sf).to_pandas().sort_values("user_id", ignore_index=True)
+    assert base.equals(small)
+
+    # synthetic hot user: 5000 events for user 7, 3 for user 8
+    n = 5000
+    t = pa.table({
+        "event_id": pa.array(list(range(n + 3)), type=pa.int64()),
+        "user_id": pa.array([7] * n + [8] * 3, type=pa.int64()),
+        "ts": pa.array(list(range(n + 3)), type=pa.int64()),
+        "event_type": pa.array(["e%d" % (i % 5) for i in range(n)] + ["a", "b", "c"]),
+    })
+    d = tmp_path / "hot"
+    d.mkdir()
+    _pq.write_table(t, str(d / "events.parquet"))
+    got = qmod.q_user_paths_capped(str(d)).to_pandas().set_index("user_id")
+    assert int(got.loc[7, "n_events"]) == n  # true count survives the cap
+    assert got.loc[7, "path"].count("->") == 7  # 8 steps
+    assert got.loc[7, "path"] == "e0->e1->e2->e3->e4->e0->e1->e2"
+    assert got.loc[8, "path"] == "a->b->c"  # short users unaffected
