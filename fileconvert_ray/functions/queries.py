@@ -18,6 +18,7 @@ O(rows).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import shutil
@@ -714,11 +715,14 @@ def q_text_quality(sf_dir: str):
     return ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_doc_fingerprint(sf_dir: str):
+def q_doc_fingerprint(sf_dir: str, hash: str = "fnv"):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"hash": hash},
+    )
 
 
 def q_token_count_regex(sf_dir: str):
@@ -1036,47 +1040,63 @@ def q_dup_components(sf_dir: str):
     return connected_components(q_ngram_dup_pairs(sf_dir), strategy="auto")
 
 
-def q_seeded_sample(sf_dir: str):
-    """Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix
-    sorts below a cut.  Content-hash sampling is reproducible across
-    runs/cluster sizes and SQL-expressible (unlike RNG sampling).  md5
-    is the DuckDB-parity choice; the at-scale swap is the vectorized
-    hash_strings_u64 (util/hashing.py) with a threshold cut — same
-    shape, one kernel pass (the seeded_shuffle docstring's note)."""
+def q_seeded_sample(sf_dir: str, hash: str = "fnv"):
+    """Deterministic ~10% sample: keep rows whose content hash of the
+    doc id sorts below a cut.  Content-hash sampling is reproducible
+    across runs/cluster sizes (unlike RNG sampling).
+
+    ``hash="fnv"`` (the scale default, round-4 verdict #4): one
+    vectorized hash_strings_u64 kernel pass per batch, keep when
+    h < rate * 2^64 — ~5x the md5 path on short ids (measured 72 ms
+    -> 14 ms per 100k 10-char ids; the gap grows with id length and
+    the md5 path additionally allocates a Python str per row, which
+    is what GC-bounds a 100-TB run).  ``hash="md5"`` is the
+    oracle-parity mode the registry entry uses (DuckDB md5, the same
+    hex-prefix rule in SQL); rates are identical by construction."""
     import hashlib
 
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    from ..util.hashing import hash_strings_u64
+
+    cut_u64 = np.uint64((int(SAMPLE_HEX, 16) << 56))  # same rate as the hex prefix
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch.column("doc_id"), pa.string())
-        keep = pa.array(
-            [hashlib.md5(s.encode()).hexdigest()[:2] < SAMPLE_HEX for s in ids.to_pylist()]
-        )
+        if hash == "fnv":
+            keep = pa.array(hash_strings_u64(ids) < cut_u64)
+        else:
+            keep = pa.array(
+                [hashlib.md5(s.encode()).hexdigest()[:2] < SAMPLE_HEX for s in ids.to_pylist()]
+            )
         return pa.Table.from_arrays(
             [ids.filter(keep), batch.column("source").filter(keep)],
             names=["doc_id", "source"],
         )
 
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
 STRATA_TARGET = 100  # docs per source stratum
 
 
-def q_stratified_sample(sf_dir: str):
-    """Equalized per-source sample: every stratum keeps ~STRATA_TARGET
-    docs regardless of its size.  Pass 1 counts docs per source (tiny
-    groupby, O(sources) rows to the driver); pass 2 filters on a
-    content-hash threshold derived from each stratum's rate, so the
-    sample is deterministic, reproducible across cluster sizes, and
-    SQL-expressible.  The rate→threshold map is pure integer math
-    (floor(rate·16⁶) as a 6-hex-digit cut) — identical on both sides.
-    """
+def _per_source_cut_sample(sf_dir: str, targets_fn, hash: str = "fnv"):
+    """Shared two-pass per-source-rate sampler (stratified /
+    temperature): pass 1 is a tiny groupby to the driver (O(sources)
+    rows), ``targets_fn(counts_df) -> {source: target_docs}`` turns it
+    into integer per-stratum targets, pass 2 filters on a content-hash
+    threshold per source — deterministic and partitioning-independent.
+
+    ``hash="fnv"``: u64 cut = target * 2^64 // n, one vectorized
+    hash_strings_u64 pass + dictionary-gathered per-row cuts.
+    ``hash="md5"``: 6-hex-digit cut (floor(rate * 16^6)) — the
+    oracle-parity mode (identical rule in DuckDB SQL)."""
     import hashlib
 
     import ray.data as rd
+
+    from ..util.hashing import hash_strings_u64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
@@ -1087,29 +1107,60 @@ def q_stratified_sample(sf_dir: str):
         )
 
     counts = _sum_groupby(ds.map_batches(ones, batch_format="pyarrow"), ["source"], ["n"]).to_pandas()
-    # cap at 0xffffff so the cut stays a 6-hex-digit string and the
-    # lexicographic compare is well-defined (a ≤-target stratum keeps
-    # everything except a 1-in-16.7M md5 prefix, same rule in SQL)
-    cuts = {
-        s: format(min((STRATA_TARGET * 16**6) // max(int(n), 1), 16**6 - 1), "06x")
-        for s, n in zip(counts["source"], counts["n"])
-    }
+    targets = targets_fn(counts)
+    ns = {s: int(n) for s, n in zip(counts["source"], counts["n"])}
+    if hash == "fnv":
+        cuts = {
+            s: min((int(targets[s]) << 64) // max(ns[s], 1), (1 << 64) - 1)
+            for s in ns
+        }
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch.column("doc_id"), pa.string())
-        srcs = batch.column("source").to_pylist()
-        keep = pa.array(
-            [
-                hashlib.md5(s.encode()).hexdigest()[:6] < cuts[src]
-                for s, src in zip(ids.to_pylist(), srcs)
-            ]
-        )
-        return pa.Table.from_arrays(
-            [ids.filter(keep), batch.column("source").filter(keep)],
-            names=["doc_id", "source"],
-        )
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch.column("doc_id"), pa.string())
+            hv = hash_strings_u64(ids)
+            codes, vals = _dict_codes(batch.column("source"))
+            per_src = np.array([cuts[v] for v in vals], dtype=np.uint64)
+            keep = pa.array(hv < per_src[codes])
+            return pa.Table.from_arrays(
+                [ids.filter(keep), batch.column("source").filter(keep)],
+                names=["doc_id", "source"],
+            )
+
+    else:
+        # cap at 0xffffff so the cut stays a 6-hex-digit string and the
+        # lexicographic compare is well-defined (a <=-target stratum keeps
+        # everything except a 1-in-16.7M md5 prefix, same rule in SQL)
+        hcuts = {
+            s: format(min((int(targets[s]) * 16**6) // max(ns[s], 1), 16**6 - 1), "06x")
+            for s in ns
+        }
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch.column("doc_id"), pa.string())
+            srcs = batch.column("source").to_pylist()
+            keep = pa.array(
+                [
+                    hashlib.md5(s.encode()).hexdigest()[:6] < hcuts[src]
+                    for s, src in zip(ids.to_pylist(), srcs)
+                ]
+            )
+            return pa.Table.from_arrays(
+                [ids.filter(keep), batch.column("source").filter(keep)],
+                names=["doc_id", "source"],
+            )
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_stratified_sample(sf_dir: str, hash: str = "fnv"):
+    """Equalized per-source sample: every stratum keeps ~STRATA_TARGET
+    docs regardless of its size.  Two-pass per-source-rate filter (see
+    _per_source_cut_sample); ``hash="fnv"`` is the vectorized scale
+    default (round-4 verdict #4), ``hash="md5"`` the SQL-parity mode
+    the registry entry pins."""
+    return _per_source_cut_sample(
+        sf_dir, lambda counts: {s: STRATA_TARGET for s in counts["source"]}, hash=hash
+    )
 
 
 # ------------------------------------------------- embeddings / ANN
@@ -1864,25 +1915,41 @@ def q_decontaminate(sf_dir: str):
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_seeded_shuffle(sf_dir: str):
+def q_seeded_shuffle(sf_dir: str, hash: str = "fnv"):
     """Deterministic global shuffle + shard assignment — the "shuffle
     the corpus once before training, resumable and reproducible" export
     step.  Every doc gets a pseudorandom sort key from a seeded digest;
     shard = digest-derived bucket, pos = rank within shard.  One
     groupby(shard) shuffle; within a shard the order is one vectorized
-    argsort.  md5 is the oracle-parity digest (DuckDB md5 — same
-    concession as seeded_sample/stratified_sample; the at-scale path is
-    the vectorized FNV in util/hashing.py with an FNV-free rank check).
-    Output: (doc_id, shard, pos) — the materialized shuffle manifest."""
+    argsort.  Output: (doc_id, shard, pos) — the shuffle manifest.
+
+    ``hash="fnv"`` (scale default, round-4 verdict #4): sort key =
+    hash_strings_u64(doc_id, seed=SEED), one kernel pass, in-shard
+    order by (h, doc_id) — the id tiebreak keeps the permutation total
+    even on 64-bit collisions.  ``hash="md5"`` is the oracle-parity
+    mode (DuckDB md5 of "id:seed")."""
     import hashlib
 
     import ray.data as rd
 
+    from ..util.hashing import hash_strings_u64
+
     SEED, NSHARDS = 42, 4
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
-        h = [hashlib.md5(f"{i}:{SEED}".encode()).hexdigest() for i in ids]
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        if hash == "fnv":
+            hv = hash_strings_u64(ids, seed=SEED)
+            return pa.Table.from_pydict({
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "shard": pa.array((hv % np.uint64(NSHARDS)).astype(np.int64)),
+                # int64 view of the u64 hash: wraps the order at 2^63,
+                # still a pure deterministic function of the id — any
+                # total order works for a pseudorandom permutation
+                "_h": pa.array(hv.view(np.int64)),
+            })
+        pids = ids.to_pylist()
+        h = [hashlib.md5(f"{i}:{SEED}".encode()).hexdigest() for i in pids]
         shard = np.array([ord(x[0]) % NSHARDS for x in h], dtype=np.int64)
         return pa.Table.from_pydict({
             "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
@@ -1891,7 +1958,7 @@ def q_seeded_shuffle(sf_dir: str):
         })
 
     def rank(group: pa.Table) -> pa.Table:
-        g = group.sort_by("_h")
+        g = group.sort_by([("_h", "ascending"), ("doc_id", "ascending")])
         return pa.Table.from_pydict({
             "doc_id": g.column("doc_id"),
             "shard": g.column("shard"),
@@ -3093,27 +3160,42 @@ SPLIT_TEST_CUT = format(16**6 // 20, "06x")  # 5% test
 SPLIT_VAL_CUT = format(2 * 16**6 // 20, "06x")  # next 5% val
 
 
-def q_train_test_split(sf_dir: str):
+def q_train_test_split(sf_dir: str, hash: str = "fnv"):
     """Deterministic train/val/test assignment from a content-hash of
-    the doc id (md5 hex prefix vs fixed integer cuts) — reproducible
-    across runs, cluster sizes and shard orders, and leakage-free
-    under re-partitioning (the assignment depends only on the id).
-    Shuffle-free single pass.  md5 is the oracle-parity concession
-    (same as seeded_shuffle); the scale path swaps in the vectorized
-    FNV from util/hashing with identical structure."""
+    the doc id vs fixed integer cuts — reproducible across runs,
+    cluster sizes and shard orders, and leakage-free under
+    re-partitioning (the assignment depends only on the id).
+    Shuffle-free single pass.
+
+    ``hash="fnv"`` (scale default, round-4 verdict #4): vectorized
+    hash_strings_u64 + two u64 cuts at the same 5%/5% rates, split
+    labels gathered from a 3-element dictionary — no per-row Python.
+    ``hash="md5"`` is the oracle-parity mode (DuckDB md5 hex prefix)."""
     import ray.data as rd
 
+    from ..util.hashing import hash_strings_u64
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    test_u64 = np.uint64(int(SPLIT_TEST_CUT, 16) << 40)  # 6 hex digits -> top 24 bits
+    val_u64 = np.uint64(int(SPLIT_VAL_CUT, 16) << 40)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
-        h = [hashlib.md5(s.encode()).hexdigest()[:6] for s in ids]
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        if hash == "fnv":
+            hv = hash_strings_u64(ids)
+            code = np.where(hv < test_u64, 0, np.where(hv < val_u64, 1, 2))
+            split = pa.DictionaryArray.from_arrays(
+                pa.array(code.astype(np.int32)), pa.array(["test", "val", "train"])
+            ).cast(pa.string())
+            return pa.Table.from_arrays([ids, split], names=["doc_id", "split"])
+        sids = ids.to_pylist()
+        h = [hashlib.md5(s.encode()).hexdigest()[:6] for s in sids]
         split = [
             "test" if x < SPLIT_TEST_CUT else ("val" if x < SPLIT_VAL_CUT else "train")
             for x in h
         ]
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(ids, type=pa.string()), "split": pa.array(split)}
+            {"doc_id": pa.array(sids, type=pa.string()), "split": pa.array(split)}
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
@@ -3122,52 +3204,37 @@ def q_train_test_split(sf_dir: str):
 TEMP_ALPHA, TEMP_TOTAL = 0.7, 200
 
 
-def q_temperature_sample(sf_dir: str):
+def q_temperature_sample(sf_dir: str, hash: str = "fnv"):
     """Temperature-based source sampling (the multilingual-corpus
     p^alpha rebalance): per-source weight = chars_s^alpha normalized,
     target_s = floor(TOTAL * w_s + 0.5) docs, then a deterministic
-    md5-prefix cut keeps ~target_s docs from each source.  Pass 1 is a
-    tiny groupby (O(sources) rows to the driver); the single float
-    step (pow) collapses to an INTEGER target before anything touches
-    per-doc data, so the per-doc filter is pure integer/hex compare —
-    the same plan at any scale, and SQL-expressible end to end."""
+    content-hash cut keeps ~target_s docs from each source.  The
+    single float step (pow) collapses to an INTEGER target before
+    anything touches per-doc data, so the per-doc filter is pure
+    integer compare — the same plan at any scale.  Built on
+    _per_source_cut_sample (two-pass, O(sources) driver rows);
+    ``hash="md5"`` is the SQL-parity registry mode."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    def targets_fn(_counts):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
 
-    def widen(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "source": batch.column("source"),
-                "chars": pc.cast(batch.column("n_chars"), pa.int64()),
-                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-            }
-        )
+        def widen(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "source": batch.column("source"),
+                    "chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                }
+            )
 
-    counts = _sum_groupby(
-        ds.map_batches(widen, batch_format="pyarrow"), ["source"], ["chars", "n"]
-    ).to_pandas()  # O(sources)
-    w = np.power(counts["chars"].to_numpy().astype(np.float64), TEMP_ALPHA)
-    target = np.floor(TEMP_TOTAL * w / w.sum() + 0.5).astype(np.int64)
-    cuts = {
-        s: format(min((int(t) * 16**6) // max(int(n), 1), 16**6 - 1), "06x")
-        for s, t, n in zip(counts["source"], target, counts["n"])
-    }
+        counts = _sum_groupby(
+            ds.map_batches(widen, batch_format="pyarrow"), ["source"], ["chars"]
+        ).to_pandas()  # O(sources)
+        w = np.power(counts["chars"].to_numpy().astype(np.float64), TEMP_ALPHA)
+        target = np.floor(TEMP_TOTAL * w / w.sum() + 0.5).astype(np.int64)
+        return {s: int(t) for s, t in zip(counts["source"], target)}
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch.column("doc_id"), pa.string())
-        srcs = batch.column("source").to_pylist()
-        keep = pa.array(
-            [
-                hashlib.md5(s.encode()).hexdigest()[:6] < cuts[src]
-                for s, src in zip(ids.to_pylist(), srcs)
-            ]
-        )
-        return pa.Table.from_pydict(
-            {"doc_id": ids.filter(keep), "source": batch.column("source").filter(keep)}
-        )
-
-    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    return _per_source_cut_sample(sf_dir, targets_fn, hash=hash)
 
 
 def q_dup_span_coverage(sf_dir: str):
@@ -4390,7 +4457,7 @@ def q_user_paths_capped(sf_dir: str):
     return _user_paths_ds(sf_dir, max_steps=8)
 
 
-def q_interleave_sources(sf_dir: str):
+def q_interleave_sources(sf_dir: str, hash: str = "fnv"):
     """Deterministic source-interleaved training order (the data-mixing
     stage): docs are rank-ordered WITHIN each source by a content hash
     (reproducible shuffle), then position = rank * n_sources +
@@ -4405,27 +4472,38 @@ def q_interleave_sources(sf_dir: str):
     by (source, bucket) — max group ~ hot_source/256, bounded — ranks
     within the bucket by full hex (prefix bucketing makes bucket-order
     + in-bucket-order == global hex order) and adds the offset.
-    Position arithmetic is pure int64.  md5 is the oracle-parity
-    concession (seeded_shuffle's documented pattern); the scale path
-    swaps the vectorized FNV and more buckets."""
+    Position arithmetic is pure int64.  ``hash="fnv"`` (scale default,
+    round-4 verdict #4): bucket = top byte of hash_strings_u64, rank
+    key = (h, doc_id) — bucket-order + in-bucket order == global (h,
+    id) order because the bucket IS the hash's top byte; one kernel
+    pass, no hex strings ride the shuffle.  ``hash="md5"`` is the
+    oracle-parity registry mode (first-two-hex-chars bucketing,
+    full-hex rank — seeded_shuffle's documented pattern)."""
     import hashlib
 
     import ray
     import ray.data as rd
 
+    from ..util.hashing import hash_strings_u64
+
     srcs = _distinct_sources(sf_dir)
     sidx = {s: i for i, s in enumerate(srcs)}
     n_src = len(srcs)
-    NB = 256  # bucket = first two hex chars of md5(doc_id)
+    NB = 256  # md5: first two hex chars; fnv: top byte of the u64 hash
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
     def with_hex(batch: pa.Table) -> pa.Table:
+        codes, vals = _dict_codes(batch.column("source"))
+        sc = np.array([sidx[v] for v in vals], dtype=np.int64)[codes]
+        if hash == "fnv":
+            hv = hash_strings_u64(pc.cast(batch.column("doc_id"), pa.string()))
+            b = (hv >> np.uint64(56)).astype(np.int64)
+            out = batch.append_column("_h64", pa.array(hv.view(np.int64)))
+            return out.append_column("_sb", pa.array(sc * NB + b))
         ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
         hx = [hashlib.md5(s.encode()).hexdigest() for s in ids]
         b = np.array([int(h[:2], 16) for h in hx], dtype=np.int64)
-        codes, vals = _dict_codes(batch.column("source"))
-        sc = np.array([sidx[v] for v in vals], dtype=np.int64)[codes]
         out = batch.append_column("_hex", pa.array(hx, type=pa.string()))
         return out.append_column("_sb", pa.array(sc * NB + b))
 
@@ -4452,10 +4530,21 @@ def q_interleave_sources(sf_dir: str):
 
     def rank_bucket(group: pa.Table) -> pa.Table:
         off = ray.get(off_ref)
-        hx = np.asarray(group.column("_hex").to_pylist(), dtype=object)
-        order = np.argsort(hx, kind="stable")
-        rn = np.empty(len(hx), dtype=np.int64)
-        rn[order] = np.arange(len(hx), dtype=np.int64)
+        if hash == "fnv":
+            # int64 view is order-identical to u64 WITHIN a bucket (the
+            # sign bit is part of the constant top byte); id tiebreak
+            h64 = group.column("_h64").to_numpy(zero_copy_only=False)
+            ids_s = np.asarray(
+                pc.cast(group.column("doc_id"), pa.string()).to_pylist(), dtype=object
+            )
+            order = np.lexsort((ids_s, h64))
+            n = len(h64)
+        else:
+            hx = np.asarray(group.column("_hex").to_pylist(), dtype=object)
+            order = np.argsort(hx, kind="stable")
+            n = len(hx)
+        rn = np.empty(n, dtype=np.int64)
+        rn[order] = np.arange(n, dtype=np.int64)
         sb = int(group.column("_sb")[0].as_py())
         rank = rn + off[sb]
         pos = rank * n_src + (sb // NB)
@@ -6173,7 +6262,7 @@ def q_decode_members(sf_dir: str):
             }
         )
 
-    ids = q_seeded_sample(sf_dir).select_columns(["doc_id"])
+    ids = q_seeded_sample(sf_dir, hash="md5").select_columns(["doc_id"])  # oracle rule
     return hash_join(
         dec.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
         ids, left_on="doc_id", right_on="doc_id",
@@ -6283,7 +6372,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "price_quantiles": q_price_quantiles,
     "doc_len_percentile": q_doc_len_percentile,
-    "stratified_sample": q_stratified_sample,
+    "stratified_sample": functools.partial(q_stratified_sample, hash="md5"),  # oracle-parity mode; fnv is the scale default
     "token_idf": q_token_idf,
     "token_entropy": q_token_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -6292,7 +6381,7 @@ QUERIES = {
     "top_docs_by_len": q_top_docs_by_len,
     "dedup_text_stats": q_dedup_text_stats,
     "text_quality": q_text_quality,
-    "doc_fingerprint": q_doc_fingerprint,
+    "doc_fingerprint": functools.partial(q_doc_fingerprint, hash="md5"),  # oracle-parity mode; fnv is the scale default
     "token_count_regex": q_token_count_regex,
     "lang_stats": q_lang_stats,
     "source_lang_rollup": q_source_lang_rollup,
@@ -6312,7 +6401,7 @@ QUERIES = {
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_verified_pairs": q_simhash_verified_pairs,
     "ngram_dup_pairs": q_ngram_dup_pairs,
-    "seeded_sample": q_seeded_sample,
+    "seeded_sample": functools.partial(q_seeded_sample, hash="md5"),  # oracle-parity mode; fnv is the scale default
     "blob_stats": q_blob_stats,
     "pricing_summary": q_pricing_summary,
     "orders_per_nation": q_orders_per_nation,
@@ -6332,7 +6421,7 @@ QUERIES = {
     "events_rolling_avg": q_events_rolling_avg,
     "pack_sequences": q_pack_sequences,
     "repetition_ratio": q_repetition_ratio,
-    "seeded_shuffle": q_seeded_shuffle,
+    "seeded_shuffle": functools.partial(q_seeded_shuffle, hash="md5"),  # oracle-parity mode; fnv is the scale default
     "decontaminate": q_decontaminate,
     "token_pmi": q_token_pmi,
     "bigram_lm_score": q_bigram_lm_score,
@@ -6344,13 +6433,13 @@ QUERIES = {
     "doc_len_mode": q_doc_len_mode,
     "token_skipgrams": q_token_skipgrams,
     "c4_quality_filter": q_c4_quality_filter,
-    "train_test_split": q_train_test_split,
-    "temperature_sample": q_temperature_sample,
+    "train_test_split": functools.partial(q_train_test_split, hash="md5"),  # oracle-parity mode; fnv is the scale default
+    "temperature_sample": functools.partial(q_temperature_sample, hash="md5"),  # oracle-parity mode; fnv is the scale default
     "dup_span_coverage": q_dup_span_coverage,
     "chunk_documents": q_chunk_documents,
     "oov_rate": q_oov_rate,
     "source_kl": q_source_kl,
-    "interleave_sources": q_interleave_sources,
+    "interleave_sources": functools.partial(q_interleave_sources, hash="md5"),  # oracle-parity mode; fnv is the scale default
     "user_paths": q_user_paths,
     "user_paths_capped": q_user_paths_capped,
     "event_transitions": q_event_transitions,

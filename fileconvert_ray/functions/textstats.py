@@ -86,12 +86,31 @@ class TokenCounter:
         )
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Content fingerprint = md5 hex of utf8 text (SQL: md5(text))."""
-    texts = batch.column("text").to_pylist()
-    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+def fingerprint_batch(batch: pa.Table, hash: str = "fnv") -> pa.Table:
+    """Content fingerprint of the utf8 text.
+
+    ``hash="fnv"`` (scale default, round-4 verdict #4): 16-hex-char
+    digest from the vectorized hash_strings_u64 — one kernel pass over
+    the flat byte buffer, no per-row Python hashing.  ``hash="md5"``
+    is the oracle-parity mode (SQL: md5(text))."""
+    if hash == "fnv":
+        from ..util.hashing import hash_strings_u64
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hv = hash_strings_u64(text)
+        hexstr = hv.astype(">u8").tobytes().hex()  # one hex() over all rows
+        fp = pa.array(
+            [hexstr[i : i + 16] for i in range(0, 16 * len(hv), 16)], type=pa.string()
+        )
+    else:
+        texts = batch.column("text").to_pylist()
+        fp = pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], type=pa.string()
+        )
     return pa.Table.from_arrays(
-        [pc.cast(batch.column("doc_id"), pa.string()), pa.array(digests, type=pa.string())],
+        [pc.cast(batch.column("doc_id"), pa.string()), fp],
         names=["doc_id", "fingerprint"],
     )
 

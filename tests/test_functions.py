@@ -1496,12 +1496,24 @@ def test_interleave_sources_skew_bounded_groups(ray_session, tmp_path):
         for rank, did in enumerate(ids):
             want[did] = rank * len(srcs) + sidx[s]
 
-    out = q_interleave_sources(str(d)).to_pandas()
+    out = q_interleave_sources(str(d), hash="md5").to_pandas()
     got = dict(zip(out.doc_id, out.pos))
     assert got == want
     # round-robin property: positions are a permutation of 0..n-1... not
     # exactly (sources differ in size), but no two docs share a position
     assert len(set(got.values())) == len(got)
+
+    # fnv scale default: same shape, brute-force rank by (u64 hash, id)
+    from fileconvert_ray.util.hashing import hash_strings_u64
+
+    want_f = {}
+    for s in srcs:
+        ids = [r["doc_id"] for r in rows if r["source"] == s]
+        hv = hash_strings_u64(pa.array(ids, type=pa.string()))
+        for rank, j in enumerate(sorted(range(len(ids)), key=lambda j: (int(hv[j]), ids[j]))):
+            want_f[ids[j]] = rank * len(srcs) + sidx[s]
+    outf = q_interleave_sources(str(d)).to_pandas()
+    assert dict(zip(outf.doc_id, outf.pos)) == want_f
 
 
 def test_minhash_dedup_driver_free_hot_cluster(ray_session, monkeypatch):
@@ -2088,3 +2100,68 @@ def test_user_paths_bucket_invariance_and_cap(ray_session, monkeypatch, tmp_path
     assert got.loc[7, "path"].count("->") == 7  # 8 steps
     assert got.loc[7, "path"] == "e0->e1->e2->e3->e4->e0->e1->e2"
     assert got.loc[8, "path"] == "a->b->c"  # short users unaffected
+
+
+def test_fnv_sampling_family_properties(ray_session, tmp_path):
+    """Round-4 verdict #4: the vectorized-FNV scale default of the
+    sampling/split family matches the md5 oracle mode's PROPERTIES —
+    keep-rate within tolerance, determinism across runs and across
+    input partitionings (leakage-freedom: assignment is a pure
+    function of the id), per-stratum targets hit."""
+    import pyarrow.parquet as _pq
+
+    from fileconvert_ray.functions import queries as qmod
+
+    n = 4000
+    rows = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "source": pa.array(["s%d" % (i % 3) for i in range(n)]),
+        "n_chars": pa.array([100] * n, type=pa.int64()),
+        "text": pa.array(["t%d" % i for i in range(n)]),
+    })
+    d1, d8 = tmp_path / "one", tmp_path / "eight"
+    d1.mkdir(); d8.mkdir()
+    _pq.write_table(rows, str(d1 / "documents.parquet"))
+    for k in range(8):  # same corpus, different sharding
+        _pq.write_table(rows.slice(k * n // 8, n // 8), str(d8 / f"p{k}.parquet"))
+    # read the 8-shard variant through the same single-dir API
+    import shutil as _sh
+    (d8 / "documents.parquet").mkdir()
+    for k in range(8):
+        _sh.move(str(d8 / f"p{k}.parquet"), str(d8 / "documents.parquet" / f"p{k}.parquet"))
+
+    # seeded_sample: rate ~ 0x1a/256, identical set on both shardings
+    s1 = qmod.q_seeded_sample(str(d1)).to_pandas().sort_values("doc_id", ignore_index=True)
+    s8 = qmod.q_seeded_sample(str(d8)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert s1.equals(s8)
+    rate = len(s1) / n
+    want = int("1a", 16) / 256
+    assert abs(rate - want) < 0.02, (rate, want)
+
+    # train_test_split: 5/5/90 within tolerance, partitioning-invariant
+    t1 = qmod.q_train_test_split(str(d1)).to_pandas().sort_values("doc_id", ignore_index=True)
+    t8 = qmod.q_train_test_split(str(d8)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert t1.equals(t8) and len(t1) == n
+    frac = t1["split"].value_counts(normalize=True)
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+
+    # stratified_sample: each stratum ~STRATA_TARGET docs
+    st = qmod.q_stratified_sample(str(d1)).to_pandas()
+    per = st.groupby("source").size()
+    assert set(per.index) == {"s0", "s1", "s2"}
+    assert ((per - qmod.STRATA_TARGET).abs() <= 0.35 * qmod.STRATA_TARGET).all(), per
+
+    # seeded_shuffle: a permutation (pos unique per shard, all docs), stable
+    sh1 = qmod.q_seeded_shuffle(str(d1)).to_pandas()
+    sh8 = qmod.q_seeded_shuffle(str(d8)).to_pandas()
+    assert len(sh1) == n
+    assert sh1.groupby("shard")["pos"].apply(lambda p: sorted(p) == list(range(len(p)))).all()
+    a = sh1.sort_values("doc_id", ignore_index=True)
+    b = sh8.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+
+    # doc_fingerprint: deterministic 16-hex digests, distinct texts distinct
+    fp = qmod.q_doc_fingerprint(str(d1)).to_pandas()
+    assert fp["fingerprint"].str.fullmatch("[0-9a-f]{16}").all()
+    assert fp["fingerprint"].nunique() == n
