@@ -291,3 +291,55 @@ def test_gather_scatter_gaps_roundtrip():
     out = np.zeros(len(v), dtype=v.dtype)
     scatter_gaps(out, resid, rstarts, rlens, keep)
     assert np.array_equal(out[keep], v[keep])
+
+
+def test_fsst_auto_selected_on_shared_prefix_strings():
+    """Round-4 verdict #5: fsst is back in auto-selection with the
+    vectorized encoder.  On a distinct-valued shared-prefix column
+    (dict cannot win: every value unique) fsst must rank first without
+    the zstd topper, the auto encode must round-trip bit-identically,
+    and selection stays size-driven (never larger than plain)."""
+    import pyarrow as pa
+
+    from fileconvert_ray.codecs import decode_array, encode_array
+    from fileconvert_ray.selector import select
+
+    vals = [f"https://cdn.example.com/assets/v2/img_{i:08d}.png" for i in range(20_000)]
+    arr = pa.array(vals, type=pa.string())
+    assert select(arr, "str", zstd=False, target_n=len(arr)) == "fsst"
+
+    enc = encode_array(arr, "col", codec="auto", zstd=False)
+    assert enc.codec == "fsst"
+    plain = encode_array(arr, "col", codec="plain", zstd=False)
+    assert len(enc.payload) <= len(plain.payload)
+    got = decode_array(enc)
+    assert got.equals(arr)
+
+    # with the zstd topper the choice is still size-driven (plain+zstd
+    # happens to beat fsst+zstd here); whatever wins must round-trip
+    enc_z = encode_array(arr, "col", codec="auto", zstd=True)
+    assert len(enc_z.payload) <= len(plain.payload)
+    assert decode_array(enc_z).equals(arr)
+
+
+def test_fsst_vectorized_encoder_matches_regex_reference():
+    """The lazy-round vectorized encode and the regex reference encoder
+    both decode to the original for adversarial inputs (escape-dense,
+    block-boundary-straddling symbols, sequential-id columns)."""
+    import numpy as np
+
+    from fileconvert_ray.codecs.fsst import SymbolTable, train
+
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"a" * 300,
+        bytes(rng.integers(0, 256, 4096).astype(np.uint8)),     # escapes
+        b"abcdefgh" * 1000,                                      # 8-byte symbols across blocks
+        "".join(f"d{i:09d}" for i in range(5000)).encode(),      # sequential ids
+        bytes(rng.integers(97, 101, 10_000).astype(np.uint8)),   # tiny alphabet
+    ]
+    for data in cases:
+        tb = SymbolTable(train(data or b"xy"))
+        assert tb.decode(tb.encode(data)) == data
+        assert tb.decode(tb.encode_re(data)) == data

@@ -1,0 +1,55 @@
+"""sf0.1-scale regression pins (round-4 verdict #6): the driver's
+correctness gate runs at sf0.01, so a scale-dependent regression (like
+round 3's partition-layout-dependent labelprop digest, which only
+showed as a 2.3x minhash wall-time blowup at sf0.1) would otherwise be
+caught by bench archaeology instead of the tree.  Run explicitly:
+
+    python -m pytest -m slow tests/test_slow_sf01.py -q      (~2 min)
+
+Bounds are calibrated at the test session's 4 cpus with 2x headroom —
+the round-3 regression was a 2.3x blowup and would trip either pin.
+"""
+
+import shutil
+import time
+
+import pytest
+
+SF01 = "/root/testdata/sf0.1"
+
+MINHASH_WALL_BOUND = 2 * 6.0   # measured r5 @4cpus: ~3 s over sf0.1 docs
+ENCODE_WALL_BOUND = 2 * 45.0   # measured r5 @4cpus: ~22 s for 300M tokens
+
+
+@pytest.mark.slow
+def test_minhash_dedup_sf01_wall_and_shape(ray_session):
+    from fileconvert_ray.functions.queries import q_minhash_dedup_docs
+
+    t0 = time.perf_counter()
+    surv = q_minhash_dedup_docs(SF01).count()
+    wall = time.perf_counter() - t0
+    assert surv > 0
+    assert wall <= MINHASH_WALL_BOUND, f"minhash sf0.1 took {wall:.1f}s"
+
+
+@pytest.mark.slow
+def test_encode_verify_300M_tokens(ray_session, tmp_path):
+    """Encode + hash-verify a 500k-doc (~309M token) synthetic corpus —
+    the bench corpus at 1/4 scale, still ~1000x the sf0.001 gate."""
+    from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
+    from fileconvert_ray.pipelines.verify_job import run_verify
+    from fileconvert_ray.sources.tokseq import synth_dataset
+
+    out = str(tmp_path / "enc01")
+    factory = lambda: synth_dataset(500_000, num_blocks=64)
+    t0 = time.perf_counter()
+    m = run_encode(
+        factory, EncodeConfig(out_dir=out, staged_dir="/dev/shm/slow_staged")
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    assert wall <= ENCODE_WALL_BOUND, f"encode 300M tokens took {wall:.1f}s"
+    assert int(m["n_tokens"].sum()) > 250_000_000
+    v = run_verify(factory, out, mode="hash").to_pandas()
+    assert bool(v["ok"].all()) and len(v) > 0
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree("/dev/shm/slow_staged", ignore_errors=True)
