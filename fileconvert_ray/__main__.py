@@ -403,6 +403,24 @@ def main(argv: list[str] | None = None) -> int:
                 per_src[rec.get("source", "?")] += 1
                 for col, codec in rec.get("columns", {}).items():
                     codecs[f"{col}:{codec}"] += 1
+            gens = None
+            try:
+                from fileconvert_ray.state.manifest import read_plan
+
+                gdocs = read_plan(args.out_dir).get("generations")
+                if gdocs:
+                    gens = [
+                        {
+                            "gen": int(g["gen"]),
+                            "files": len(g["files"]),
+                            "planned_partitions": int(sum(g["buckets"].values())),
+                            "tokens": int(sum(g["source_tokens"].values())),
+                            "sealed": bool(g.get("sealed")),
+                        }
+                        for g in gdocs
+                    ]
+            except FileNotFoundError:
+                pass
             print(json.dumps({
                 "ok": True,
                 "partitions": len(entries),
@@ -412,6 +430,7 @@ def main(argv: list[str] | None = None) -> int:
                 "container_bytes": tot_bytes,
                 "bytes_per_token": (round(tot_bytes / tot_tok, 4) if tot_tok else None),
                 "codec_mix": dict(sorted(codecs.items())),
+                **({"generations": gens} if gens else {}),
             }))
         elif args.cmd == "lookup":
             from fileconvert_ray.stages.decoder import lookup_docs

@@ -2796,6 +2796,46 @@ def q_encode_roundtrip(sf_dir: str):
     return run_verify(factory, out)
 
 
+def q_incremental_roundtrip(sf_dir: str):
+    """Append-aware incremental encode (round-4 verdict item 1) under
+    the driver gate: encode the corpus's first shard-half, APPEND the
+    second half as a new ingest generation (run_encode_files touches
+    only the new shards), then hash-verify the whole output against
+    the full original — one ok row per partition across BOTH
+    generations.  Not SQL-expressible -> rows-only check."""
+    import glob as _glob
+
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..pipelines.verify_job import run_verify
+    from ..sources.tokseq import tokseq_dataset as _tok
+
+    from ..util.hashing import hash_strings_u64
+
+    base = _job_dir(sf_dir, "incrt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    # deterministic 2-way shard split on a doc-id hash, written as a
+    # STREAM (no driver materialization — each half write_parquets
+    # straight from the tokenize pipeline)
+    def half(batch: pa.Table, want: int) -> pa.Table:
+        hv = hash_strings_u64(pc.cast(batch.column("doc_id"), pa.string()))
+        return batch.filter(pa.array((hv & np.uint64(1)) == np.uint64(want)))
+
+    d1, d2 = os.path.join(base, "h0"), os.path.join(base, "h1")
+    for want, d in ((0, d1), (1, d2)):
+        _tok(sf_dir).map_batches(
+            half, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"want": want}
+        ).write_parquet(d)
+    s1 = sorted(_glob.glob(os.path.join(d1, "*.parquet")))
+    s2 = sorted(_glob.glob(os.path.join(d2, "*.parquet")))
+    out = os.path.join(base, "enc")
+    cfg = EncodeConfig(out_dir=out, target_partition_tokens=200_000)
+    run_encode_files(s1, cfg).materialize()
+    m2 = run_encode_files(s1 + s2, cfg).to_pandas()
+    assert all("-g01-" in p for p in m2["part_id"]), "append must be gen-1 only"
+    return run_verify(None, out, mode="hash")
+
+
 def q_csv_roundtrip(sf_dir: str):
     """FileConvert conformance (R13): csv->parquet->csv->parquet over a
     deterministic fixture; returns one row with the bit-identity verdict.
@@ -4998,6 +5038,341 @@ def q_promo_revenue(sf_dir: str):
     return t.append_column("promo_share", pa.array(share, type=pa.float64()))
 
 
+# --------------------------- TPC-H-shaped analytics (round 5)
+
+
+def q_cust_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed exactly c orders,
+    INCLUDING the zero-order customers a plain join would drop.
+
+    Scale composition: pass 1 is a distributed per-custkey order count
+    (one hash exchange, O(customers) rows); pass 2 re-groups those
+    counts into the O(max-orders-per-customer) distribution — both
+    stay distributed.  The zero bucket needs only TWO SCALARS (total
+    customers, customers-with-orders = sum of the distribution), so no
+    left join and no customer-table shuffle ever happens."""
+    import ray.data as rd
+
+    per_cust = _sum_groupby(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "o_custkey": b.column("o_custkey"),
+                    "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey"], ["n"],
+    )
+    dist = _sum_groupby(
+        per_cust.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "c_count": b.column("n"),
+                    "n_custs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_count"], ["n_custs"],
+    ).to_pandas()  # O(distinct order counts) — tens of rows
+    n_customers = int(
+        pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    )
+    zero = n_customers - int(dist["n_custs"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "n_custs": [zero]})], ignore_index=True
+        )
+    dist = dist.sort_values("c_count", ignore_index=True)
+    return pa.Table.from_pydict(
+        {
+            "c_count": pa.array(dist["c_count"].astype(np.int64)),
+            "n_custs": pa.array(dist["n_custs"].astype(np.int64)),
+        }
+    )
+
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_top_revenue_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue in
+    a 3-month window.
+
+    Scale composition: lineitem streams through a pruned window read
+    into one per-suppkey revenue exchange (O(suppliers) rows,
+    distributed); the global max is a second TINY aggregate over that
+    table; only the argmax row(s) — usually one — reach the driver,
+    where the supplier name comes from a pushed-down point read.
+    Revenue stays in exact 1e-4-dollar int64 end to end."""
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(np.datetime64(Q15_LO, "us")))
+            & (pc.field("l_shipdate") < pa.scalar(np.datetime64(Q15_HI, "us")))
+        ),
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "total_rev_e4": pa.array(_rev_e4(batch)),
+            }
+        )
+
+    rev = _sum_groupby(
+        li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["s_suppkey"], ["total_rev_e4"],
+    )
+    best = int(rev.max("total_rev_e4"))  # tiny second aggregate
+    top = rev.filter(
+        expr=f"total_rev_e4 == {best}"
+    ).to_pandas()  # O(argmax ties) rows
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", [int(k) for k in top["s_suppkey"]])],
+    ).to_pandas()
+    out = top.merge(sup, on="s_suppkey").sort_values("s_suppkey", ignore_index=True)
+    return pa.Table.from_pydict(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].astype(np.int64)),
+            "s_name": pa.array(out["s_name"], type=pa.string()),
+            "total_rev_e4": pa.array(out["total_rev_e4"].astype(np.int64)),
+        }
+    )
+
+
+Q17_BRAND = "Brand#23"
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: yearly revenue that would be lost by no longer
+    filling small-quantity orders of one brand's parts — the
+    correlated-average-subquery workload (l_quantity < 0.2 * per-part
+    avg quantity).
+
+    Scale composition: the brand's partkeys (a ~1/25 slice of part)
+    broadcast once; pass 1 computes per-part (sum_qty, cnt) partials
+    through one small exchange; the resulting O(brand parts) table
+    broadcasts back and pass 2 filters with the INTEGER cross-multiply
+    5*qty*cnt < sum_qty (exactly the SQL predicate, no float avg), so
+    both passes over lineitem are shuffle-free.  One output row."""
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "=", Q17_BRAND)],
+    )
+    pkeys = np.sort(part.column("p_partkey").to_numpy().astype(np.int64))
+    pref = ray.put(pkeys)
+
+    def li_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, pk)
+        m = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == pk)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)[m]
+        return pa.Table.from_pydict(
+            {
+                "p": pa.array(pk[m]),
+                "sum_qty": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+                "cnt": pa.array(np.ones(int(m.sum()), dtype=np.int64)),
+            }
+        )
+
+    stats = _sum_groupby(
+        li_ds().map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["p"], ["sum_qty", "cnt"],
+    ).to_pandas()  # O(parts of one brand)
+    sp = stats.sort_values("p")
+    skeys = sp["p"].to_numpy().astype(np.int64)
+    ssum = sp["sum_qty"].to_numpy().astype(np.int64)
+    scnt = sp["cnt"].to_numpy().astype(np.int64)
+    sref = ray.put((skeys, ssum, scnt))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys, sums, cnts = ray.get(sref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, pk)
+        m = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == pk)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        ii = np.minimum(idx, len(keys) - 1)
+        small = m & (5 * qty * cnts[ii] < sums[ii])
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[small]
+        tot = int(np.floor(price * 100 + 0.5).astype(np.int64).sum())
+        return pa.Table.from_pydict({"one": [1], "total_c": [tot]})
+
+    total = _sum_groupby(
+        li_ds().map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["one"], ["total_c"],
+    ).to_pandas()
+    tot_c = int(total["total_c"].sum()) if len(total) else 0
+    return pa.Table.from_pydict(
+        {
+            "total_price_c": pa.array([tot_c], type=pa.int64()),
+            "avg_yearly_c": pa.array([tot_c / 7.0], type=pa.float64()),
+        }
+    )
+
+
+Q19_BRACKETS = (  # (brand, qty_lo, qty_hi, size_lo, size_hi)
+    ("Brand#12", 1, 11, 1, 5),
+    ("Brand#23", 10, 20, 1, 10),
+    ("Brand#34", 20, 30, 1, 15),
+)
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, quantity
+    range, size range) brackets — the multi-predicate join workload.
+
+    Scale composition: part's (partkey -> brand-bracket id, size)
+    broadcasts once as sorted arrays; lineitem streams through one
+    shuffle-free widen evaluating all three brackets vectorized (the
+    OR is a numpy boolean fold), into a one-row sum."""
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    pkeys = part.column("p_partkey").to_numpy().astype(np.int64)
+    order = np.argsort(pkeys)
+    pkeys = pkeys[order]
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)[order]
+    sizes = part.column("p_size").to_numpy().astype(np.int64)[order]
+    bid = np.full(len(pkeys), -1, dtype=np.int64)
+    for i, (b, _, _, slo, shi) in enumerate(Q19_BRACKETS):
+        bid[(brands == b) & (sizes >= slo) & (sizes <= shi)] = i
+    ref = ray.put((pkeys, bid))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        keys, bids = ray.get(ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+        hit = keys[idx] == pk
+        b = np.where(hit, bids[idx], -1)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        keep = np.zeros(len(pk), dtype=bool)
+        for i, (_, qlo, qhi, _, _) in enumerate(Q19_BRACKETS):
+            keep |= (b == i) & (qty >= qlo) & (qty <= qhi)
+        rev = _rev_e4(batch, keep)
+        return pa.Table.from_pydict(
+            {"one": pa.array([1]), "revenue_e4": pa.array([int(rev.sum())])}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = _sum_groupby(
+        li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["one"], ["revenue_e4"],
+    ).to_pandas()
+    return pa.Table.from_pydict(
+        {"revenue_e4": pa.array([int(agg["revenue_e4"].sum())], type=pa.int64())}
+    )
+
+
+Q22_BIG_ORDER = 450_000.0  # "big order" price threshold (90th pctile)
+
+
+def q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape (adapted to this schema: mktsegment plays the
+    country-code role, and every synthetic customer has SOME order, so
+    the anti side is "never placed a BIG order"): per segment, the
+    count and total balance of customers whose balance exceeds the
+    global average positive balance and who never placed an order over
+    Q22_BIG_ORDER.
+
+    Scale composition: the global average is one tiny scalar aggregate
+    (exact cents); "no big order" is a key-only ANTI hash join whose
+    right side shrinks at the READ (o_totalprice predicate pushed into
+    the parquet scan; only the key column ships through the bucketed
+    exchange); the surviving rows fold into an O(segments) groupby.
+    All comparisons integer (balance_c * n > sum_c), matching the SQL
+    exactly."""
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        pos = cents > 0
+        return pa.Table.from_pydict(
+            {
+                "one": pa.array([1]),
+                "sum_c": pa.array([int(cents[pos].sum())]),
+                "n_pos": pa.array([int(pos.sum())]),
+            }
+        )
+
+    g = _sum_groupby(
+        cust.map_batches(bal_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["one"], ["sum_c", "n_pos"],
+    ).to_pandas()
+    sum_c, n_pos = int(g["sum_c"].sum()), int(g["n_pos"].sum())
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        keep = cents * n_pos > sum_c  # bal > avg positive bal, exact
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "c_mktsegment": batch.column("c_mktsegment").filter(pa.array(keep)),
+                "bal_c": pa.array(cents[keep]),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_totalprice") > pa.scalar(Q22_BIG_ORDER),
+    )
+    idle = hash_join(
+        rich_ds, orders, left_on="c_custkey", right_on="o_custkey",
+        right_cols=["o_custkey"], n_buckets=16, mode="anti",
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_custs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "total_bal_c": batch.column("bal_c"),
+            }
+        )
+
+    return _sum_groupby(
+        idle.map_batches(seg_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_mktsegment"], ["n_custs", "total_bal_c"],
+    )
+
+
 CUM_USER_BUCKETS = 64
 WINDOW_BUCKET_TARGET_BYTES = 256 << 20  # per-bucket map_groups task budget
 
@@ -6466,6 +6841,7 @@ QUERIES = {
     "events_in_windows": q_events_in_windows,
     "events_sliding": q_events_sliding,
     "encode_roundtrip": q_encode_roundtrip,
+    "incremental_roundtrip": q_incremental_roundtrip,
     "encode_metrics": q_encode_metrics,
     "csv_roundtrip": q_csv_roundtrip,
     "csv_export_roundtrip": q_csv_export_roundtrip,
@@ -6482,6 +6858,11 @@ QUERIES = {
     "returned_items": q_returned_items,
     "large_volume_orders": q_large_volume_orders,
     "promo_revenue": q_promo_revenue,
+    "cust_order_distribution": q_cust_order_distribution,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "bracket_revenue": q_bracket_revenue,
+    "idle_customer_balance": q_idle_customer_balance,
     "user_cumulative_value": q_user_cumulative_value,
     "embedding_dedup_vecs": q_embedding_dedup_vecs,
     "normalize_text": q_normalize_text,
@@ -7758,6 +8139,90 @@ ORACLE_SQL["promo_revenue"] = f"""
       and l_shipdate >= timestamp '{Q14_DATE_LO}'
       and l_shipdate <  timestamp '{Q14_DATE_HI}'
     group by month
+"""
+
+ORACLE_SQL["cust_order_distribution"] = """
+    with per_cust as (
+        select c.c_custkey, count(o.o_orderkey) as c_count
+        from customer c left join orders o on c.c_custkey = o.o_custkey
+        group by c.c_custkey
+    )
+    select cast(c_count as bigint) as c_count,
+           cast(count(*) as bigint) as n_custs
+    from per_cust group by c_count
+"""
+
+ORACLE_SQL["top_revenue_supplier"] = f"""
+    with rev as (
+        select cast(l_suppkey as bigint) as s_suppkey,
+               cast(sum({_REV_E4_SQL}) as bigint) as total_rev_e4
+        from lineitem
+        where l_shipdate >= timestamp '{Q15_LO}'
+          and l_shipdate <  timestamp '{Q15_HI}'
+        group by l_suppkey
+    )
+    select r.s_suppkey, s.s_name, r.total_rev_e4
+    from rev r, supplier s
+    where s.s_suppkey = r.s_suppkey
+      and r.total_rev_e4 = (select max(total_rev_e4) from rev)
+"""
+
+ORACLE_SQL["small_qty_revenue"] = f"""
+    with pa_stats as (
+        select l_partkey as p,
+               cast(sum(cast(floor(l_quantity + 0.5) as bigint)) as bigint) as sum_qty,
+               cast(count(*) as bigint) as cnt
+        from lineitem, part
+        where p_partkey = l_partkey and p_brand = '{Q17_BRAND}'
+        group by l_partkey
+    ),
+    small as (
+        select cast(floor(l_extendedprice * 100 + 0.5) as bigint) as price_c
+        from lineitem, pa_stats
+        where l_partkey = p
+          and 5 * cast(floor(l_quantity + 0.5) as bigint) * cnt < sum_qty
+    )
+    select cast(coalesce(sum(price_c), 0) as bigint) as total_price_c,
+           coalesce(sum(price_c), 0)::double / 7.0 as avg_yearly_c
+    from small
+"""
+
+ORACLE_SQL["bracket_revenue"] = f"""
+    select cast(coalesce(sum({_REV_E4_SQL}), 0) as bigint) as revenue_e4
+    from lineitem, part
+    where p_partkey = l_partkey
+      and (
+        (p_brand = 'Brand#12' and p_size between 1 and 5
+         and cast(floor(l_quantity + 0.5) as bigint) between 1 and 11)
+        or
+        (p_brand = 'Brand#23' and p_size between 1 and 10
+         and cast(floor(l_quantity + 0.5) as bigint) between 10 and 20)
+        or
+        (p_brand = 'Brand#34' and p_size between 1 and 15
+         and cast(floor(l_quantity + 0.5) as bigint) between 20 and 30)
+      )
+"""
+
+ORACLE_SQL["idle_customer_balance"] = f"""
+    with g as (
+        select cast(sum(case when cast(floor(c_acctbal * 100 + 0.5) as bigint) > 0
+                             then cast(floor(c_acctbal * 100 + 0.5) as bigint)
+                             else 0 end) as bigint) as sum_c,
+               cast(count(*) filter (
+                    where cast(floor(c_acctbal * 100 + 0.5) as bigint) > 0
+               ) as bigint) as n_pos
+        from customer
+    )
+    select c_mktsegment,
+           cast(count(*) as bigint) as n_custs,
+           cast(sum(cast(floor(c_acctbal * 100 + 0.5) as bigint)) as bigint)
+             as total_bal_c
+    from customer, g
+    where cast(floor(c_acctbal * 100 + 0.5) as bigint) * g.n_pos > g.sum_c
+      and not exists (select 1 from orders o
+                      where o.o_custkey = c_custkey
+                        and o.o_totalprice > {Q22_BIG_ORDER})
+    group by c_mktsegment
 """
 
 ORACLE_SQL["user_cumulative_value"] = """
