@@ -5290,6 +5290,241 @@ def q_bracket_revenue(sf_dir: str):
     )
 
 
+Q8_TYPE = "PROMO"
+Q8_LO, Q8_HI = "1995-01-01", "1997-01-01"
+
+
+def _nation_luts(sf_dir: str):
+    """(nationkey -> name LUT, suppkey-sorted supplier nation names,
+    target nation, its region's nationkey set) — the deterministic
+    data-derived parameters the Q7/Q8 shapes share (most-supplier
+    nation, name tie-break, so the query is non-degenerate at every
+    scale and both Ray and SQL derive the identical choice)."""
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nkeys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    nregion = nat.column("n_regionkey").to_numpy().astype(np.int64)
+    name_lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    name_lut[nkeys] = nname
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    s_ord = np.argsort(skeys)
+    s_nation = name_lut[sup.column("s_nationkey").to_numpy().astype(np.int64)][s_ord]
+    un, uc = np.unique(s_nation.astype(str), return_counts=True)
+    target = str(un[np.lexsort((un, -uc))][0])
+    tregion = int(nregion[nname == target][0])
+    region_nk = set(nkeys[nregion == tregion].tolist())
+    return (nkeys, nname), (skeys[s_ord], s_nation), target, region_nk
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: the target nation's share of PROMO-part revenue
+    sold to customers of its own region, by order year.  Target nation
+    = most suppliers (name tie-break) — data-derived on both sides.
+
+    Scale composition: part membership and supplier-nation resolve
+    through broadcast LUTs inside shuffle-free widens; customer
+    streams to a key-only in-region key set feeding ONE semi hash join
+    against the date-pruned orders (both sides ship 8-16 B/row), and
+    lineitem meets those orders in ONE co-partitioned hash join.  The
+    rollup is O(years); the share division happens identically on
+    both sides (int64 sums -> float64)."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    (nkeys, nname), (sk, s_nation), target, region_nk = _nation_luts(sf_dir)
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+        filters=[("p_type", "=", Q8_TYPE)],
+    )
+    pkeys = np.sort(part.column("p_partkey").to_numpy().astype(np.int64))
+    pref = ray.put(pkeys)
+    sref = ray.put((sk, s_nation))
+    nat_region = np.zeros(int(nkeys.max()) + 1, dtype=bool)
+    for k in region_nk:
+        nat_region[k] = True
+    rref = ray.put(nat_region)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def in_region(batch: pa.Table) -> pa.Table:
+        reg = ray.get(rref)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = reg[np.minimum(nk, len(reg) - 1)] & (nk < len(reg))
+        return pa.Table.from_pydict(
+            {"c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()).filter(pa.array(keep))}
+        )
+
+    region_custs = cust.map_batches(in_region, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(np.datetime64(Q8_LO, "us")))
+            & (pc.field("o_orderdate") < pa.scalar(np.datetime64(Q8_HI, "us")))
+        ),
+    )
+
+    def widen_year(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        years = (
+            1970 + micros.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "o_year": pa.array(years),
+            }
+        )
+
+    orders_y = orders.map_batches(widen_year, batch_format="pyarrow", zero_copy_batch=True)
+    region_orders = hash_join(
+        orders_y, region_custs, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_custkey"], n_buckets=16, mode="semi",
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def widen_li(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(keys, pk), max(len(keys) - 1, 0))
+        keep = keys[idx] == pk if len(keys) else np.zeros(len(pk), dtype=bool)
+        sks, snat = ray.get(sref)
+        sidx = np.searchsorted(sks, batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+        is_t = snat[np.minimum(sidx, len(sks) - 1)] == target
+        rev = _rev_e4(batch)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()).filter(pa.array(keep)),
+                "target_rev_e4": pa.array(np.where(is_t, rev, 0)[keep]),
+                "total_rev_e4": pa.array(rev[keep]),
+            }
+        )
+
+    li_w = li.map_batches(widen_li, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        li_w, region_orders, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_year"], n_buckets=16,
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_year": pc.cast(batch.column("r_o_year"), pa.int64()),
+                "target_rev_e4": batch.column("target_rev_e4"),
+                "total_rev_e4": batch.column("total_rev_e4"),
+            }
+        )
+
+    agg = _sum_groupby(
+        joined.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_year"], ["target_rev_e4", "total_rev_e4"],
+    ).to_pandas()  # O(years)
+    agg = agg.sort_values("o_year", ignore_index=True)
+    share = agg["target_rev_e4"].to_numpy().astype(np.float64) / agg[
+        "total_rev_e4"
+    ].to_numpy().astype(np.float64)
+    return pa.Table.from_pydict(
+        {
+            "o_year": pa.array(agg["o_year"].astype(np.int64)),
+            "target_rev_e4": pa.array(agg["target_rev_e4"].astype(np.int64)),
+            "total_rev_e4": pa.array(agg["total_rev_e4"].astype(np.int64)),
+            "mkt_share": pa.array(share, type=pa.float64()),
+        }
+    )
+
+
+Q9_PATTERN = "red"  # p_name substring (Q9's '%green%' against this vocab)
+
+
+def q_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape (no partsupp in this schema, so profit = revenue):
+    revenue from parts whose name contains Q9_PATTERN, by supplier
+    nation and order year.
+
+    Scale composition: matching partkeys and supplier nations broadcast
+    once; lineitem streams through one widen (part filter + nation +
+    exact revenue) into ONE co-partitioned hash join with orders
+    (both sides pre-projected to two columns) and an O(nations x
+    years) rollup."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    _, (sk, s_nation), _, _ = _nation_luts(sf_dir)
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    m = pc.match_substring(part.column("p_name"), Q9_PATTERN)
+    pkeys = np.sort(part.filter(m).column("p_partkey").to_numpy().astype(np.int64))
+    pref = ray.put(pkeys)
+    sref = ray.put((sk, s_nation))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(keys, pk), max(len(keys) - 1, 0))
+        keep = keys[idx] == pk if len(keys) else np.zeros(len(pk), dtype=bool)
+        sks, snat = ray.get(sref)
+        sidx = np.searchsorted(sks, batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+        nation = snat[np.minimum(sidx, len(sks) - 1)]
+        rev = _rev_e4(batch)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()).filter(pa.array(keep)),
+                "n_name": pa.array(nation[keep], type=pa.string()),
+                "profit_e4": pa.array(rev[keep]),
+            }
+        )
+
+    li_w = li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def oyear(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        years = (
+            1970 + micros.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "o_year": pa.array(years),
+            }
+        )
+
+    orders_y = orders.map_batches(oyear, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(
+        li_w, orders_y, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_year"], n_buckets=16,
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "n_name": batch.column("n_name"),
+                "o_year": pc.cast(batch.column("r_o_year"), pa.int64()),
+                "profit_e4": batch.column("profit_e4"),
+            }
+        )
+
+    return _sum_groupby(
+        joined.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_name", "o_year"], ["profit_e4"],
+    )
+
+
 Q22_BIG_ORDER = 450_000.0  # "big order" price threshold (90th pctile)
 
 
@@ -6859,6 +7094,8 @@ QUERIES = {
     "large_volume_orders": q_large_volume_orders,
     "promo_revenue": q_promo_revenue,
     "cust_order_distribution": q_cust_order_distribution,
+    "market_share": q_market_share,
+    "nation_profit": q_nation_profit,
     "top_revenue_supplier": q_top_revenue_supplier,
     "small_qty_revenue": q_small_qty_revenue,
     "bracket_revenue": q_bracket_revenue,
@@ -8139,6 +8376,46 @@ ORACLE_SQL["promo_revenue"] = f"""
       and l_shipdate >= timestamp '{Q14_DATE_LO}'
       and l_shipdate <  timestamp '{Q14_DATE_HI}'
     group by month
+"""
+
+ORACLE_SQL["market_share"] = f"""
+    with target as (
+        select n_name from supplier s, nation n
+        where s.s_nationkey = n.n_nationkey
+        group by n_name order by count(*) desc, n_name limit 1
+    ),
+    region_nations as (
+        select n2.n_nationkey from nation n2
+        where n2.n_regionkey = (
+            select n3.n_regionkey from nation n3, target t where n3.n_name = t.n_name
+        )
+    )
+    select cast(extract(year from o_orderdate) as bigint) as o_year,
+           cast(sum(case when sn.n_name = (select n_name from target)
+                         then {_REV_E4_SQL} else 0 end) as bigint) as target_rev_e4,
+           cast(sum({_REV_E4_SQL}) as bigint) as total_rev_e4,
+           sum(case when sn.n_name = (select n_name from target)
+                    then {_REV_E4_SQL} else 0 end)::double
+             / sum({_REV_E4_SQL})::double as mkt_share
+    from lineitem, orders, customer, supplier s, nation sn, part
+    where l_orderkey = o_orderkey and o_custkey = c_custkey
+      and l_suppkey = s.s_suppkey and s.s_nationkey = sn.n_nationkey
+      and l_partkey = p_partkey and p_type = '{Q8_TYPE}'
+      and c_nationkey in (select n_nationkey from region_nations)
+      and o_orderdate >= timestamp '{Q8_LO}'
+      and o_orderdate <  timestamp '{Q8_HI}'
+    group by o_year
+"""
+
+ORACLE_SQL["nation_profit"] = f"""
+    select sn.n_name,
+           cast(extract(year from o_orderdate) as bigint) as o_year,
+           cast(sum({_REV_E4_SQL}) as bigint) as profit_e4
+    from lineitem, orders, supplier s, nation sn, part
+    where l_orderkey = o_orderkey
+      and l_suppkey = s.s_suppkey and s.s_nationkey = sn.n_nationkey
+      and l_partkey = p_partkey and p_name like '%{Q9_PATTERN}%'
+    group by sn.n_name, o_year
 """
 
 ORACLE_SQL["cust_order_distribution"] = """
