@@ -5525,6 +5525,210 @@ def q_nation_profit(sf_dir: str):
     )
 
 
+def q_waiting_supplier(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema: lineitem has no receipt/commit dates, so "the offending
+    lineitem" is ``l_returnflag = 'R'`` — suppliers in the target nation
+    whose item was the ONLY returned item on a finished ('F')
+    multi-supplier order.  The EXISTS / NOT-EXISTS pair collapses to
+    per-order set algebra: n_distinct_suppliers >= 2 and exactly one
+    returned supplier.
+
+    Scale shape: lineitem pre-aggregates (orderkey, suppkey) -> any_ret
+    per batch (TableGroupBy partial), then ONE hash-bucket exchange on
+    orderkey; inside a bucket a single lexsort + reduceat dedups pairs
+    and reduces each order's segment — no per-order Python.  The
+    surviving candidates (one row per qualifying order) meet the
+    F-orders key set in a key-only semi hash join; supplier name/nation
+    resolve through a broadcast LUT and the rollup is O(suppliers)."""
+    import ray
+    import ray.data as rd
+
+    from ..util.hashing import splitmix64
+    from .joins import hash_join
+
+    _, (sk, s_nation), target, _ = _nation_luts(sf_dir)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk2 = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    s_ord = np.argsort(sk2)
+    s_names = np.asarray(sup.column("s_name").to_pylist(), dtype=object)[s_ord]
+    is_target = s_nation.astype(str) == target  # aligned with sk (suppkey-sorted)
+    sref = ray.put((sk, s_names, is_target))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    )
+    nb = _window_buckets(li)
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "o": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "s": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "ret": pc.cast(pc.equal(batch.column("l_returnflag"), "R"), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["o", "s"]).aggregate([("ret", "max")])
+        g = g.rename_columns(["o", "s", "ret"])
+        ok = g.column("o").to_numpy(zero_copy_only=False)
+        b = (splitmix64(ok.view(np.uint64)) % np.uint64(nb)).view(np.int64)
+        return g.append_column("_b", pa.array(b))
+
+    pairs = li.map_batches(partial_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        o = group.column("o").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(o) == 0:
+            return pa.Table.from_pydict(
+                {"l_orderkey": pa.array([], pa.int64()), "ret_supp": pa.array([], pa.int64())}
+            )
+        s = group.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = group.column("ret").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, o))
+        o, s, r = o[order], s[order], r[order]
+        # combine cross-batch partials: dedup (o, s) pairs with max(ret)
+        pstarts = np.flatnonzero(np.concatenate(([True], (np.diff(o) != 0) | (np.diff(s) != 0))))
+        rmax = np.maximum.reduceat(r, pstarts)
+        od, sd = o[pstarts], s[pstarts]
+        # per-order segment reduce over the deduped pairs
+        ostarts = np.flatnonzero(np.concatenate(([True], np.diff(od) != 0)))
+        n_supp = np.diff(np.concatenate((ostarts, [len(od)])))
+        n_ret = np.add.reduceat(rmax, ostarts)
+        ret_supp = np.add.reduceat(sd * rmax, ostarts)
+        keep = (n_ret == 1) & (n_supp >= 2)
+        return pa.Table.from_pydict(
+            {"l_orderkey": pa.array(od[ostarts][keep]), "ret_supp": pa.array(ret_supp[keep])}
+        )
+
+    cand = pairs.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    ).map_batches(
+        lambda b: pa.Table.from_pydict({"o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    waiting = hash_join(
+        cand, orders_f, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderkey"], n_buckets=16, mode="semi",
+    )
+
+    def to_name(batch: pa.Table) -> pa.Table:
+        sk_, names_, is_t = ray.get(sref)
+        sp = batch.column("ret_supp").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(sk_, sp), max(len(sk_) - 1, 0))
+        keep = (sk_[idx] == sp) & is_t[idx] if len(sk_) else np.zeros(len(sp), dtype=bool)
+        return pa.Table.from_pydict(
+            {
+                "s_name": pa.array(names_[idx][keep], type=pa.string()),
+                "numwait": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    agg = _sum_groupby(
+        waiting.map_batches(to_name, batch_format="pyarrow", zero_copy_batch=True),
+        ["s_name"], ["numwait"],
+    ).to_pandas()  # O(target-nation suppliers)
+    agg = agg.sort_values(["numwait", "s_name"], ascending=[False, True], ignore_index=True)
+    agg = agg.head(100)
+    return pa.Table.from_pydict(
+        {
+            "s_name": pa.array(agg["s_name"].tolist(), type=pa.string()),
+            "numwait": pa.array(agg["numwait"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)  # Q16's size-set predicate
+Q16_EXCL_MOD = 7  # adapted "complaints" supplier exclusion: s_suppkey % 7 == 0
+
+
+def q_supplier_cnt_by_part(sf_dir: str):
+    """TPC-H Q16 shape (no partsupp in this schema, so the
+    part<->supplier relationship comes from lineitem): distinct
+    supplier count per (p_brand, p_type, p_size) for a size set,
+    excluding the most-common brand (data-derived, count-then-name
+    tie-break — the '<> Brand#45' predicate) and the "complaints"
+    suppliers (adapted: s_suppkey % Q16_EXCL_MOD == 0; lineitem
+    carries no comment text).
+
+    Scale shape: the filtered part table compresses to a broadcast
+    (partkey -> combo-id) LUT (O(parts) — the small side); lineitem
+    streams through one widen that resolves combo-id, drops excluded
+    suppliers, and dedups (combo, supplier) per batch via np.unique on
+    a packed int64 — the exchange then moves O(combos x suppliers)
+    pairs, never raw lineitem.  One groupby(combo) counts the distinct
+    survivors per group (O(combos) Python calls, bounded by the combo
+    vocabulary, not the data)."""
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    brand_arr = np.asarray(part.column("p_brand").to_pylist(), dtype=object).astype(str)
+    un, uc = np.unique(brand_arr, return_counts=True)
+    top_brand = str(un[np.lexsort((un, -uc))][0])
+    sizes = part.column("p_size").to_numpy().astype(np.int64)
+    keep = np.isin(sizes, np.asarray(Q16_SIZES, dtype=np.int64)) & (brand_arr != top_brand)
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)[keep]
+    types = np.asarray(part.column("p_type").to_pylist(), dtype=object).astype(str)[keep]
+    combo_key = np.char.add(
+        np.char.add(np.char.add(brand_arr[keep], "|"), types),
+        np.char.add("|", sizes[keep].astype(str)),
+    )
+    combos, gid = np.unique(combo_key, return_inverse=True)
+    # combo-id -> (brand, type, size) columns for the final projection
+    split = np.char.partition(combos, "|")
+    c_brand = split[:, 0]
+    rest = np.char.partition(split[:, 2], "|")
+    c_type, c_size = rest[:, 0], rest[:, 2].astype(np.int64)
+    p_ord = np.argsort(pk)
+    lut = ray.put((pk[p_ord], gid[p_ord].astype(np.int64), c_brand, c_type, c_size))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        pks, gids, _, _, _ = ray.get(lut)
+        pkb = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(pks, pkb), max(len(pks) - 1, 0))
+        m = (pks[idx] == pkb) & (sb % Q16_EXCL_MOD != 0) if len(pks) else np.zeros(len(pkb), bool)
+        packed = np.unique((gids[idx[m]] << np.int64(32)) | sb[m])  # per-batch pair dedup
+        return pa.Table.from_pydict(
+            {"gid": pa.array(packed >> np.int64(32)), "s": pa.array(packed & np.int64(0xFFFFFFFF))}
+        )
+
+    pairs = li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_distinct(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "p_type": pa.array([], pa.string()),
+                    "p_size": pa.array([], pa.int64()),
+                    "supplier_cnt": pa.array([], pa.int64()),
+                }
+            )
+        _, _, cb, ct, cs = ray.get(lut)
+        g = int(group.column("gid")[0].as_py())
+        n = len(np.unique(group.column("s").to_numpy(zero_copy_only=False)))
+        return pa.Table.from_pydict(
+            {
+                "p_brand": pa.array([str(cb[g])], pa.string()),
+                "p_type": pa.array([str(ct[g])], pa.string()),
+                "p_size": pa.array([int(cs[g])], pa.int64()),
+                "supplier_cnt": pa.array([n], pa.int64()),
+            }
+        )
+
+    return pairs.groupby("gid").map_groups(count_distinct, batch_format="pyarrow")
+
+
 Q22_BIG_ORDER = 450_000.0  # "big order" price threshold (90th pctile)
 
 
@@ -7096,6 +7300,8 @@ QUERIES = {
     "cust_order_distribution": q_cust_order_distribution,
     "market_share": q_market_share,
     "nation_profit": q_nation_profit,
+    "waiting_supplier": q_waiting_supplier,
+    "supplier_cnt_by_part": q_supplier_cnt_by_part,
     "top_revenue_supplier": q_top_revenue_supplier,
     "small_qty_revenue": q_small_qty_revenue,
     "bracket_revenue": q_bracket_revenue,
@@ -8416,6 +8622,49 @@ ORACLE_SQL["nation_profit"] = f"""
       and l_suppkey = s.s_suppkey and s.s_nationkey = sn.n_nationkey
       and l_partkey = p_partkey and p_name like '%{Q9_PATTERN}%'
     group by sn.n_name, o_year
+"""
+
+ORACLE_SQL["waiting_supplier"] = """
+    with target as (
+        select n_name from supplier s, nation n
+        where s.s_nationkey = n.n_nationkey
+        group by n_name order by count(*) desc, n_name limit 1
+    ),
+    pairs as (
+        select l_orderkey, l_suppkey,
+               max(case when l_returnflag = 'R' then 1 else 0 end) as ret
+        from lineitem group by l_orderkey, l_suppkey
+    ),
+    per_order as (
+        select l_orderkey, count(*) as n_supp, sum(ret) as n_ret,
+               sum(l_suppkey * ret) as ret_supp
+        from pairs group by l_orderkey
+    )
+    select s.s_name, cast(count(*) as bigint) as numwait
+    from per_order po, orders o, supplier s, nation n
+    where po.l_orderkey = o.o_orderkey and o.o_orderstatus = 'F'
+      and po.n_ret = 1 and po.n_supp >= 2
+      and s.s_suppkey = po.ret_supp
+      and s.s_nationkey = n.n_nationkey
+      and n.n_name = (select n_name from target)
+    group by s.s_name
+    order by numwait desc, s.s_name
+    limit 100
+"""
+
+ORACLE_SQL["supplier_cnt_by_part"] = f"""
+    with top_brand as (
+        select p_brand from part group by p_brand
+        order by count(*) desc, p_brand limit 1
+    )
+    select p_brand, p_type, cast(p_size as bigint) as p_size,
+           cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+    from lineitem, part
+    where l_partkey = p_partkey
+      and p_brand <> (select p_brand from top_brand)
+      and p_size in {Q16_SIZES}
+      and l_suppkey % {Q16_EXCL_MOD} <> 0
+    group by p_brand, p_type, p_size
 """
 
 ORACLE_SQL["cust_order_distribution"] = """
