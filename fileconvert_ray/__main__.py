@@ -134,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-encode", action="store_true",
                    help="stop after writing the split document sets")
     r.add_argument("--target-partition-tokens", type=int, default=4_000_000)
+    r.add_argument("--near-dedup", action="store_true",
+                   help="add a MinHash-LSH near-duplicate pass after exact dedup")
+    r.add_argument("--decontam", default=None, metavar="EVAL_PARQUET",
+                   help="drop docs sharing any word 3-gram with this eval set")
 
     ins = sub.add_parser("inspect", help="summarize an encode out dir from its manifest")
     ins.add_argument("out_dir")
@@ -386,6 +390,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.out,
                 encode=not args.no_encode,
                 target_partition_tokens=args.target_partition_tokens,
+                near_dedup=args.near_dedup,
+                decontam_path=args.decontam,
             )))
         elif args.cmd == "inspect":
             from collections import Counter

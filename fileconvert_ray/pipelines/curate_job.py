@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 
 def _rules():
@@ -51,14 +52,50 @@ def curate_batch(batch: pa.Table) -> pa.Table:
     return kept.append_column("split", pa.array(split, type=pa.string()))
 
 
+def _decontam_filter(surv, decontam_path: str, *, k: int = 3, seed: int = 9):
+    """Drop docs sharing ANY word k-gram with the eval set at
+    ``decontam_path`` (parquet with a ``text`` column) — the same
+    broadcast-membership shape as queries.q_decontaminate: the eval
+    gram hashes are the small side (``ray.put`` once, np.isin per
+    batch), so the corpus pass stays shuffle-free."""
+    import ray
+
+    from ..functions.dedup import _word_kgram_hashes
+
+    bt = pq.read_table(decontam_path, columns=["text"])
+    bh, _ = _word_kgram_hashes(bt.column("text").combine_chunks(), k, seed=seed)
+    eval_ref = ray.put(np.unique(bh))
+
+    def drop_contaminated(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h, n_sh = _word_kgram_hashes(texts, k, seed=seed)
+        hit = np.isin(h.view(np.uint64), ray.get(eval_ref))
+        rows = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+        bad = np.bincount(rows[hit], minlength=len(n_sh)) > 0
+        return batch.filter(pa.array(~bad))
+
+    return surv.map_batches(drop_contaminated, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def run_curate(
     input_path: str,
     out_dir: str,
     *,
     encode: bool = True,
     target_partition_tokens: int = 4_000_000,
+    near_dedup: bool = False,
+    decontam_path: str | None = None,
 ) -> dict:
-    """Returns a JSON-able summary of every stage's row/token counts."""
+    """Returns a JSON-able summary of every stage's row/token counts.
+
+    ``near_dedup=True`` adds a MinHash-LSH near-duplicate pass after
+    exact dedup (driver-free, functions/dedup.py defaults);
+    ``decontam_path`` drops docs sharing any word 3-gram with the eval
+    parquet at that path BEFORE the quality filter — the standard
+    pre-training hygiene chain (exact dedup -> near dedup ->
+    decontaminate -> quality filter -> split -> encode)."""
     import ray.data as rd
 
     from ..functions.dedup import exact_dedup
@@ -66,6 +103,12 @@ def run_curate(
     ds = rd.read_parquet(input_path)
     n_in = ds.count()
     surv = exact_dedup(ds, key="text", id_col="doc_id")
+    if near_dedup:
+        from ..functions.dedup import minhash_dedup
+
+        surv, _ = minhash_dedup(surv)
+    if decontam_path:
+        surv = _decontam_filter(surv, decontam_path)
     curated = surv.map_batches(curate_batch, batch_format="pyarrow", zero_copy_batch=True)
     curated_dir = f"{out_dir}/curated"
     # a re-run must not APPEND a second copy of every curated file; the
@@ -89,6 +132,8 @@ def run_curate(
         "n_input": int(n_in),
         "n_curated": int(sum(splits.values())),
         "splits": splits,
+        "near_dedup": bool(near_dedup),
+        "decontaminated": bool(decontam_path),
         "out": out_dir,
     }
     if not encode or splits["train"] == 0:

@@ -180,6 +180,83 @@ def test_cli_curate_end_to_end(tmp_path):
     assert r2["n_tokens"] == r["n_tokens"]
 
 
+def test_cli_curate_near_dedup_and_decontam(tmp_path):
+    """curate --near-dedup drops MinHash near-copies (at most one
+    member of every planted pair survives); curate --decontam drops
+    every doc sharing a word 3-gram with the eval set (the planted
+    verbatim-overlap docs must vanish)."""
+    import pyarrow.dataset as pds
+
+    from fileconvert_ray.functions.textstats import quality_batch
+    from fileconvert_ray.functions.queries import C4_MIN_STOP, C4_MIN_WORDS, C4_MAX_WORDS
+
+    base = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).replace_schema_metadata(None)
+    q = quality_batch(base)
+    nw = q.column("n_words").to_numpy(zero_copy_only=False)
+    sr = q.column("stop_ratio").to_numpy(zero_copy_only=False)
+    passing = [
+        int(i)
+        for i in range(base.num_rows)
+        if C4_MIN_WORDS <= nw[i] <= C4_MAX_WORDS and sr[i] >= C4_MIN_STOP
+    ][:8]
+    assert len(passing) >= 6, "fixture drifted: too few quality-passing docs"
+
+    # plant near-duplicates: same text with the last word swapped, so
+    # exact dedup keeps them but 3-shingle Jaccard stays >> 0.7
+    dup_src, eval_src = passing[:4], passing[4:6]
+    cols = {n: [] for n in base.column_names}
+    for j, i in enumerate(dup_src):
+        row = {n: base.column(n)[i].as_py() for n in base.column_names}
+        words = row["text"].split(" ")
+        words[-1] = "zz" + words[-1]
+        row["text"] = " ".join(words)
+        row["doc_id"] = 10_000 + j
+        row["n_chars"] = len(row["text"])
+        for n in base.column_names:
+            cols[n].append(row[n])
+    extra = pa.table(cols, schema=base.schema)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(base, str(src / "base.parquet"))
+    pq.write_table(extra, str(src / "dups.parquet"))
+    eval_pq = str(tmp_path / "eval.parquet")
+    pq.write_table(
+        pa.table({"text": [base.column("text")[i].as_py() for i in eval_src]}), eval_pq
+    )
+
+    def curated_ids(out):
+        return set(
+            pds.dataset(f"{out}/curated", partitioning="hive")
+            .to_table(columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+
+    plain = run_cli("curate", str(src), "--out", str(tmp_path / "o0"), "--no-encode")
+    assert not plain["near_dedup"] and not plain["decontaminated"]
+    ids0 = curated_ids(tmp_path / "o0")
+    assert all(10_000 + j in ids0 for j in range(4))  # copies survive a plain run
+
+    near = run_cli(
+        "curate", str(src), "--out", str(tmp_path / "o1"), "--no-encode", "--near-dedup"
+    )
+    assert near["near_dedup"] and near["n_curated"] < plain["n_curated"]
+    ids1 = curated_ids(tmp_path / "o1")
+    for j, i in enumerate(dup_src):
+        assert not ({i, 10_000 + j} <= ids1), f"near-dup pair ({i},{10_000 + j}) survived"
+
+    dec = run_cli(
+        "curate", str(src), "--out", str(tmp_path / "o2"), "--no-encode",
+        "--decontam", eval_pq,
+    )
+    assert dec["decontaminated"] and dec["n_curated"] < plain["n_curated"]
+    ids2 = curated_ids(tmp_path / "o2")
+    assert not (set(eval_src) & ids2), "eval-overlap docs leaked through decontam"
+
+
 def test_cli_query(tmp_path):
     """query subcommand: --list enumerates the registry; a named run
     prints head rows; --out writes parquet."""
