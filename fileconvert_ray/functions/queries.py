@@ -75,6 +75,16 @@ def _sum_groupby(ds, keys: list[str], int_cols: list[str]):
     return small.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in int_cols])
 
 
+def _in_sorted(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership mask of ``vals`` in an ascending key array — the
+    broadcast-side probe every filtered fact scan uses (O(n log k),
+    no Python set)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_keys, vals), len(sorted_keys) - 1)
+    return sorted_keys[idx] == vals
+
+
 # ----------------------------------------------------------- tokseq
 
 
@@ -5812,6 +5822,279 @@ def q_idle_customer_balance(sf_dir: str):
     )
 
 
+Q2_SIZES = (5, 10, 15)
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (no partsupp in this schema, so "supply cost" is
+    the minimum price a supplier ever quoted for the part in lineitem):
+    for parts in the Q2_SIZES size set, the supplier(s) in the target
+    REGION (region of the most-supplier nation — the same data-derived
+    parameter the Q7/Q8 shapes use) quoting the regional minimum cost,
+    ordered by account balance — the correlated-min-subquery workload.
+
+    Scale composition: the part and supplier filters are broadcast
+    sorted key arrays (small sides, one ``ray.put``); lineitem streams
+    through ONE widen with per-batch partial mins, so the exchange
+    moves O(filtered parts x suppliers) rows, never raw lineitem; the
+    correlated min-per-part subquery is a second tiny groupby joined
+    back by part key through the bucketed hash join (no per-part Python
+    calls); only the <=100 output rows reach the driver, where
+    dimension names come from pushed-down point reads."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    (nkeys, nname), _, _, region_nk = _nation_luts(sf_dir)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    snk = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    sk_region = np.sort(sk[np.isin(snk, np.fromiter(region_nk, dtype=np.int64))])
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    psize = part.column("p_size").to_numpy().astype(np.int64)
+    pk_keep = np.sort(
+        part.column("p_partkey").to_numpy().astype(np.int64)[
+            np.isin(psize, np.asarray(Q2_SIZES, dtype=np.int64))
+        ]
+    )
+    sides = ray.put((pk_keep, sk_region))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        pks, sks = ray.get(sides)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        skb = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _in_sorted(pks, pk) & _in_sorted(sks, skb)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        t = pa.table(
+            {
+                "p_partkey": pk[m],
+                "s_suppkey": skb[m],
+                "cost_e2": np.floor(price * 100 + 0.5).astype(np.int64),
+            }
+        )
+        g = pa.TableGroupBy(t, ["p_partkey", "s_suppkey"]).aggregate([("cost_e2", "min")])
+        return g.rename_columns(["p_partkey", "s_suppkey", "cost_e2"])
+
+    cost = (
+        li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cost_e2", alias_name="cost_e2"))
+        .materialize()  # O(filtered parts x suppliers) — read once, used twice below
+    )
+    pmin = cost.groupby("p_partkey").aggregate(Min("cost_e2", alias_name="min_e2"))
+    best = hash_join(
+        cost, pmin, left_on="p_partkey", right_on="p_partkey",
+        right_cols=["min_e2"], n_buckets=16,
+    ).filter(expr="cost_e2 == r_min_e2")
+
+    out = best.to_pandas()  # O(qualifying part-supplier pairs)
+    if len(out) == 0:
+        return pa.Table.from_pydict(
+            {
+                "s_acctbal": pa.array([], pa.float64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "p_partkey": pa.array([], pa.int64()),
+                "p_name": pa.array([], pa.string()),
+                "cost_e2": pa.array([], pa.int64()),
+            }
+        )
+    sup_t = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        filters=[("s_suppkey", "in", [int(x) for x in out["s_suppkey"].unique()])],
+    ).to_pandas()
+    name_lut = {int(k): str(v) for k, v in zip(nkeys, nname)}
+    sup_t["n_name"] = sup_t["s_nationkey"].map(name_lut)
+    part_t = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name"],
+        filters=[("p_partkey", "in", [int(x) for x in out["p_partkey"].unique()])],
+    ).to_pandas()
+    m = out.merge(sup_t, on="s_suppkey").merge(part_t, on="p_partkey")
+    m = m.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], ignore_index=True,
+    ).head(100)  # total order (s_name unique, one row per part-supp) -> stable limit
+    return pa.Table.from_pydict(
+        {
+            "s_acctbal": pa.array(m["s_acctbal"].astype(np.float64)),
+            "s_name": pa.array(m["s_name"], type=pa.string()),
+            "n_name": pa.array(m["n_name"], type=pa.string()),
+            "p_partkey": pa.array(m["p_partkey"].astype(np.int64)),
+            "p_name": pa.array(m["p_name"], type=pa.string()),
+            "cost_e2": pa.array(m["cost_e2"].astype(np.int64)),
+        }
+    )
+
+
+Q11_MEAN_MULT = 2
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (no partsupp: "stock value" is shipped revenue):
+    parts whose revenue shipped by the target nation's suppliers exceeds
+    Q11_MEAN_MULT x the MEAN per-part value — the scalar-subquery
+    threshold workload (HAVING sum > fraction * global sum).  TPC-H's
+    literal fraction (0.0001/SF) shrinks with scale; tying the cut to
+    the mean keeps a constant expected fraction of parts qualifying at
+    every sf, so the query stays non-degenerate from sf0.001 to 100 TB.
+
+    Scale composition: the nation's supplier keys are one broadcast
+    sorted array; lineitem folds through a partial-sum widen into an
+    O(parts) exchange; the global total and part count are tiny second
+    aggregates over the MATERIALIZED O(parts) value table (no lineitem
+    re-read); the threshold filter is exact integer math (v * n >
+    MULT * total <=> v > (MULT * total) // n) pushed into a streaming
+    filter."""
+    import ray
+    import ray.data as rd
+
+    _, (skeys, s_nation), target, _ = _nation_luts(sf_dir)
+    side = ray.put(np.sort(skeys[s_nation.astype(str) == target]))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        sks = ray.get(side)
+        skb = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _in_sorted(sks, skb)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return pa.table({"p_partkey": pk, "value_e4": _rev_e4(batch, m)})
+
+    val = _sum_groupby(
+        li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey"], ["value_e4"],
+    ).materialize()  # O(parts) — read once, scanned twice below
+    total = int(val.sum("value_e4") or 0)
+    n_parts = int(val.count())
+    if n_parts == 0:
+        return pa.Table.from_pydict(
+            {"p_partkey": pa.array([], pa.int64()), "value_e4": pa.array([], pa.int64())}
+        )
+    keep = val.filter(expr=f"value_e4 > {(Q11_MEAN_MULT * total) // n_parts}")
+    out = keep.to_pandas()  # O(qualifying parts)
+    if len(out) == 0:
+        return pa.Table.from_pydict(
+            {"p_partkey": pa.array([], pa.int64()), "value_e4": pa.array([], pa.int64())}
+        )
+    out = out.sort_values(["value_e4", "p_partkey"], ascending=[False, True], ignore_index=True)
+    return pa.Table.from_pydict(
+        {
+            "p_partkey": pa.array(out["p_partkey"].astype(np.int64)),
+            "value_e4": pa.array(out["value_e4"].astype(np.int64)),
+        }
+    )
+
+
+Q20_PREFIX = "large"
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+Q20_SHARE_NUM, Q20_SHARE_DEN = 3, 10
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (no partsupp: "excess stock" is shipped share):
+    target-nation suppliers who shipped more than Q20_SHARE_NUM /
+    Q20_SHARE_DEN of some Q20_PREFIX-named part's total quantity inside
+    the date window — the nested-aggregate EXISTS workload.
+
+    Scale composition: the part-name prefix prunes to a broadcast
+    sorted key array; the windowed lineitem read (predicate pushed into
+    the scan) folds through a partial-sum widen into an O(parts x
+    suppliers) pair exchange; per-part totals are a second tiny groupby
+    joined back through the bucketed hash join; qualification is exact
+    integer math and the distinct supplier set (O(suppliers)) is the
+    only thing the driver ever holds."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    _, (skeys, s_nation), target, _ = _nation_luts(sf_dir)
+    sk_nation = np.sort(skeys[s_nation.astype(str) == target])
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    names = np.asarray(part.column("p_name").to_pylist(), dtype=object).astype(str)
+    pk_keep = np.sort(
+        part.column("p_partkey").to_numpy().astype(np.int64)[
+            np.char.startswith(names, Q20_PREFIX)
+        ]
+    )
+    sides = ray.put((pk_keep, sk_nation))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(np.datetime64(Q20_LO, "us")))
+            & (pc.field("l_shipdate") < pa.scalar(np.datetime64(Q20_HI, "us")))
+        ),
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        pks, _ = ray.get(sides)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _in_sorted(pks, pk)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "p_partkey": pk[m],
+                "s_suppkey": batch.column("l_suppkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)[m],
+                "qty_c": np.floor(qty * 100 + 0.5).astype(np.int64),
+            }
+        )
+
+    pairs = _sum_groupby(
+        li.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey", "s_suppkey"], ["qty_c"],
+    ).materialize()  # O(filtered parts x suppliers) — feeds totals AND the probe
+    tot = _sum_groupby(pairs, ["p_partkey"], ["qty_c"]).map_batches(
+        lambda b: b.rename_columns(["p_partkey", "tot_c"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = hash_join(
+        pairs, tot, left_on="p_partkey", right_on="p_partkey",
+        right_cols=["tot_c"], n_buckets=16,
+    )
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        _, sks = ray.get(sides)
+        q = batch.column("qty_c").to_numpy(zero_copy_only=False)
+        t = batch.column("r_tot_c").to_numpy(zero_copy_only=False)
+        skb = batch.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (q * Q20_SHARE_DEN > t * Q20_SHARE_NUM) & _in_sorted(sks, skb)
+        return pa.table({"s_suppkey": np.unique(skb[m])})
+
+    hit = joined.map_batches(qualify, batch_format="pyarrow", zero_copy_batch=True)
+    ids = np.unique(hit.to_pandas()["s_suppkey"].to_numpy())  # O(suppliers)
+    if len(ids) == 0:
+        return pa.Table.from_pydict(
+            {"s_suppkey": pa.array([], pa.int64()), "s_name": pa.array([], pa.string())}
+        )
+    sup_t = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", [int(x) for x in ids])],
+    ).to_pandas().sort_values("s_suppkey", ignore_index=True)
+    return pa.Table.from_pydict(
+        {
+            "s_suppkey": pa.array(sup_t["s_suppkey"].astype(np.int64)),
+            "s_name": pa.array(sup_t["s_name"], type=pa.string()),
+        }
+    )
+
+
 CUM_USER_BUCKETS = 64
 WINDOW_BUCKET_TARGET_BYTES = 256 << 20  # per-bucket map_groups task budget
 
@@ -7303,6 +7586,9 @@ QUERIES = {
     "waiting_supplier": q_waiting_supplier,
     "supplier_cnt_by_part": q_supplier_cnt_by_part,
     "top_revenue_supplier": q_top_revenue_supplier,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_parts": q_important_parts,
+    "excess_suppliers": q_excess_suppliers,
     "small_qty_revenue": q_small_qty_revenue,
     "bracket_revenue": q_bracket_revenue,
     "idle_customer_balance": q_idle_customer_balance,
@@ -8691,6 +8977,84 @@ ORACLE_SQL["top_revenue_supplier"] = f"""
     from rev r, supplier s
     where s.s_suppkey = r.s_suppkey
       and r.total_rev_e4 = (select max(total_rev_e4) from rev)
+"""
+
+ORACLE_SQL["min_cost_supplier"] = f"""
+    with target as (
+        select n_name from supplier s, nation n
+        where s.s_nationkey = n.n_nationkey
+        group by n_name order by count(*) desc, n_name limit 1
+    ),
+    region_suppliers as (
+        select s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        from supplier s, nation n
+        where s.s_nationkey = n.n_nationkey and n.n_regionkey = (
+            select n3.n_regionkey from nation n3, target t where n3.n_name = t.n_name
+        )
+    ),
+    cost as (
+        select cast(l_partkey as bigint) as p_partkey,
+               cast(l_suppkey as bigint) as s_suppkey,
+               cast(min(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as bigint) as cost_e2
+        from lineitem, part, region_suppliers rs
+        where l_partkey = p_partkey and p_size in {Q2_SIZES}
+          and l_suppkey = rs.s_suppkey
+        group by l_partkey, l_suppkey
+    )
+    select rs.s_acctbal, rs.s_name, rs.n_name, c.p_partkey, p.p_name, c.cost_e2
+    from cost c, region_suppliers rs, part p
+    where c.cost_e2 = (select min(c2.cost_e2) from cost c2
+                       where c2.p_partkey = c.p_partkey)
+      and rs.s_suppkey = c.s_suppkey and p.p_partkey = c.p_partkey
+    order by rs.s_acctbal desc, rs.n_name, rs.s_name, c.p_partkey
+    limit 100
+"""
+
+ORACLE_SQL["important_parts"] = f"""
+    with target as (
+        select n_name from supplier s, nation n
+        where s.s_nationkey = n.n_nationkey
+        group by n_name order by count(*) desc, n_name limit 1
+    ),
+    val as (
+        select cast(l_partkey as bigint) as p_partkey,
+               cast(sum({_REV_E4_SQL}) as bigint) as value_e4
+        from lineitem, supplier s, nation n
+        where l_suppkey = s.s_suppkey and s.s_nationkey = n.n_nationkey
+          and n.n_name = (select n_name from target)
+        group by l_partkey
+    )
+    select p_partkey, value_e4 from val
+    where value_e4 * (select cast(count(*) as bigint) from val)
+          > {Q11_MEAN_MULT} * (select cast(sum(value_e4) as bigint) from val)
+"""
+
+ORACLE_SQL["excess_suppliers"] = f"""
+    with target as (
+        select n_name from supplier s, nation n
+        where s.s_nationkey = n.n_nationkey
+        group by n_name order by count(*) desc, n_name limit 1
+    ),
+    ps as (
+        select cast(l_partkey as bigint) as p_partkey,
+               cast(l_suppkey as bigint) as s_suppkey,
+               cast(sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) as bigint) as qty_c
+        from lineitem, part
+        where l_partkey = p_partkey and p_name like '{Q20_PREFIX}%'
+          and l_shipdate >= timestamp '{Q20_LO}'
+          and l_shipdate <  timestamp '{Q20_HI}'
+        group by l_partkey, l_suppkey
+    ),
+    tot as (
+        select p_partkey, cast(sum(qty_c) as bigint) as tot_c from ps group by p_partkey
+    )
+    select distinct ps.s_suppkey, s.s_name
+    from ps, tot, supplier s, nation n
+    where ps.p_partkey = tot.p_partkey
+      and ps.qty_c * {Q20_SHARE_DEN} > tot.tot_c * {Q20_SHARE_NUM}
+      and s.s_suppkey = ps.s_suppkey
+      and s.s_nationkey = n.n_nationkey
+      and n.n_name = (select n_name from target)
 """
 
 ORACLE_SQL["small_qty_revenue"] = f"""
