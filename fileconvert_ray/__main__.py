@@ -43,10 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fileconvert_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("convert", help="CSV<->Parquet conversion (reference R1-R12)")
+    c = sub.add_parser(
+        "convert", help="CSV/Parquet/Feather/JSONL conversion (reference R1-R12)"
+    )
     c.add_argument("inputs", nargs="+")
     c.add_argument("--out", required=True)
-    c.add_argument("--to", choices=["parquet", "csv", "feather"], default="parquet")
+    c.add_argument("--to", choices=["parquet", "csv", "feather", "jsonl"], default="parquet")
     c.add_argument("--delimiter", default=",")
     c.add_argument("--no-header", action="store_true")
     c.add_argument("--skip-rows", type=int, default=0)
@@ -222,7 +224,11 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.isdir(first)
                 and any(f.endswith(".arrow") for f in os.listdir(first))
             )
-            if args.to == "feather" or in_feather:
+            in_jsonl = first.endswith((".jsonl", ".json")) or (
+                os.path.isdir(first)
+                and any(f.endswith((".jsonl", ".json")) for f in os.listdir(first))
+            )
+            if args.to in ("feather", "jsonl") or in_feather or in_jsonl:
                 # generic any->any path through a Dataset (feather is
                 # schema-complete so CSV inference/projection options
                 # only apply on a CSV source)
@@ -235,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
 
                 if in_feather:
                     ds = read_feather_dataset(args.inputs)
+                elif in_jsonl:
+                    ds = rd.read_json(args.inputs)
                 elif first.endswith(".csv"):
                     from fileconvert_ray.sources.csvio import read_csv_dataset
 
@@ -243,6 +251,8 @@ def main(argv: list[str] | None = None) -> int:
                     ds = rd.read_parquet(args.inputs)
                 if args.to == "feather":
                     write_feather_dataset(ds, args.out).materialize()
+                elif args.to == "jsonl":
+                    ds.write_json(args.out)
                 elif args.to == "parquet":
                     ds.write_parquet(
                         args.out,

@@ -136,6 +136,30 @@ def test_cli_compact_then_source_verify(tmp_path):
     assert rv["ok"] and rv["n_mismatch"] == 0
 
 
+def test_cli_convert_jsonl(tmp_path):
+    """parquet -> jsonl -> parquet value round-trip via the CLI (int64
+    and string columns; temporal types must be canonicalized to epoch
+    ints by the caller, as q_jsonl_export_roundtrip does)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = pa.table(
+        {
+            "id": pa.array(list(range(100)), pa.int64()),
+            "name": [f"n{i}" for i in range(100)],
+            "big": pa.array([2**62 + i for i in range(100)], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(src, "a.parquet"))
+    jdir = str(tmp_path / "jl")
+    r = run_cli("convert", src, "--out", jdir, "--to", "jsonl")
+    assert r["ok"] and any(f.endswith(".json") for f in os.listdir(jdir))
+    back = str(tmp_path / "back")
+    r = run_cli("convert", jdir, "--out", back)
+    assert r["ok"]
+    got = pq.read_table(back).sort_by("id").select(t.column_names)
+    assert got.equals(t)
+
+
 def test_cli_curate_end_to_end(tmp_path):
     """curate = dedup -> quality filter -> split -> encode(train) ->
     hash-verify, one subprocess.  Split assignment must match the
