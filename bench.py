@@ -268,6 +268,33 @@ def run_bench() -> dict:
         queries["verify_synth"] = round(time.perf_counter() - t0, 3)
         extra["verify_ok"] = bool(v["ok"].all())
 
+        # ---- full-decode throughput of the same output (the training-
+        # loader read path: every token payload decoded, counted in-
+        # cluster so the driver never holds the corpus)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from fileconvert_ray.stages.decoder import decode_dataset
+
+        def _count_tokens(batch: pa.Table) -> pa.Table:
+            col = batch.column("tokens")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = int(pc.sum(pc.list_value_length(col)).as_py() or 0)
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        t0 = time.perf_counter()
+        n_dec = int(
+            decode_dataset(OUT_DIR, columns=["tokens"])
+            .map_batches(_count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+            .sum("n")
+        )
+        t_dec = time.perf_counter() - t0
+        queries["decode_synth"] = round(t_dec, 3)
+        extra["decode_tokens_per_sec"] = round(n_dec / t_dec)
+        if n_dec != n_tokens:
+            extra["decode_token_mismatch"] = {"decoded": n_dec, "encoded": n_tokens}
+
         # ---- aggregate + dedup pipelines over the sf dir
         t0 = time.perf_counter()
         q_per_source_stats(SF_DIR)
