@@ -2165,3 +2165,44 @@ def test_fnv_sampling_family_properties(ray_session, tmp_path):
     fp = qmod.q_doc_fingerprint(str(d1)).to_pandas()
     assert fp["fingerprint"].str.fullmatch("[0-9a-f]{16}").all()
     assert fp["fingerprint"].nunique() == n
+
+
+def test_in_sorted_matches_isin():
+    """Property (hypothesis): _in_sorted over an ascending key array is
+    exactly np.isin, including empty sides and out-of-range probes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fileconvert_ray.functions.queries import _in_sorted
+
+    ints = st.integers(min_value=-(2**62), max_value=2**62)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(ints, max_size=50), st.lists(ints, max_size=50))
+    def check(keys, vals):
+        sk = np.unique(np.asarray(keys, dtype=np.int64))
+        v = np.asarray(vals, dtype=np.int64)
+        got = _in_sorted(sk, v)
+        want = np.isin(v, sk)
+        assert (got == want).all()
+
+    check()
+
+
+def test_integer_threshold_equivalence():
+    """Property (hypothesis): the streaming-filter form v > (M*T)//n is
+    exactly the SQL form v*n > M*T for positive n — the identity
+    q_important_parts (and the Q22 balance cut) rely on to keep the
+    Ray filter and the DuckDB oracle bit-identical without floats."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pos = st.integers(min_value=0, max_value=2**40)
+
+    @settings(max_examples=500, deadline=None)
+    @given(pos, st.integers(min_value=1, max_value=2**20), pos,
+           st.integers(min_value=1, max_value=8))
+    def check(v, n, total, mult):
+        assert (v * n > mult * total) == (v > (mult * total) // n)
+
+    check()
