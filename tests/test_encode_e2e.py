@@ -824,3 +824,43 @@ def test_compaction_merges_across_generations(ray_session, tmp_path, out_dir):
     # point lookup across a compacted generational corpus
     got = lookup_docs(out_dir, ["d000000123", "d000000456"]).to_pandas()
     assert sorted(got["doc_id"]) == ["d000000123", "d000000456"]
+
+
+def test_curate_hygiene_chain_encodes_and_verifies(ray_session, sf_dir, tmp_path):
+    """Full pre-training hygiene chain through run_curate: exact dedup
+    -> MinHash near-dedup -> eval-set decontamination -> quality filter
+    -> split -> encode -> hash-verify, one call.  Pins that the two
+    optional stages compose with the encode tail (not just --no-encode,
+    which the CLI test covers) and that verify stays green on the
+    filtered corpus."""
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.pipelines.curate_job import run_curate
+
+    # eval set = a couple of corpus docs verbatim -> decontam must drop
+    # them; everything else flows through to a verified encode
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    eval_pq = str(tmp_path / "eval.parquet")
+    pq.write_table(pa.table({"text": base.column("text").to_pylist()[:2]}), eval_pq)
+
+    out = str(tmp_path / "cur")
+    r = run_curate(
+        f"{sf_dir}/documents.parquet", out,
+        target_partition_tokens=5000,
+        near_dedup=True, decontam_path=eval_pq,
+    )
+    assert r["near_dedup"] and r["decontaminated"]
+    assert 0 < r["n_curated"] < r["n_input"]
+    if r["splits"]["train"] > 0:
+        assert r["verify_ok"] and r["n_tokens"] > 0
+        assert r["total_partitions"] > 0
+    # dropped eval docs never reach the curated output
+    import pyarrow.dataset as pds
+
+    ids = set(
+        pds.dataset(f"{out}/curated", partitioning="hive")
+        .to_table(columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    assert not ({base.column("doc_id")[0].as_py(), base.column("doc_id")[1].as_py()} & ids)
