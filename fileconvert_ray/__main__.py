@@ -189,6 +189,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--list", action="store_true", help="list registered query names")
     q.add_argument("--stats", action="store_true",
                    help="print ray.data execution stats after the run")
+    q.add_argument("--check", action="store_true",
+                   help="run the DuckDB oracle side-by-side and report parity "
+                        "(exit 1 on mismatch)")
     return p
 
 
@@ -511,6 +514,52 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data
 
             res = QUERIES[args.name](args.sf_dir)
+            if args.check:
+                # side-by-side DuckDB oracle parity — the self-service
+                # version of the driver's correctness gate (row count,
+                # column names, order-insensitive values)
+                if args.name not in ORACLE_SQL:
+                    print(json.dumps({"ok": False, "err": "no oracle for this query"}))
+                    return 1
+                import duckdb
+                import numpy as np
+
+                con = duckdb.connect()
+                for t in ("region nation customer supplier part orders "
+                          "lineitem events documents embeddings").split():
+                    con.execute(
+                        f"create view {t} as select * from "
+                        f"read_parquet('{args.sf_dir}/{t}.parquet')"
+                    )
+                rdf = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+                odf = con.execute(ORACLE_SQL[args.name]).df()
+
+                def canon(df):
+                    df = df[sorted(df.columns)]
+                    return df.sort_values(list(df.columns), ignore_index=True)
+
+                rows_match = len(rdf) == len(odf)
+                cols_match = sorted(rdf.columns) == sorted(odf.columns)
+                vals_match = rows_match and cols_match
+                if vals_match:
+                    a, b = canon(rdf), canon(odf)
+                    for c in a.columns:
+                        av, bv = a[c].to_numpy(), b[c].to_numpy()
+                        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                            ok = bool(np.allclose(av.astype(float), bv.astype(float),
+                                                  rtol=0, atol=0))
+                        else:
+                            ok = bool((av == bv).all())
+                        if not ok:
+                            vals_match = False
+                            break
+                print(json.dumps({
+                    "ok": bool(rows_match and cols_match and vals_match),
+                    "rows_match": rows_match, "cols_match": cols_match,
+                    "vals_match": vals_match,
+                    "rows": int(len(rdf)), "oracle_rows": int(len(odf)),
+                }))
+                return 0 if (rows_match and cols_match and vals_match) else 1
             if isinstance(res, ray.data.Dataset) and args.out:
                 # stream straight to parquet — never collect on the driver
                 res.write_parquet(args.out)

@@ -291,6 +291,12 @@ def test_cli_query(tmp_path):
     r = run_cli("query", "distinct_sources", "--sf-dir", "/root/testdata/sf0.001")
     assert r["ok"] and len(r["head"]) > 0 and "source" in r["head"][0]
 
+    # --check runs the DuckDB oracle side-by-side (the self-service
+    # version of the driver's correctness gate)
+    r = run_cli("query", "per_source_stats", "--sf-dir", "/root/testdata/sf0.001",
+                "--check")
+    assert r["ok"] and r["rows_match"] and r["cols_match"] and r["vals_match"]
+
     out = str(tmp_path / "res")
     r = run_cli("query", "per_source_stats", "--sf-dir", "/root/testdata/sf0.001",
                 "--out", out)
