@@ -145,11 +145,16 @@ def run_curate(
     from .verify_job import run_verify
 
     train_dir = f"{curated_dir}/split=train"
-    words: set[str] = set()
-    for frag in pds.dataset(train_dir).to_batches(columns=["text"]):
-        flat = pc.list_flatten(pc.split_pattern(frag.column(0), " "))
-        words.update(flat.to_pylist())
-    vmap = {w: i for i, w in enumerate(sorted(words))}
+    # distributed vocab build: per-batch distinct words, one unique()
+    # exchange of O(distinct-per-block) rows — the driver only ever
+    # holds the O(vocab) result, never scans the corpus itself
+    words_ds = rd.read_parquet(train_dir, columns=["text"]).map_batches(
+        lambda b: pa.table(
+            {"w": pc.unique(pc.list_flatten(pc.split_pattern(b.column("text"), " ")))}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    vmap = {w: i for i, w in enumerate(sorted(words_ds.unique("w")))}
 
     def factory():
         return rd.read_parquet(train_dir, columns=["doc_id", "text", "source"]).map_batches(
