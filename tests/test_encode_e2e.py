@@ -146,6 +146,17 @@ def test_hash_verify_modes_and_corruption(ray_session, sf_dir, out_dir):
     assert not v3.loc[parts[1], "ok"]
     assert v3.drop(index=[parts[0], parts[1]])["ok"].all()
 
+    # physical truncation (invalid parquet footer — a crash mid-write
+    # that somehow bypassed tmp+rename): flagged, never fatal
+    victim3 = os.path.join(out_dir, "parts", f"{parts[2]}.parquet")
+    with open(victim3, "r+b") as f:
+        f.truncate(os.path.getsize(victim3) // 2)
+    bad = {parts[0], parts[1], parts[2]}
+    for mode, fac in (("hash", factory), ("manifest", None)):
+        v4 = run_verify(fac, out_dir, mode=mode).to_pandas().set_index("part_id")
+        assert not v4.loc[parts[2], "ok"], mode
+        assert v4.drop(index=sorted(bad))["ok"].all(), mode
+
 
 def test_staged_rowgroups_bounded_by_buckets(ray_session, sf_dir, out_dir):
     """Round-1 verdict fix: staged row groups must be O(blocks x buckets),
