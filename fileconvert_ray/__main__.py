@@ -39,6 +39,37 @@ def _kv_pairs(values: list[str]) -> dict:
     return out
 
 
+_TOKSEQ_COLS = ("doc_id", "tokens", "n_tok", "source")
+
+
+def _require_tokseq_schema(path: str) -> None:
+    """Fail fast with a readable message when an encode input is not
+    tokseq-shaped — otherwise the pipeline dies mid-execution with a
+    raw KeyError wrapped around a full block dump."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    f = path
+    if os.path.isdir(path):
+        cands = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not cands:
+            raise SystemExit(f"no parquet shards found under {path!r}")
+        f = cands[0]
+    try:
+        names = set(_pq.read_schema(f).names)
+    except Exception as e:
+        raise SystemExit(f"cannot read parquet schema of {f!r}: {e}")
+    missing = [c for c in _TOKSEQ_COLS if c not in names]
+    if missing:
+        raise SystemExit(
+            f"encode input {f!r} is missing column(s) {missing}: expected "
+            f"tokenized shards with columns {list(_TOKSEQ_COLS)} (raw document "
+            "tables must be tokenized first — see the `curate` subcommand, "
+            "which tokenizes its train split before encoding)"
+        )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fileconvert_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -277,6 +308,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
 
+            _require_tokseq_schema(args.input)
             cfg = EncodeConfig(
                 out_dir=args.out,
                 target_partition_tokens=args.target_partition_tokens,
@@ -305,6 +337,8 @@ def main(argv: list[str] | None = None) -> int:
                     sorted(_glob.glob(os.path.join(p, "*.parquet")))
                     if os.path.isdir(p) else [p]
                 )
+            if files:
+                _require_tokseq_schema(files[0])
             cfg = EncodeConfig(
                 out_dir=args.out,
                 target_partition_tokens=args.target_partition_tokens,

@@ -136,6 +136,20 @@ def test_cli_compact_then_source_verify(tmp_path):
     assert rv["ok"] and rv["n_mismatch"] == 0
 
 
+def test_cli_encode_rejects_untokenized_input():
+    """encode/encode-inc fail fast with a readable message on raw
+    document tables instead of dying mid-pipeline with a block dump."""
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_GRAFT_CPUS="2")
+    for cmd in ("encode", "encode-inc"):
+        out = subprocess.run(
+            [sys.executable, "-m", "fileconvert_ray", cmd,
+             "/root/testdata/sf0.001/documents.parquet", "--out", "/tmp/_rejected"],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=120,
+        )
+        assert out.returncode != 0
+        assert "missing column(s)" in out.stderr and "tokens" in out.stderr
+
+
 def test_cli_convert_jsonl(tmp_path):
     """parquet -> jsonl -> parquet value round-trip via the CLI (int64
     and string columns; temporal types must be canonicalized to epoch
