@@ -223,6 +223,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--check", action="store_true",
                    help="run the DuckDB oracle side-by-side and report parity "
                         "(exit 1 on mismatch)")
+    q.add_argument("--check-all", action="store_true",
+                   help="run EVERY oracle-checked query against DuckDB and "
+                        "print a summary (exit 1 if any mismatch)")
     return p
 
 
@@ -535,28 +538,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "query":
             from fileconvert_ray.functions.queries import ORACLE_SQL, QUERIES
 
-            if args.list or args.name is None:
-                print(json.dumps({
-                    "queries": sorted(QUERIES),
-                    "oracle_checked": sorted(k for k in QUERIES if k in ORACLE_SQL),
-                }))
-                return 0
-            if args.name not in QUERIES:
-                raise SystemExit(f"unknown query {args.name!r}; try --list")
             import pandas as pd
             import pyarrow as pa
             import ray.data
 
-            res = QUERIES[args.name](args.sf_dir)
-            if args.check:
-                # side-by-side DuckDB oracle parity — the self-service
-                # version of the driver's correctness gate (row count,
-                # column names, order-insensitive values)
-                if args.name not in ORACLE_SQL:
-                    print(json.dumps({"ok": False, "err": "no oracle for this query"}))
-                    return 1
+            def _oracle_con():
                 import duckdb
-                import numpy as np
 
                 con = duckdb.connect()
                 for t in ("region nation customer supplier part orders "
@@ -565,18 +552,24 @@ def main(argv: list[str] | None = None) -> int:
                         f"create view {t} as select * from "
                         f"read_parquet('{args.sf_dir}/{t}.parquet')"
                     )
+                return con
+
+            def _oracle_compare(res, sql, con):
+                """(rows_match, cols_match, vals_match, n_ray, n_sql) —
+                the driver's gate: order-insensitive, exact for ints,
+                strict allclose for floats."""
+                import numpy as np
+
                 rdf = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
-                odf = con.execute(ORACLE_SQL[args.name]).df()
-
-                def canon(df):
-                    df = df[sorted(df.columns)]
-                    return df.sort_values(list(df.columns), ignore_index=True)
-
+                odf = con.execute(sql).df()
                 rows_match = len(rdf) == len(odf)
                 cols_match = sorted(rdf.columns) == sorted(odf.columns)
                 vals_match = rows_match and cols_match
                 if vals_match:
-                    a, b = canon(rdf), canon(odf)
+                    a = rdf[sorted(rdf.columns)].sort_values(
+                        sorted(rdf.columns), ignore_index=True)
+                    b = odf[sorted(odf.columns)].sort_values(
+                        sorted(odf.columns), ignore_index=True)
                     for c in a.columns:
                         av, bv = a[c].to_numpy(), b[c].to_numpy()
                         if av.dtype.kind == "f" or bv.dtype.kind == "f":
@@ -587,13 +580,51 @@ def main(argv: list[str] | None = None) -> int:
                         if not ok:
                             vals_match = False
                             break
+                return rows_match, cols_match, vals_match, len(rdf), len(odf)
+
+            if args.check_all:
+                con = _oracle_con()
+                names = sorted(k for k in QUERIES if k in ORACLE_SQL)
+                fails: list[str] = []
+                for name in names:
+                    try:
+                        rm, cm, vm, _, _ = _oracle_compare(
+                            QUERIES[name](args.sf_dir), ORACLE_SQL[name], con
+                        )
+                        if not (rm and cm and vm):
+                            fails.append(name)
+                    except Exception as e:
+                        fails.append(f"{name}: {type(e).__name__}")
                 print(json.dumps({
-                    "ok": bool(rows_match and cols_match and vals_match),
-                    "rows_match": rows_match, "cols_match": cols_match,
-                    "vals_match": vals_match,
-                    "rows": int(len(rdf)), "oracle_rows": int(len(odf)),
+                    "ok": not fails, "green": len(names) - len(fails),
+                    "checked": len(names), "fails": fails,
                 }))
-                return 0 if (rows_match and cols_match and vals_match) else 1
+                return 0 if not fails else 1
+            if args.list or args.name is None:
+                print(json.dumps({
+                    "queries": sorted(QUERIES),
+                    "oracle_checked": sorted(k for k in QUERIES if k in ORACLE_SQL),
+                }))
+                return 0
+            if args.name not in QUERIES:
+                raise SystemExit(f"unknown query {args.name!r}; try --list")
+
+            res = QUERIES[args.name](args.sf_dir)
+            if args.check:
+                # side-by-side DuckDB oracle parity — the self-service
+                # version of the driver's correctness gate
+                if args.name not in ORACLE_SQL:
+                    print(json.dumps({"ok": False, "err": "no oracle for this query"}))
+                    return 1
+                rm, cm, vm, n_ray, n_sql = _oracle_compare(
+                    res, ORACLE_SQL[args.name], _oracle_con()
+                )
+                print(json.dumps({
+                    "ok": bool(rm and cm and vm),
+                    "rows_match": rm, "cols_match": cm, "vals_match": vm,
+                    "rows": int(n_ray), "oracle_rows": int(n_sql),
+                }))
+                return 0 if (rm and cm and vm) else 1
             if isinstance(res, ray.data.Dataset) and args.out:
                 # stream straight to parquet — never collect on the driver
                 res.write_parquet(args.out)
