@@ -19,6 +19,7 @@ SF01 = "/root/testdata/sf0.1"
 
 MINHASH_WALL_BOUND = 2 * 6.0   # measured r5 @4cpus: ~3 s over sf0.1 docs
 ENCODE_WALL_BOUND = 2 * 45.0   # measured r5 @4cpus: ~22 s for 300M tokens
+DECODE_WALL_BOUND = 2 * 10.0   # measured r5 @4cpus: 10.0 s full-decode 309M tokens
 
 
 @pytest.mark.slow
@@ -51,5 +52,30 @@ def test_encode_verify_300M_tokens(ray_session, tmp_path):
     assert int(m["n_tokens"].sum()) > 250_000_000
     v = run_verify(factory, out, mode="hash").to_pandas()
     assert bool(v["ok"].all()) and len(v) > 0
+
+    # decode pin (the training-loader read path): full token decode of
+    # the same output, counted in-cluster, exact total
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fileconvert_ray.stages.decoder import decode_dataset
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"n": pa.array([int(pc.sum(pc.list_value_length(col)).as_py() or 0)], pa.int64())}
+        )
+
+    t0 = time.perf_counter()
+    n_dec = int(
+        decode_dataset(out, columns=["tokens"])
+        .map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("n")
+    )
+    wall = time.perf_counter() - t0
+    assert n_dec == int(m["n_tokens"].sum())
+    assert wall <= DECODE_WALL_BOUND, f"decode 300M tokens took {wall:.1f}s"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree("/dev/shm/slow_staged", ignore_errors=True)
