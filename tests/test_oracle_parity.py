@@ -91,3 +91,38 @@ def test_entry_smoke(ray_session):
     result = _to_pandas(entrymod.entry())
     assert len(result) >= 1
     assert result["ok"].all()
+
+
+@pytest.mark.slow
+def test_all_oracle_queries_sf001_scale(ray_session):
+    """The sf0.01 (driver-scale) parity sweep, slow-marked (~5 min at
+    4 cpus).  Catches scale-dependent drift the sf0.001 gate misses —
+    e.g. a threshold query that degenerates to zero rows as table
+    cardinalities grow (important_parts' original fixed-fraction cut
+    did exactly that: green at sf0.001, empty at sf0.01).  Run:
+
+        python -m pytest -m slow tests/test_oracle_parity.py -q
+    """
+    import __ray_entry__ as entrymod
+    import duckdb
+
+    sf01 = "/root/testdata/sf0.01"
+    con01 = duckdb.connect()
+    for t in TABLES:
+        con01.execute(
+            f"create view {t} as select * from read_parquet('{sf01}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    failures = []
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        try:
+            ray_df = _to_pandas(qs[name](sf01))
+            sql_df = con01.execute(sql).fetchdf()
+            _compare(ray_df, sql_df, name)
+            if len(ray_df) == 0:
+                failures.append(f"{name}: degenerate (0 rows) at sf0.01")
+        except AssertionError as e:
+            failures.append(str(e))
+        except Exception as e:
+            failures.append(f"{name}: ERR {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
