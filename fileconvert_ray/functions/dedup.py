@@ -721,11 +721,11 @@ def _minhash_batch(batch: pa.Table, *, num_perm: int, bands: int, shingle_k: int
     return h(batch)
 
 
-def _simhash_batch(batch: pa.Table, *, chunks: int, seed: int) -> pa.Table:
-    key = ("simhash", chunks, seed)
+def _simhash_batch(batch: pa.Table, *, chunks: int, seed: int, gram_k: int = 1) -> pa.Table:
+    key = ("simhash", chunks, seed, gram_k)
     h = _WORKER_CACHE.get(key)
     if h is None:
-        h = _WORKER_CACHE[key] = SimHasher(chunks=chunks, seed=seed)
+        h = _WORKER_CACHE[key] = SimHasher(chunks=chunks, seed=seed, gram_k=gram_k)
     return h(batch)
 
 
@@ -855,13 +855,38 @@ def minhash_dedup(ds, *, threshold: float = 0.7, num_perm: int = 64, bands: int 
 
 
 class SimHasher:
-    """64-bit SimHash over word features; bands for hamming<=h_max lookup."""
+    """64-bit SimHash over word features; bands for hamming<=h_max lookup.
 
-    def __init__(self, chunks: int = 4, seed: int = 2):
+    ``gram_k > 1`` hashes word k-gram features instead of unigrams —
+    align the feature space with the predicate being verified: a
+    jaccard-on-2-grams check separates far better under a 2-gram
+    simhash (measured sf0.1: dup pairs hamming <= 13 vs random-pair
+    band 31 +- 4) than under the unigram one (dup tail 11 vs random
+    band ~9 on a small shared vocab — no usable radius exists there)."""
+
+    def __init__(self, chunks: int = 4, seed: int = 2, gram_k: int = 1):
         self.chunks = chunks  # hamming <= chunks-1 guaranteed caught
         self.seed = seed
+        self.gram_k = gram_k
 
     def simhash(self, texts: pa.Array) -> np.ndarray:
+        if self.gram_k > 1:
+            wh, lens = _word_kgram_hashes(texts, self.gram_k, self.seed)
+            n = len(lens)
+            out = np.zeros(n, dtype=np.uint64)
+            if len(wh):
+                bits = (
+                    (wh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64) * 2 - 1
+                starts = np.concatenate(([0], np.cumsum(lens)))
+                nonempty = lens > 0
+                sums = np.zeros((n, 64), dtype=np.int64)
+                sums[nonempty] = np.add.reduceat(bits, starts[:-1][nonempty], axis=0)
+                sign = (sums > 0).astype(np.uint64)
+                out = (sign << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            return out
         words = pc.split_pattern(texts, " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()

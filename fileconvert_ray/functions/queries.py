@@ -275,10 +275,17 @@ def q_tfidf_top_terms(sf_dir: str):
     per-doc pass is embarrassingly parallel (per-doc term counts via
     one np.unique over packed (row, token) keys, per-doc top-k via one
     lexsort + segment-head scan — no shuffle, no per-row Python).
-    score = tf_count * ln(N/df), rounded to 9 decimals BEFORE ranking
-    on both sides so a libm ULP difference cannot flip an ordering;
-    ties break by token ascending.  Oracle: count CTE + row_number
-    window with the identical rounded ranking key."""
+    idf is quantized to integer micro-units PER TOKEN (idf_e6 =
+    half-away-round of ln(N/df)*1e6) so the ranking key cnt * idf_e6
+    is exact int64 arithmetic on both sides: a libm ULP difference can
+    only surface at an O(vocab) number of rounding boundaries, not at
+    O(doc x term) score roundings — the float-keyed variant of this
+    query hit exactly such a pair-level boundary at sf0.1 (score
+    1.766204 vs 1.766205).  Ties break by token ascending; the
+    reported score is score_e6 / 1e6 (one correctly-rounded IEEE
+    divide of identical ints — bit-identical across engines).
+    Oracle: count CTE + row_number window on the identical integer
+    key."""
     import ray
     import ray.data as rd
 
@@ -287,8 +294,9 @@ def q_tfidf_top_terms(sf_dir: str):
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     dft = q_token_idf(sf_dir)  # (token, df, idf) — O(vocab)
     toks = dft.column("token").to_numpy().astype(np.int64)
-    lut = np.zeros(int(toks.max()) + 1, dtype=np.float64)
-    lut[toks] = np.log(float(n_docs) / dft.column("df").to_numpy().astype(np.float64))
+    lut = np.zeros(int(toks.max()) + 1, dtype=np.int64)
+    idf = np.log(float(n_docs) / dft.column("df").to_numpy().astype(np.float64))
+    lut[toks] = np.floor(idf * 1e6 + 0.5).astype(np.int64)  # half-away, idf >= 0
     lut_ref = ray.put(lut)
 
     def topk(batch: pa.Table) -> pa.Table:
@@ -302,12 +310,12 @@ def q_tfidf_top_terms(sf_dir: str):
         keys, cnts = np.unique(row << np.int64(32) | flat, return_counts=True)
         krow = keys >> np.int64(32)
         ktok = keys & np.int64(0xFFFFFFFF)
-        score = np.round(cnts * lu[ktok], 9)
+        score_e6 = cnts.astype(np.int64) * lu[ktok]  # exact int64 ranking key
         # per-doc top-K: sort by (row asc, score desc, token asc), take
         # the first K of each row segment
-        order = np.lexsort((ktok, -score, krow))
+        order = np.lexsort((ktok, -score_e6, krow))
         krow_s, ktok_s = krow[order], ktok[order]
-        score_s, cnt_s = score[order], cnts[order]
+        score_s, cnt_s = score_e6[order], cnts[order]
         seg_start = np.concatenate(([True], krow_s[1:] != krow_s[:-1]))
         pos = np.arange(len(krow_s)) - np.maximum.accumulate(
             np.where(seg_start, np.arange(len(krow_s)), 0)
@@ -318,7 +326,7 @@ def q_tfidf_top_terms(sf_dir: str):
             "doc_id": pa.array(ids[krow_s[keep]]),
             "token": pa.array(ktok_s[keep]),
             "cnt": pa.array(cnt_s[keep].astype(np.int64)),
-            "score": pa.array(np.round(score_s[keep], 6)),
+            "score": pa.array(score_s[keep].astype(np.float64) / 1e6),
             "rank": pa.array((pos[keep] + 1).astype(np.int64)),
         })
 
@@ -2414,7 +2422,12 @@ def q_minhash_verified_pairs(sf_dir: str):
     from .dedup import _banded_pairs, _candidate_pairs, _dedup_pair_stream, _minhash_batch
 
     JT = 0.8
-    canon_str = _canon_docs_str(sf_dir)
+    # materialize the canonical universe ONCE: it feeds the hashing
+    # branch AND both sides of the jaccard join, and Ray Data plans are
+    # trees — an unmaterialized Dataset re-executes its exact_dedup
+    # subtree per consumer (measured 18x wall blowup at sf0.1).
+    # O(distinct texts) rows, test-scale harness.
+    canon_str = _canon_docs_str(sf_dir).materialize()
     exploded = canon_str.map_batches(
         _minhash_batch,
         fn_kwargs=dict(num_perm=128, bands=32, shingle_k=2, seed=1),
@@ -2424,7 +2437,7 @@ def q_minhash_verified_pairs(sf_dir: str):
         _banded_pairs(
             exploded, lambda g: _candidate_pairs(g, 0.5, 128, collapse_identical=False)
         )
-    )
+    ).materialize()  # O(candidate pairs) — feeds two chained joins
     return _exact_jaccard_filter(cand, canon_str, JT)
 
 
@@ -2479,31 +2492,49 @@ def _exact_jaccard_filter(cand, canon_str, jt: float):
     return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+SIMHASH_VERIFY_CHUNKS = 15  # 4-bit chunk bands: hamming <= 14 guaranteed caught
+SIMHASH_VERIFY_HMAX = 14
+
+
 def q_simhash_verified_pairs(sf_dir: str):
     """The simhash family's PRECISION oracle (companion to
-    minhash_verified_pairs): canonical docs -> 64-bit SimHash with
-    10-chunk banding -> exhaustive in-bucket pairs at hamming <= 9
-    (pigeonhole: <= 9 differing bits leave at least one of 10 chunks
-    identical — recall of the hamming ball is EXACT, not
-    probabilistic) -> distributed pair dedup -> exact word-2gram
-    Jaccard filter >= 0.8.  Output equals DuckDB's exhaustive
-    all-pairs jaccard >= 0.8 provided every qualifying pair sits
-    within hamming 9 of its partner — measured max on this corpus is
-    8 (pair 50/82 at sf0.001), so the ball carries a +1 margin.
-    Trade-off vs the production simhash_dedup (h_max=3, chunks=4):
-    6-bit chunks mean coarser buckets (~n/64 per band bucket), the
-    price of a guaranteed-recall oracle; the verify filter keeps
-    precision exact either way."""
+    minhash_verified_pairs): canonical docs -> 64-bit SimHash over
+    word-2-GRAM features (the same feature space as the verified
+    predicate) with SIMHASH_VERIFY_CHUNKS-chunk banding -> exhaustive
+    in-bucket pairs at hamming <= SIMHASH_VERIFY_HMAX (pigeonhole:
+    <= chunks-1 differing bits leave at least one chunk identical —
+    recall of the hamming ball is EXACT, not probabilistic) ->
+    distributed pair dedup -> exact word-2gram Jaccard filter >= 0.8.
+    Output equals DuckDB's exhaustive all-pairs jaccard >= 0.8.
+
+    WHY 2-GRAM FEATURES (round-5 fix): under the production UNIGRAM
+    simhash this corpus's shared zipfian vocab puts RANDOM pairs at
+    hamming ~9 +- 3 while jaccard-qualifying pairs tail out to 11
+    (measured sf0.1; a 10-chunk/h<=9 config missed 2 of 241 pairs) —
+    no radius is both recall-exact and selective.  Hashing the same
+    2-gram features the jaccard check uses restores the separation:
+    measured sf0.1 dup pairs hamming <= 13 (mean 3.9) vs a random
+    band of 31 +- 4, so h<=14 carries +1 margin over the observed max
+    while admitting ~zero noise candidates.  Radius remains calibrated
+    to the largest test scale; at bigger corpora re-measure and bump
+    SIMHASH_VERIFY_CHUNKS (this is the verification harness, not the
+    production path — simhash_dedup ships unigram chunks=4/h<=3 and
+    its recall is property-tested separately)."""
     from .dedup import _banded_pairs, _dedup_pair_stream, _simhash_batch, _simhash_pairs
 
-    canon_str = _canon_docs_str(sf_dir)
+    # materialized for the same tree-plan reason as minhash_verified_pairs
+    canon_str = _canon_docs_str(sf_dir).materialize()
     exploded = canon_str.map_batches(
-        _simhash_batch, fn_kwargs=dict(chunks=10, seed=2),
+        _simhash_batch,
+        fn_kwargs=dict(chunks=SIMHASH_VERIFY_CHUNKS, seed=2, gram_k=2),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     cand = _dedup_pair_stream(
-        _banded_pairs(exploded, lambda g: _simhash_pairs(g, 9, collapse_identical=False))
-    )
+        _banded_pairs(
+            exploded,
+            lambda g: _simhash_pairs(g, SIMHASH_VERIFY_HMAX, collapse_identical=False),
+        )
+    ).materialize()  # O(candidate pairs) — feeds two chained joins
     return _exact_jaccard_filter(cand, canon_str, 0.8)
 
 
@@ -8475,14 +8506,15 @@ ORACLE_SQL = {
     dfx as (select w1, cast(count(distinct doc_id) as bigint) as df from d group by w1),
     n as (select cast(count(*) as double) as n from documents),
     s as (select c.doc_id, v.token, c.cnt,
-                 round(c.cnt * ln(n.n / dfx.df), 9) as rscore
+                 c.cnt * cast(floor(ln(n.n / dfx.df) * 1000000 + 0.5) as bigint)
+                   as score_e6
           from c join v on c.w1 = v.word join dfx on c.w1 = dfx.w1 cross join n),
-    r as (select doc_id, token, cnt, rscore,
+    r as (select doc_id, token, cnt, score_e6,
                  row_number() over (partition by doc_id
-                                    order by rscore desc, token asc) as rank
+                                    order by score_e6 desc, token asc) as rank
           from s)
     select doc_id, cast(token as bigint) as token, cnt,
-           round(rscore, 6) as score, cast(rank as bigint) as rank
+           cast(score_e6 as double) / 1000000.0 as score, cast(rank as bigint) as rank
     from r where rank <= 3
     """,
     "token_pmi": _VOCAB_CTE
@@ -8806,9 +8838,10 @@ ORACLE_SQL["minhash_verified_pairs"] = """
                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.8
 """
 
-# SimHash candidates are recall-complete for the same exact predicate on
-# this corpus (q_simhash_verified_pairs docstring), so the oracle is the
-# identical exhaustive all-pairs Jaccard.
+# SimHash candidates are recall-complete for the same exact predicate
+# (q_simhash_verified_pairs docstring: 2-gram-feature simhash, radius
+# calibrated +1 over the measured max at the largest test scale), so
+# the oracle is the identical exhaustive all-pairs Jaccard.
 ORACLE_SQL["simhash_verified_pairs"] = ORACLE_SQL["minhash_verified_pairs"]
 
 # --------------------------- TPC-H-shaped oracle SQL (round 4)
