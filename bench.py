@@ -308,6 +308,36 @@ def run_bench() -> dict:
         q_minhash_dedup_docs(SF_DIR).materialize()
         queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
+        # ---- fixed-codec family e2e (ALP / ALP-RD): encode+decode every
+        # lineitem price double and embedding float in-cluster with a
+        # bit-identity hard assert (the query raises on any drift)
+        from fileconvert_ray.functions.queries import q_float_codec_roundtrip
+
+        t0 = time.perf_counter()
+        q_float_codec_roundtrip(SF_DIR).materialize()
+        queries["float_codec_roundtrip"] = round(time.perf_counter() - t0, 3)
+
+        # size evidence for the two headline float shapes (driver-side,
+        # two small column reads — not a distributed stage)
+        import pyarrow.parquet as _pq
+
+        from fileconvert_ray.codecs import encode_array, encoded_total_bytes
+
+        fc = {}
+        for tbl, col, key in (
+            ("lineitem", "l_discount", "l_discount"),
+            ("embeddings", "embedding", "embedding"),
+        ):
+            arr = _pq.read_table(f"{SF_DIR}/{tbl}.parquet", columns=[col]).column(col).combine_chunks()
+            if key == "embedding":
+                arr = arr.flatten()
+            enc = encode_array(arr, key, codec="auto", zstd=True)
+            fc[key] = {
+                "codec": enc.codec,
+                "ratio_vs_plain": round(encoded_total_bytes(enc) / max(1, enc.plain_bytes), 4),
+            }
+        extra["float_codec"] = fc
+
     ray.shutdown()
     # leave only the cached corpus behind: 3 GB of encode output per
     # (rows, cpus) combination fills the disk over repeated runs, and a

@@ -29,6 +29,7 @@ from .base import (
     parts_to_str,
     str_to_parts,
 )
+from .floatcodecs import Alp, AlpRd
 from .intcodecs import DeltaZigzag, DictInt, DictZ, EscBytes, ForBitpack, PlainInt, Rle, RunEsc
 from .rans import Rans, RunRans
 from .strcodecs import DictStr, FsstStr, PlainStr
@@ -92,7 +93,7 @@ for _c in (PlainInt(), ForBitpack(), Rle(), DictInt(), DictZ(), EscBytes(), RunE
     register(_c)
 for _c in (PlainStr(), DictStr(), FsstStr()):
     register(_c)
-for _c in (PlainFixed(), Plane()):
+for _c in (PlainFixed(), Plane(), Alp(), AlpRd()):
     register(_c)
 
 _INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(), pa.uint8(), pa.uint16(), pa.uint32()}

@@ -7491,6 +7491,79 @@ def q_embedding_norm_stats(sf_dir: str):
     )
 
 
+def q_float_codec_roundtrip(sf_dir: str):
+    """End-to-end gate for the FIXED-kind codec family (plain / plane /
+    ALP / ALP-RD): every block of lineitem's four price doubles and the
+    embeddings' float32 values is really encoded (codec="auto" — ALP
+    wins the decimal-like doubles, ALP-RD the continuous float32),
+    really decoded, hard-asserted BIT-identical in the worker, and the
+    query's visible result is computed from the DECODED values — exact
+    fixed-point (floor(v*scale+0.5), float64 math on both engines)
+    n/sum/min/max per column, so any codec drift breaks the value hash,
+    not just an internal assertion.  One O(columns) exchange."""
+    import ray.data as rd
+
+    from ..codecs import decode_array, encode_array
+
+    def rt_stats(name: str, arr: pa.Array, scale: float) -> dict:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = encode_array(arr, name, codec="auto", zstd=True)
+        dec = decode_array(enc)
+        a = np.ascontiguousarray(arr.to_numpy(zero_copy_only=False))
+        b = np.ascontiguousarray(dec.to_numpy(zero_copy_only=False))
+        if not np.array_equal(a.view(np.int64 if a.itemsize == 8 else np.int32),
+                              b.view(np.int64 if b.itemsize == 8 else np.int32)):
+            raise ValueError(f"codec round-trip not bit-identical for {name} ({enc.codec})")
+        fp = np.floor(b.astype(np.float64) * scale + 0.5).astype(np.int64)
+        return {
+            "column": name,
+            "n_values": np.int64(len(fp)),
+            "sum_fp": fp.sum(dtype=np.int64),
+            "min_fp": fp.min() if len(fp) else np.int64(0),
+            "max_fp": fp.max() if len(fp) else np.int64(0),
+        }
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    schema = pa.schema(
+        [("column", pa.string()), ("n_values", pa.int64()), ("sum_fp", pa.int64()),
+         ("min_fp", pa.int64()), ("max_fp", pa.int64())]
+    )
+
+    def li_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        rows = [rt_stats(c, batch.column(c), 100.0) for c in cols]
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    def emb_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.Table.from_pylist([rt_stats("embedding", emb.flatten(), 1e6)], schema=schema)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols).map_batches(
+        li_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).map_batches(
+        emb_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        li.union(em)
+        .groupby("column")
+        .aggregate(
+            Sum("n_values", alias_name="n_values"),
+            Sum("sum_fp", alias_name="sum_fp"),
+            Min("min_fp", alias_name="min_fp"),
+            Max("max_fp", alias_name="max_fp"),
+        )
+    )
+
+
 QUERIES = {
     "per_source_stats": q_per_source_stats,
     "token_histogram": q_token_histogram,
@@ -9571,4 +9644,28 @@ ORACLE_SQL["embedding_norm_stats"] = """
            cast(min(ne6) as bigint) as min_norm_e6,
            cast(max(ne6) as bigint) as max_norm_e6
     from n group by label
+"""
+
+QUERIES["float_codec_roundtrip"] = q_float_codec_roundtrip
+ORACLE_SQL["float_codec_roundtrip"] = """
+    with li as (
+      select * from (
+        select 'l_quantity' as "column",
+               cast(floor(l_quantity * 100 + 0.5) as bigint) as fp from lineitem
+        union all
+        select 'l_extendedprice', cast(floor(l_extendedprice * 100 + 0.5) as bigint) from lineitem
+        union all
+        select 'l_discount', cast(floor(l_discount * 100 + 0.5) as bigint) from lineitem
+        union all
+        select 'l_tax', cast(floor(l_tax * 100 + 0.5) as bigint) from lineitem
+        union all
+        select 'embedding', cast(floor(v * 1e6 + 0.5) as bigint)
+        from (select unnest(embedding::DOUBLE[]) as v from embeddings)
+      )
+    )
+    select "column", cast(count(*) as bigint) as n_values,
+           cast(sum(fp) as bigint) as sum_fp,
+           cast(min(fp) as bigint) as min_fp,
+           cast(max(fp) as bigint) as max_fp
+    from li group by "column"
 """

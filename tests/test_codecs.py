@@ -343,3 +343,136 @@ def test_fsst_vectorized_encoder_matches_regex_reference():
         tb = SymbolTable(train(data or b"xy"))
         assert tb.decode(tb.encode(data)) == data
         assert tb.decode(tb.encode_re(data)) == data
+
+
+def _f64_bits(arr: pa.Array) -> np.ndarray:
+    return np.ascontiguousarray(arr.to_numpy(zero_copy_only=False)).view(np.int64)
+
+
+def test_alp_decimal_doubles_roundtrip_and_win():
+    """Prices stored as float64 are decimals in disguise: ALP's integer
+    view must round-trip bit-identically and beat the byte-level codecs."""
+    cents = RNG.integers(0, 10_000_000, 100_000)
+    arr = pa.array(cents / 100.0, type=pa.float64())
+    enc = encode_array(arr, "price", codec="auto", zstd=True)
+    assert enc.codec == "alp", enc.codec
+    dec = decode_array(enc)
+    assert np.array_equal(_f64_bits(dec), _f64_bits(arr))
+    plane = encode_array(arr, "price", codec="plane", zstd=True)
+    assert encoded_total_bytes(enc) < encoded_total_bytes(plane)
+    assert encoded_total_bytes(enc) < enc.plain_bytes // 2
+
+
+def test_alp_exceptions_bit_identical():
+    """NaN / inf / -0.0 / huge / continuous stragglers ride the
+    positional-exception path; the round-trip stays bit-identical."""
+    base = RNG.integers(-(10**6), 10**6, 5000) / 1000.0
+    vals = base.copy()
+    vals[::97] = np.nan
+    vals[1::211] = np.inf
+    vals[2::223] = -np.inf
+    vals[3::251] = -0.0
+    vals[4::263] = 1e300
+    vals[5::269] = np.pi
+    arr = pa.array(vals, type=pa.float64())
+    enc = encode_array(arr, "col", codec="alp", zstd=True)
+    dec = decode_array(enc)
+    assert np.array_equal(_f64_bits(dec), _f64_bits(arr))
+
+
+def test_alp_float32_roundtrip():
+    vals = (RNG.integers(0, 100_000, 50_000) / 100.0).astype(np.float32)
+    arr = pa.array(vals, type=pa.float32())
+    enc = encode_array(arr, "col", codec="auto", zstd=True)
+    dec = decode_array(enc)
+    got = np.ascontiguousarray(dec.to_numpy(zero_copy_only=False)).view(np.int32)
+    assert np.array_equal(got, vals.view(np.int32))
+    if enc.codec == "alp":
+        assert encoded_total_bytes(enc) < enc.plain_bytes
+
+
+def test_alp_declines_on_continuous_floats():
+    """Uniform random doubles are not decimal-like: the codec must
+    refuse (so the selector skips it) rather than emit 100% exceptions."""
+    from fileconvert_ray.codecs.base import CodecError
+    from fileconvert_ray.codecs.floatcodecs import Alp
+
+    vals = RNG.random(10_000)
+    data = vals.view(np.uint8).reshape(-1, 8)
+    with pytest.raises(CodecError):
+        Alp().encode(data)
+    # the auto wrapper still round-trips via plain/plane
+    arr = pa.array(vals, type=pa.float64())
+    enc = encode_array(arr, "col", codec="auto", zstd=True)
+    assert enc.codec != "alp"
+    assert np.array_equal(_f64_bits(decode_array(enc)), _f64_bits(arr))
+
+
+def test_alp_empty_and_nulls():
+    from fileconvert_ray.codecs.floatcodecs import Alp
+
+    params, payload = Alp().encode(np.empty((0, 8), dtype=np.uint8))
+    assert Alp().decode(params, payload, 0).shape == (0, 8)
+    arr = pa.array([1.25, None, 2.5, None, 3.75], type=pa.float64())
+    enc = encode_array(arr, "col", codec="alp", zstd=True)
+    assert decode_array(enc).to_pylist() == arr.to_pylist()
+
+
+def test_alp_property_roundtrip():
+    """Hypothesis-style sweep without the fixture cost: random decimal
+    grids x random exponents x injected specials, every draw bit-exact."""
+    rng = np.random.default_rng(1234)
+    for trial in range(25):
+        e = int(rng.integers(0, 12))
+        n = int(rng.integers(1, 5000))
+        digits = rng.integers(-(10**9), 10**9, n)
+        vals = digits / (10.0 ** e)
+        k = int(rng.integers(0, max(1, n // 8)))
+        if k:
+            pos = rng.choice(n, size=k, replace=False)
+            specials = rng.choice(
+                np.array([np.nan, np.inf, -np.inf, -0.0, 1e300, np.e]), size=k
+            )
+            vals[pos] = specials
+        arr = pa.array(vals, type=pa.float64())
+        enc = encode_array(arr, "col", codec="alp", zstd=bool(trial % 2))
+        dec = decode_array(enc)
+        assert np.array_equal(_f64_bits(dec), _f64_bits(arr)), (trial, e, n)
+
+
+def test_alp_rd_embedding_floats_win_and_roundtrip():
+    """Continuous float32 with clustered magnitudes (the embeddings
+    shape): ALP-RD's front-bits dictionary must beat plain and stay
+    bit-identical (pure bit split — no rounding anywhere)."""
+    rng = np.random.default_rng(5)
+    vals = (rng.normal(size=100_000) * 0.1).astype(np.float32)
+    arr = pa.array(vals, type=pa.float32())
+    enc = encode_array(arr, "emb", codec="auto", zstd=True)
+    assert enc.codec == "alp_rd", enc.codec
+    assert encoded_total_bytes(enc) < enc.plain_bytes
+    got = np.ascontiguousarray(decode_array(enc).to_numpy(zero_copy_only=False))
+    assert np.array_equal(got.view(np.int32), vals.view(np.int32))
+
+
+def test_alp_rd_specials_and_dictionary_misses():
+    """NaN / inf / denormals / huge outliers produce left patterns the
+    sampled dictionary may miss — the exception stream must restore
+    them bit-exactly (float64 path)."""
+    rng = np.random.default_rng(6)
+    vals = rng.normal(size=20_000)
+    vals[::311] = np.nan
+    vals[1::431] = np.inf
+    vals[2::463] = -np.inf
+    vals[3::487] = 5e-324      # denormal
+    vals[4::499] = -1.7e308
+    arr = pa.array(vals, type=pa.float64())
+    enc = encode_array(arr, "col", codec="alp_rd", zstd=True)
+    got = np.ascontiguousarray(decode_array(enc).to_numpy(zero_copy_only=False))
+    assert np.array_equal(got.view(np.int64), vals.view(np.int64))
+
+
+def test_alp_rd_empty():
+    from fileconvert_ray.codecs.floatcodecs import AlpRd
+
+    params, payload = AlpRd().encode(np.empty((0, 4), dtype=np.uint8))
+    assert AlpRd().decode(params, payload, 0).shape == (0, 4)
