@@ -142,6 +142,19 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--columns", default=None,
                    help="comma-separated projection (skips decoding the rest)")
 
+    te = sub.add_parser(
+        "table-encode",
+        help="encode ANY parquet table into columnar containers (full codec registry)",
+    )
+    te.add_argument("input", help="parquet file or directory of shards")
+    te.add_argument("--out", required=True, help="container output directory")
+
+    td = sub.add_parser("table-decode", help="decode table containers back to parquet")
+    td.add_argument("out_dir", help="a table-encode output directory")
+    td.add_argument("--to", required=True, help="directory for decoded parquet")
+    td.add_argument("--columns", default=None,
+                    help="comma-separated projection (other payloads never leave disk)")
+
     k = sub.add_parser("pack", help="pack token sequences into fixed-length training rows")
     k.add_argument("input", help="directory/file of tokseq parquet shards")
     k.add_argument("--out", required=True)
@@ -390,6 +403,32 @@ def main(argv: list[str] | None = None) -> int:
                 sources=args.sources.split(",") if args.sources else None,
                 min_n_tok=args.min_ntok,
                 max_n_tok=args.max_ntok,
+                columns=args.columns.split(",") if args.columns else None,
+            ).write_parquet(args.to)
+            print(json.dumps({"ok": True, "out": args.to}))
+        elif args.cmd == "table-encode":
+            import ray.data as rd
+
+            from fileconvert_ray.sources.tablecontainer import write_container_table
+
+            man = write_container_table(rd.read_parquet(args.input), args.out).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "ok": True,
+                        "out": args.out,
+                        "files": len(man),
+                        "n_rows": int(man["n_rows"].sum()),
+                        "encoded_bytes": int(man["encoded_bytes"].sum()),
+                        "plain_bytes": int(man["plain_bytes"].sum()),
+                    }
+                )
+            )
+        elif args.cmd == "table-decode":
+            from fileconvert_ray.sources.tablecontainer import read_container_table
+
+            read_container_table(
+                args.out_dir,
                 columns=args.columns.split(",") if args.columns else None,
             ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))

@@ -9669,3 +9669,27 @@ ORACLE_SQL["float_codec_roundtrip"] = """
            cast(max(fp) as bigint) as max_fp
     from li group by "column"
 """
+
+
+def q_table_container_roundtrip(sf_dir: str):
+    """Generic any-table columnar container (sources/tablecontainer.py):
+    orders — timestamps, strings, int64 keys and decimal-like doubles —
+    is encoded block-by-block through the full codec registry
+    (auto-selection picks dict/FSST for strings, FOR-bitpack for keys,
+    ALP for o_totalprice, RLE/dz for the date), written as container
+    parquet (one row group per encoded column), decoded back with exact
+    dtype restoration, and returned WHOLE — the oracle hash covers
+    every value of every row, so any codec or schema drift anywhere in
+    the fixed/int/str families breaks this query."""
+    import ray.data as rd
+
+    from ..sources.tablecontainer import read_container_table, write_container_table
+
+    out = _job_dir(sf_dir, "tablecont")
+    shutil.rmtree(out, ignore_errors=True)
+    write_container_table(rd.read_parquet(f"{sf_dir}/orders.parquet"), out).materialize()
+    return read_container_table(out)
+
+
+QUERIES["table_container_roundtrip"] = q_table_container_roundtrip
+ORACLE_SQL["table_container_roundtrip"] = "select * from orders"

@@ -1,0 +1,227 @@
+"""Generic columnar container: encode ANY tabular Dataset with the
+codec registry (SURVEY.md §2.2 E5/E8 generalized beyond the tokseq
+schema, mirroring the reference converter's any-table scope).
+
+Every input block becomes one container parquet holding ONE ROW PER
+ENCODED COLUMN (column name, codec id, params JSON, payload bytes,
+CRC) — the same layout the flagship tokseq containers use, but driven
+off the block's own schema, so every codec in the registry (dict /
+RLE / FOR-bitpack / FSST / rANS / ALP / ALP-RD / plane) participates
+through the measured-size auto-selector.  List columns split into a
+lengths stream and a flattened values stream (``name#len`` /
+``name#val``), each encoded independently — the exact trick the
+flagship uses for ``tokens`` — and are re-assembled on decode.
+
+Container rows are written one ROW GROUP each (row_group_size=1) so a
+projected read (``columns=[...]``) prunes other columns' payloads at
+the parquet row-group level instead of hauling them off disk.
+
+Write is tmp+rename per file (crash-safe, idempotent re-runs); the
+Arrow schema is persisted to ``_schema.json`` so decode rebuilds the
+exact dtypes (timestamp units, list element types) with no inference.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codecs import decode_array, encode_array
+from ..codecs.base import CodecError, EncodedColumn
+
+_ROW_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("params", pa.string()),
+        ("payload", pa.large_binary()),
+        ("n_values", pa.int64()),
+        ("plain_bytes", pa.int64()),
+        ("crc32", pa.int64()),
+    ]
+)
+
+SCHEMA_FILE = "_schema.json"
+
+
+def _encode_one(name: str, arr) -> list[dict]:
+    """One column -> one or two container rows (#len/#val for lists)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if arr.null_count:
+            raise CodecError(
+                f"column {name}: null list values are not supported by the "
+                "container encoder (store an empty list or drop the rows)"
+            )
+        lengths = pa.array(
+            np.asarray(pa.compute.list_value_length(arr)).astype(np.int64)
+        )
+        values = arr.flatten()
+        if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
+            raise CodecError(f"column {name}: nested lists are not supported")
+        return _encode_one(f"{name}#len", lengths) + _encode_one(f"{name}#val", values)
+    enc = encode_array(arr, name, codec="auto", zstd=True)
+    return [
+        {
+            "column": enc.column,
+            "codec": enc.codec,
+            "params": json.dumps(enc.params),
+            "payload": enc.payload,
+            "n_values": enc.n_values,
+            "plain_bytes": enc.plain_bytes,
+            "crc32": enc.crc32,
+        }
+    ]
+
+
+def _decode_rows(rows: dict[str, dict], field: pa.Field) -> pa.Array:
+    """Container rows -> one fully-typed column of `field`'s type."""
+    t = field.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lengths = _dec(rows[f"{field.name}#len"])
+        values = _dec(rows[f"{field.name}#val"])
+        off_dtype = np.int64 if pa.types.is_large_list(t) else np.int32
+        lens = np.asarray(lengths, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(off_dtype)
+        cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+        out = cls.from_arrays(pa.array(offsets), values)
+        return out.cast(t) if out.type != t else out
+    out = _dec(rows[field.name])
+    return out.cast(t) if out.type != t else out
+
+
+def _dec(row: dict) -> pa.Array:
+    enc = EncodedColumn(
+        column=row["column"],
+        codec=row["codec"],
+        params=json.loads(row["params"]),
+        payload=row["payload"],
+        n_values=int(row["n_values"]),
+        plain_bytes=int(row["plain_bytes"]),
+        crc32=int(row["crc32"]),
+    )
+    return decode_array(enc)
+
+
+def write_container_table(ds, out_dir: str):
+    """Encode each block into one container parquet.  Returns the
+    manifest Dataset (path, n_rows, encoded_bytes, plain_bytes) —
+    consuming it drives the write (same contract as the Feather sink)."""
+    os.makedirs(out_dir, exist_ok=True)
+    schema = ds.schema().base_schema
+    with open(os.path.join(out_dir, SCHEMA_FILE), "w") as f:
+        json.dump(
+            {"schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode()},
+            f,
+        )
+
+    manifest_schema = pa.schema(
+        [
+            ("path", pa.string()),
+            ("n_rows", pa.int64()),
+            ("encoded_bytes", pa.int64()),
+            ("plain_bytes", pa.int64()),
+        ]
+    )
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return manifest_schema.empty_table()
+        rows: list[dict] = []
+        for name in batch.column_names:
+            rows.extend(_encode_one(name, batch.column(name)))
+        t = pa.Table.from_pylist(rows, schema=_ROW_SCHEMA)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        final = os.path.join(out_dir, name)
+        # one row group per encoded column: projected decodes prune
+        # other columns' payloads via row-group statistics on `column`
+        pq.write_table(t, tmp, row_group_size=1, compression="none")
+        os.rename(tmp, final)
+        enc_bytes = sum(len(r["payload"]) + len(r["params"]) for r in rows)
+        plain = sum(r["plain_bytes"] for r in rows)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "path": final,
+                    "n_rows": batch.num_rows,
+                    "encoded_bytes": enc_bytes,
+                    "plain_bytes": plain,
+                }
+            ],
+            schema=manifest_schema,
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+
+
+def _container_files(dir_or_paths) -> list[str]:
+    if isinstance(dir_or_paths, str) and os.path.isdir(dir_or_paths):
+        return sorted(
+            os.path.join(dir_or_paths, f)
+            for f in os.listdir(dir_or_paths)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    if isinstance(dir_or_paths, str):
+        return [dir_or_paths]
+    return list(dir_or_paths)
+
+
+def read_container_table(dir_or_paths, columns: list[str] | None = None):
+    """Containers -> Dataset: one decode task per container file.
+
+    ``columns=[...]`` decodes only those columns; other payloads are
+    row-group-pruned at the parquet layer (never leave the disk)."""
+    import ray.data as rd
+
+    if isinstance(dir_or_paths, str) and os.path.isdir(dir_or_paths):
+        base = dir_or_paths
+    else:
+        base = os.path.dirname(_container_files(dir_or_paths)[0])
+    with open(os.path.join(base, SCHEMA_FILE)) as f:
+        schema = pa.ipc.read_schema(
+            pa.py_buffer(base64.b64decode(json.load(f)["schema_b64"]))
+        )
+    fields = [schema.field(i) for i in range(len(schema))]
+    if columns is not None:
+        missing = set(columns) - {f.name for f in fields}
+        if missing:
+            raise ValueError(f"unknown container columns: {sorted(missing)}")
+        fields = [f for f in fields if f.name in set(columns)]
+    wanted: set[str] = set()
+    for f in fields:
+        if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+            wanted |= {f"{f.name}#len", f"{f.name}#val"}
+        else:
+            wanted.add(f.name)
+
+    files = _container_files(dir_or_paths)
+    if not files:
+        return rd.from_arrow(pa.schema(fields).empty_table())
+
+    def decode_file(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(
+                path, filters=[("column", "in", sorted(wanted))]
+            )
+            rows = {r["column"]: r for r in t.to_pylist()}
+            cols = [_decode_rows(rows, f) for f in fields]
+            tabs.append(
+                pa.Table.from_arrays(cols, schema=pa.schema(fields))
+            )
+        if not tabs:
+            return pa.schema(fields).empty_table()
+        return pa.concat_tables(tabs)
+
+    return rd.from_items([{"path": p} for p in files]).map_batches(
+        decode_file, batch_format="pyarrow"
+    )

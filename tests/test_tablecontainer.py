@@ -1,0 +1,128 @@
+"""Generic any-table columnar container (sources/tablecontainer.py):
+write/read round-trips for every testdata shape — strings, timestamps,
+decimal-like doubles, int keys, list<float> embeddings — plus projected
+reads, unknown-column errors, null-list refusal and the empty edge."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fileconvert_ray.sources.tablecontainer import (
+    read_container_table,
+    write_container_table,
+)
+
+
+def _roundtrip(tmpdir: str, table: str, sf_dir: str) -> tuple[pa.Table, pa.Table]:
+    import ray.data as rd
+
+    out = os.path.join(tmpdir, f"tc_{table}")
+    shutil.rmtree(out, ignore_errors=True)
+    man = write_container_table(rd.read_parquet(f"{sf_dir}/{table}.parquet"), out).to_pandas()
+    orig = pq.read_table(f"{sf_dir}/{table}.parquet").combine_chunks()
+    assert int(man["n_rows"].sum()) == orig.num_rows
+    back = pa.Table.from_pandas(
+        read_container_table(out).to_pandas(), preserve_index=False
+    ).select(orig.column_names).cast(orig.schema).combine_chunks()
+    return orig, back
+
+
+def _sorted_equal(a: pa.Table, b: pa.Table, keys: list[str]) -> bool:
+    sk = [(k, "ascending") for k in keys]
+    a, b = a.sort_by(sk).combine_chunks(), b.sort_by(sk).combine_chunks()
+    return a.schema.equals(b.schema) and all(
+        a.column(c).equals(b.column(c)) for c in a.column_names
+    )
+
+
+@pytest.mark.parametrize(
+    "table,key",
+    [("orders", "o_orderkey"), ("documents", "doc_id"), ("embeddings", "vec_id")],
+)
+def test_container_roundtrip_unique_key_tables(ray_session, sf_dir, tmp_path, table, key):
+    orig, back = _roundtrip(str(tmp_path), table, sf_dir)
+    assert _sorted_equal(orig, back, [key])
+
+
+def test_container_roundtrip_lineitem_multiset(ray_session, sf_dir, tmp_path):
+    """lineitem has no unique key in the synthetic data — compare as a
+    row multiset (bidirectional EXCEPT ALL) via DuckDB."""
+    import duckdb
+
+    orig, back = _roundtrip(str(tmp_path), "lineitem", sf_dir)
+    con = duckdb.connect()
+    a, b = orig.to_pandas(), back.to_pandas()
+    con.register("a", a)
+    con.register("b", b)
+    assert con.execute("select count(*) from (select * from a except all select * from b)").fetchone()[0] == 0
+    assert con.execute("select count(*) from (select * from b except all select * from a)").fetchone()[0] == 0
+
+
+def test_container_projected_read(ray_session, sf_dir, tmp_path):
+    import ray.data as rd
+
+    out = os.path.join(str(tmp_path), "tc_proj")
+    write_container_table(rd.read_parquet(f"{sf_dir}/documents.parquet"), out).materialize()
+    got = read_container_table(out, columns=["doc_id", "source"]).to_pandas()
+    orig = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)[["doc_id", "source"]]
+    orig = orig.sort_values("doc_id", ignore_index=True)
+    assert got.equals(orig)
+    with pytest.raises(ValueError, match="unknown container columns"):
+        read_container_table(out, columns=["nope"])
+
+
+def test_container_list_projection_and_embedding_bits(ray_session, sf_dir, tmp_path):
+    """Projecting just the list column decodes #len+#val and rebuilds
+    the list bit-exactly (float32 payload via ALP-RD or plain)."""
+    import ray.data as rd
+
+    out = os.path.join(str(tmp_path), "tc_emb")
+    write_container_table(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), out).materialize()
+    got = read_container_table(out, columns=["vec_id", "embedding"]).to_pandas()
+    orig = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    got = got.sort_values("vec_id", ignore_index=True)
+    orig = orig.sort_values("vec_id", ignore_index=True)
+    gv = np.concatenate(got["embedding"].to_numpy()).astype(np.float32)
+    ov = np.concatenate(orig["embedding"].to_numpy()).astype(np.float32)
+    assert np.array_equal(gv.view(np.int32), ov.view(np.int32))
+
+
+def test_container_null_list_refused(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = pa.table({"id": [1, 2], "xs": pa.array([[1, 2], None], type=pa.list_(pa.int64()))})
+    out = os.path.join(str(tmp_path), "tc_null")
+    with pytest.raises(Exception, match="null list"):
+        write_container_table(rd.from_arrow(t), out).materialize()
+
+
+def test_container_empty_dir_read(ray_session, tmp_path):
+    """A schema file with zero containers (e.g. all-empty input) reads
+    back as an empty, correctly-typed Dataset."""
+    import base64
+    import json
+
+    out = os.path.join(str(tmp_path), "tc_empty")
+    os.makedirs(out)
+    schema = pa.schema([("x", pa.int64())])
+    with open(os.path.join(out, "_schema.json"), "w") as f:
+        json.dump({"schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode()}, f)
+    ds = read_container_table(out)
+    assert ds.count() == 0
+    assert ds.schema().names == ["x"]
+
+
+def test_container_beats_plain_bytes(ray_session, sf_dir, tmp_path):
+    """The registry must compress: total encoded bytes well under the
+    canonical plain bytes on every testdata table."""
+    import ray.data as rd
+
+    for table in ("orders", "lineitem", "documents"):
+        out = os.path.join(str(tmp_path), f"tc_sz_{table}")
+        man = write_container_table(rd.read_parquet(f"{sf_dir}/{table}.parquet"), out).to_pandas()
+        assert int(man["encoded_bytes"].sum()) < 0.6 * int(man["plain_bytes"].sum()), table
