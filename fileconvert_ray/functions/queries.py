@@ -9693,3 +9693,34 @@ def q_table_container_roundtrip(sf_dir: str):
 
 QUERIES["table_container_roundtrip"] = q_table_container_roundtrip
 ORACLE_SQL["table_container_roundtrip"] = "select * from orders"
+
+
+def q_container_predicate_scan(sf_dir: str):
+    """Zone-map-pruned container scan: orders is container-encoded
+    SORTED by o_totalprice so each container's footer [min, max] is a
+    tight disjoint range, then a read with predicate=(o_totalprice,
+    lo, hi) skips every non-overlapping file footer-first (no payload
+    bytes move) and row-trims the survivors — the container analogue
+    of price_range_scan's manifest pruning (functions/export.py)."""
+    import ray.data as rd
+
+    from ..sources.tablecontainer import read_container_table, write_container_table
+
+    out = _job_dir(sf_dir, "contpred")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    ).sort("o_totalprice").repartition(8)
+    write_container_table(ds, out).materialize()
+    return read_container_table(
+        out, columns=["o_orderkey", "o_orderstatus"],
+        predicate=("o_totalprice", 50_000.0, 150_000.0),
+    )
+
+
+QUERIES["container_predicate_scan"] = q_container_predicate_scan
+ORACLE_SQL["container_predicate_scan"] = """
+    select o_orderkey, o_orderstatus from orders
+    where o_totalprice between 50000.0 and 150000.0
+"""

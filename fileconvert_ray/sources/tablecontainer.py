@@ -111,6 +111,46 @@ def _dec(row: dict) -> pa.Array:
     return decode_array(enc)
 
 
+def _zone_map(batch: pa.Table) -> dict:
+    """{column: [min, max]} for orderable scalar columns (numbers and
+    timestamps, the latter as int64 epoch units) — JSON-safe."""
+    import pyarrow.compute as pc
+
+    zm: dict[str, list] = {}
+    for name in batch.column_names:
+        col = batch.column(name)
+        t = col.type
+        if pa.types.is_temporal(t):
+            col = col.cast(pa.int64())
+        elif not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            continue
+        mm = pc.min_max(col).as_py()
+        lo, hi = mm["min"], mm["max"]
+        if lo is None or (isinstance(lo, float) and np.isnan(lo)):
+            continue
+        zm[name] = [lo, hi]
+    return zm
+
+
+def file_pruned(path: str, col: str, lo, hi) -> bool:
+    """True iff the container's footer zone map proves no row of `col`
+    can land in [lo, hi] (bounds in zone-map representation — ints for
+    temporals).  Footer-only: no payload bytes are touched."""
+    meta = pq.read_schema(path).metadata or {}
+    zm = json.loads((meta.get(b"zonemap") or b"{}").decode())
+    rng = zm.get(col)
+    if rng is None:
+        return False  # no zone map for this column: must read
+    return (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
+
+
+def _predicate_value(field_type: pa.DataType, v):
+    """Caller-side predicate value -> the zone map's representation."""
+    if pa.types.is_temporal(field_type):
+        return int(pa.scalar(v, type=field_type).cast(pa.int64()).as_py())
+    return v
+
+
 def write_container_table(ds, out_dir: str):
     """Encode each block into one container parquet.  Returns the
     manifest Dataset (path, n_rows, encoded_bytes, plain_bytes) —
@@ -139,6 +179,11 @@ def write_container_table(ds, out_dir: str):
         for name in batch.column_names:
             rows.extend(_encode_one(name, batch.column(name)))
         t = pa.Table.from_pylist(rows, schema=_ROW_SCHEMA)
+        # per-column zone map (numeric/temporal min-max) in the footer:
+        # a predicate read checks ~100 footer bytes per container and
+        # skips whole files without touching any payload (same idea as
+        # the flagship decoder's chunk zone maps, E9)
+        t = t.replace_schema_metadata({"zonemap": json.dumps(_zone_map(batch))})
         name = f"part-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(out_dir, "." + name + ".tmp")
         final = os.path.join(out_dir, name)
@@ -175,11 +220,21 @@ def _container_files(dir_or_paths) -> list[str]:
     return list(dir_or_paths)
 
 
-def read_container_table(dir_or_paths, columns: list[str] | None = None):
+def read_container_table(
+    dir_or_paths,
+    columns: list[str] | None = None,
+    predicate: tuple[str, object, object] | None = None,
+):
     """Containers -> Dataset: one decode task per container file.
 
     ``columns=[...]`` decodes only those columns; other payloads are
-    row-group-pruned at the parquet layer (never leave the disk)."""
+    row-group-pruned at the parquet layer (never leave the disk).
+
+    ``predicate=(col, lo, hi)`` (either bound may be None) keeps rows
+    with lo <= col <= hi: each task first reads the container's footer
+    zone map and skips files whose [min, max] misses the range — no
+    payload bytes move for pruned files — then trims the survivors
+    row-level after decode, so results are exact, not file-granular."""
     import ray.data as rd
 
     if isinstance(dir_or_paths, str) and os.path.isdir(dir_or_paths):
@@ -196,6 +251,22 @@ def read_container_table(dir_or_paths, columns: list[str] | None = None):
         if missing:
             raise ValueError(f"unknown container columns: {sorted(missing)}")
         fields = [f for f in fields if f.name in set(columns)]
+    pred = None
+    drop_pred_col = False
+    if predicate is not None:
+        pcol, lo, hi = predicate
+        pfield = schema.field(pcol)  # raises KeyError for unknown columns
+        if pcol not in {f.name for f in fields}:
+            # decode the key just for trimming, drop it from the result
+            # (the read_range extra-column pattern, functions/export.py)
+            fields.append(pfield)
+            drop_pred_col = True
+        pred = (
+            pcol,
+            None if lo is None else _predicate_value(pfield.type, lo),
+            None if hi is None else _predicate_value(pfield.type, hi),
+        )
+
     wanted: set[str] = set()
     for f in fields:
         if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
@@ -203,23 +274,47 @@ def read_container_table(dir_or_paths, columns: list[str] | None = None):
         else:
             wanted.add(f.name)
 
+    out_schema = pa.schema([f for f in fields if not (drop_pred_col and f.name == pred[0])])
     files = _container_files(dir_or_paths)
     if not files:
-        return rd.from_arrow(pa.schema(fields).empty_table())
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _pruned(path: str) -> bool:
+        if pred is None:
+            return False
+        return file_pruned(path, *pred)
+
+    def _trim(t: pa.Table) -> pa.Table:
+        if pred is None:
+            return t
+        import pyarrow.compute as pc
+
+        col = t.column(pred[0])
+        if pa.types.is_temporal(col.type):
+            col = col.cast(pa.int64()) if isinstance(col, pa.Array) else col.combine_chunks().cast(pa.int64())
+        mask = pa.array(np.ones(t.num_rows, dtype=bool))
+        if pred[1] is not None:
+            mask = pc.and_(mask, pc.greater_equal(col, pred[1]))
+        if pred[2] is not None:
+            mask = pc.and_(mask, pc.less_equal(col, pred[2]))
+        t = t.filter(mask)
+        return t.drop_columns([pred[0]]) if drop_pred_col else t
 
     def decode_file(batch: pa.Table) -> pa.Table:
         tabs = []
         for path in batch.column("path").to_pylist():
+            if _pruned(path):
+                continue
             t = pq.read_table(
                 path, filters=[("column", "in", sorted(wanted))]
             )
             rows = {r["column"]: r for r in t.to_pylist()}
             cols = [_decode_rows(rows, f) for f in fields]
             tabs.append(
-                pa.Table.from_arrays(cols, schema=pa.schema(fields))
+                _trim(pa.Table.from_arrays(cols, schema=pa.schema(fields)))
             )
         if not tabs:
-            return pa.schema(fields).empty_table()
+            return out_schema.empty_table()
         return pa.concat_tables(tabs)
 
     return rd.from_items([{"path": p} for p in files]).map_batches(

@@ -126,3 +126,47 @@ def test_container_beats_plain_bytes(ray_session, sf_dir, tmp_path):
         out = os.path.join(str(tmp_path), f"tc_sz_{table}")
         man = write_container_table(rd.read_parquet(f"{sf_dir}/{table}.parquet"), out).to_pandas()
         assert int(man["encoded_bytes"].sum()) < 0.6 * int(man["plain_bytes"].sum()), table
+
+
+def test_container_zone_map_pruning(ray_session, sf_dir, tmp_path):
+    """Sorted-by-key containers have disjoint zone maps: a narrow
+    predicate must PRUNE most files footer-only, and the predicate
+    read must return exactly the brute-force filtered rows with the
+    key column dropped when it isn't projected."""
+    import ray.data as rd
+
+    from fileconvert_ray.sources.tablecontainer import file_pruned
+
+    out = os.path.join(str(tmp_path), "tc_zm")
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet").sort("o_totalprice").repartition(8)
+    write_container_table(ds, out).materialize()
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out)) if f.startswith("part-")]
+    assert len(files) == 8
+    lo, hi = 50_000.0, 80_000.0
+    pruned = [f for f in files if file_pruned(f, "o_totalprice", lo, hi)]
+    assert len(pruned) >= 4, f"only {len(pruned)}/8 pruned"
+
+    got = read_container_table(
+        out, columns=["o_orderkey"], predicate=("o_totalprice", lo, hi)
+    ).to_pandas()
+    orig = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    want = orig[(orig.o_totalprice >= lo) & (orig.o_totalprice <= hi)]["o_orderkey"]
+    assert list(got.columns) == ["o_orderkey"]
+    assert sorted(got.o_orderkey) == sorted(want)
+
+
+def test_container_timestamp_predicate(ray_session, sf_dir, tmp_path):
+    import datetime
+
+    import ray.data as rd
+
+    out = os.path.join(str(tmp_path), "tc_ts")
+    write_container_table(rd.read_parquet(f"{sf_dir}/orders.parquet"), out).materialize()
+    cut = datetime.datetime(1996, 1, 1)
+    got = read_container_table(
+        out, predicate=("o_orderdate", None, cut)
+    ).to_pandas()
+    orig = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    want = orig[orig.o_orderdate <= cut]
+    assert len(got) == len(want)
+    assert sorted(got.o_orderkey) == sorted(want.o_orderkey)
