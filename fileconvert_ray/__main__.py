@@ -146,8 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
         "table-encode",
         help="encode ANY parquet table into columnar containers (full codec registry)",
     )
-    te.add_argument("input", help="parquet file or directory of shards")
+    te.add_argument("input", help="parquet/CSV/JSONL/feather file or directory of shards")
     te.add_argument("--out", required=True, help="container output directory")
+    te.add_argument("--batch-rows", type=int, default=None,
+                    help="coalesce input blocks to ~N rows per container")
 
     td = sub.add_parser("table-decode", help="decode table containers back to parquet")
     td.add_argument("out_dir", help="a table-encode output directory")
@@ -411,7 +413,19 @@ def main(argv: list[str] | None = None) -> int:
 
             from fileconvert_ray.sources.tablecontainer import write_container_table
 
-            man = write_container_table(rd.read_parquet(args.input), args.out).to_pandas()
+            first = args.input
+            names = os.listdir(first) if os.path.isdir(first) else [first]
+            if any(n.endswith((".csv", ".csv.gz")) for n in names):
+                ds = rd.read_csv(args.input)
+            elif any(n.endswith((".jsonl", ".json")) for n in names):
+                ds = rd.read_json(args.input)
+            elif any(n.endswith(".arrow") for n in names):
+                from fileconvert_ray.sources.featherio import read_feather_dataset
+
+                ds = read_feather_dataset(args.input)
+            else:
+                ds = rd.read_parquet(args.input)
+            man = write_container_table(ds, args.out, batch_rows=args.batch_rows).to_pandas()
             print(
                 json.dumps(
                     {

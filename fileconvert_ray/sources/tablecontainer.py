@@ -151,10 +151,17 @@ def _predicate_value(field_type: pa.DataType, v):
     return v
 
 
-def write_container_table(ds, out_dir: str):
+def write_container_table(ds, out_dir: str, batch_rows: int | None = None):
     """Encode each block into one container parquet.  Returns the
     manifest Dataset (path, n_rows, encoded_bytes, plain_bytes) —
-    consuming it drives the write (same contract as the Feather sink)."""
+    consuming it drives the write (same contract as the Feather sink).
+
+    ``batch_rows``: coalesce input blocks to ~this many rows per
+    container (default: one container per input block).  Small-file
+    inputs fragment into tiny containers otherwise, and per-chunk codec
+    overheads (dict tables, freq tables, parquet footers) repeat per
+    container — at scale, size containers so their encoded payload
+    lands in the tens of MB."""
     os.makedirs(out_dir, exist_ok=True)
     schema = ds.schema().base_schema
     with open(os.path.join(out_dir, SCHEMA_FILE), "w") as f:
@@ -205,7 +212,7 @@ def write_container_table(ds, out_dir: str):
             schema=manifest_schema,
         )
 
-    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=batch_rows)
 
 
 def _container_files(dir_or_paths) -> list[str]:

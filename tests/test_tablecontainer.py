@@ -170,3 +170,20 @@ def test_container_timestamp_predicate(ray_session, sf_dir, tmp_path):
     want = orig[orig.o_orderdate <= cut]
     assert len(got) == len(want)
     assert sorted(got.o_orderkey) == sorted(want.o_orderkey)
+
+
+def test_container_batch_rows_coalesce(ray_session, sf_dir, tmp_path):
+    """batch_rows coalesces fragmented input blocks into one container,
+    amortizing per-chunk codec and footer overheads."""
+    import ray.data as rd
+
+    frag = os.path.join(str(tmp_path), "tc_frag")
+    one = os.path.join(str(tmp_path), "tc_one")
+    ds = lambda: rd.read_parquet(f"{sf_dir}/orders.parquet")
+    man_frag = write_container_table(ds(), frag).to_pandas()
+    man_one = write_container_table(ds(), one, batch_rows=1_000_000).to_pandas()
+    assert len(man_one) == 1 and len(man_frag) > 1
+    assert int(man_one["encoded_bytes"].sum()) < int(man_frag["encoded_bytes"].sum())
+    a = read_container_table(frag).to_pandas().sort_values("o_orderkey", ignore_index=True)
+    b = read_container_table(one).to_pandas().sort_values("o_orderkey", ignore_index=True)
+    assert a.equals(b)
