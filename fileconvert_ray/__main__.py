@@ -150,6 +150,8 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--out", required=True, help="container output directory")
     te.add_argument("--batch-rows", type=int, default=None,
                     help="coalesce input blocks to ~N rows per container")
+    te.add_argument("--append", action="store_true",
+                    help="add rows to an existing container dir (schema-checked)")
 
     td = sub.add_parser("table-decode", help="decode table containers back to parquet")
     td.add_argument("out_dir", help="a table-encode output directory")
@@ -425,7 +427,10 @@ def main(argv: list[str] | None = None) -> int:
                 ds = read_feather_dataset(args.input)
             else:
                 ds = rd.read_parquet(args.input)
-            man = write_container_table(ds, args.out, batch_rows=args.batch_rows).to_pandas()
+            man = write_container_table(
+                ds, args.out, batch_rows=args.batch_rows,
+                mode="append" if args.append else "error",
+            ).to_pandas()
             print(
                 json.dumps(
                     {

@@ -151,7 +151,9 @@ def _predicate_value(field_type: pa.DataType, v):
     return v
 
 
-def write_container_table(ds, out_dir: str, batch_rows: int | None = None):
+def write_container_table(
+    ds, out_dir: str, batch_rows: int | None = None, mode: str = "error"
+):
     """Encode each block into one container parquet.  Returns the
     manifest Dataset (path, n_rows, encoded_bytes, plain_bytes) —
     consuming it drives the write (same contract as the Feather sink).
@@ -161,9 +163,30 @@ def write_container_table(ds, out_dir: str, batch_rows: int | None = None):
     inputs fragment into tiny containers otherwise, and per-chunk codec
     overheads (dict tables, freq tables, parquet footers) repeat per
     container — at scale, size containers so their encoded payload
-    lands in the tens of MB."""
+    lands in the tens of MB.
+
+    ``mode``: container files are uuid-named, so a re-run into a
+    non-empty out_dir would silently DUPLICATE every row — "error"
+    (default) refuses; "append" adds this Dataset as a new generation
+    after checking the persisted schema matches (the incremental-ingest
+    contract the flagship encode uses)."""
     os.makedirs(out_dir, exist_ok=True)
     schema = ds.schema().base_schema
+    existing = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    if existing:
+        if mode != "append":
+            raise ValueError(
+                f"{out_dir} already holds {len(existing)} containers; "
+                'pass mode="append" to add rows or clear the directory'
+            )
+        with open(os.path.join(out_dir, SCHEMA_FILE)) as f:
+            prev = pa.ipc.read_schema(
+                pa.py_buffer(base64.b64decode(json.load(f)["schema_b64"]))
+            )
+        if not prev.equals(schema):
+            raise ValueError(
+                f"append schema mismatch: containers hold {prev}, input is {schema}"
+            )
     with open(os.path.join(out_dir, SCHEMA_FILE), "w") as f:
         json.dump(
             {"schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode()},

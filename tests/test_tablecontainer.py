@@ -187,3 +187,22 @@ def test_container_batch_rows_coalesce(ray_session, sf_dir, tmp_path):
     a = read_container_table(frag).to_pandas().sort_values("o_orderkey", ignore_index=True)
     b = read_container_table(one).to_pandas().sort_values("o_orderkey", ignore_index=True)
     assert a.equals(b)
+
+
+def test_container_append_mode(ray_session, sf_dir, tmp_path):
+    """Re-running into a non-empty dir must refuse (uuid names would
+    silently duplicate rows); mode="append" adds a generation after a
+    schema check; a different schema is rejected."""
+    import ray.data as rd
+
+    out = os.path.join(str(tmp_path), "tc_app")
+    ds = lambda: rd.read_parquet(f"{sf_dir}/nation.parquet")
+    write_container_table(ds(), out).materialize()
+    with pytest.raises(ValueError, match="already holds"):
+        write_container_table(ds(), out).materialize()
+    write_container_table(ds(), out, mode="append").materialize()
+    n = read_container_table(out).count()
+    assert n == 2 * pq.read_table(f"{sf_dir}/nation.parquet").num_rows
+    other = rd.read_parquet(f"{sf_dir}/region.parquet")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_container_table(other, out, mode="append").materialize()
