@@ -158,6 +158,9 @@ def build_parser() -> argparse.ArgumentParser:
     td.add_argument("--to", required=True, help="directory for decoded parquet")
     td.add_argument("--columns", default=None,
                     help="comma-separated projection (other payloads never leave disk)")
+    td.add_argument("--where", default=None, metavar="COL:LO:HI",
+                    help="zone-map-pruned range filter; either bound may be empty "
+                         "(numbers or ISO timestamps)")
 
     k = sub.add_parser("pack", help="pack token sequences into fixed-length training rows")
     k.add_argument("input", help="directory/file of tokseq parquet shards")
@@ -446,9 +449,24 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "table-decode":
             from fileconvert_ray.sources.tablecontainer import read_container_table
 
+            predicate = None
+            if args.where:
+                def _bound(s: str):
+                    if not s:
+                        return None
+                    try:
+                        return float(s) if "." in s or "e" in s.lower() else int(s)
+                    except ValueError:
+                        import datetime as _dt
+
+                        return _dt.datetime.fromisoformat(s)
+
+                wcol, wlo, whi = args.where.split(":", 2)
+                predicate = (wcol, _bound(wlo), _bound(whi))
             read_container_table(
                 args.out_dir,
                 columns=args.columns.split(",") if args.columns else None,
+                predicate=predicate,
             ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
         elif args.cmd == "pack":

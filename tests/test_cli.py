@@ -400,3 +400,31 @@ def test_cli_encode_inc_append(tmp_path):
 
     v = run_cli("verify", "--out", out, "--mode", "hash")
     assert v["ok"] and v["n_mismatch"] == 0
+
+
+def test_cli_table_encode_decode(tmp_path):
+    """Any-table containers via the CLI: encode orders, projected +
+    zone-map-filtered decode, append mode, and exact value parity."""
+    sf = "/root/testdata/sf0.001"
+    enc = str(tmp_path / "tc")
+    r = run_cli("table-encode", f"{sf}/orders.parquet", "--out", enc, "--batch-rows", "500")
+    assert r["ok"] and r["n_rows"] == 1500 and r["encoded_bytes"] < r["plain_bytes"]
+
+    dec = str(tmp_path / "dec")
+    r = run_cli(
+        "table-decode", enc, "--to", dec,
+        "--columns", "o_orderkey", "--where", "o_totalprice:50000:150000",
+    )
+    assert r["ok"]
+    got = pq.read_table(dec)
+    orig = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    want = orig[(orig.o_totalprice >= 50000) & (orig.o_totalprice <= 150000)]
+    assert got.column_names == ["o_orderkey"]
+    assert sorted(got.column("o_orderkey").to_pylist()) == sorted(want.o_orderkey)
+
+    r = run_cli("table-encode", f"{sf}/orders.parquet", "--out", enc,
+                "--batch-rows", "500", "--append")
+    assert r["ok"]
+    dec2 = str(tmp_path / "dec2")
+    r = run_cli("table-decode", enc, "--to", dec2, "--columns", "o_orderkey")
+    assert pq.read_table(dec2).num_rows == 3000
