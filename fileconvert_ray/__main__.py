@@ -162,6 +162,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="zone-map-pruned range filter; either bound may be empty "
                          "(numbers or ISO timestamps)")
 
+    ti = sub.add_parser(
+        "table-inspect", help="per-column codec/size rollup of a table-encode dir"
+    )
+    ti.add_argument("out_dir")
+
     k = sub.add_parser("pack", help="pack token sequences into fixed-length training rows")
     k.add_argument("input", help="directory/file of tokseq parquet shards")
     k.add_argument("--out", required=True)
@@ -469,6 +474,11 @@ def main(argv: list[str] | None = None) -> int:
                 predicate=predicate,
             ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
+        elif args.cmd == "table-inspect":
+            from fileconvert_ray.sources.tablecontainer import inspect_container_table
+
+            t = inspect_container_table(args.out_dir)
+            print(json.dumps({"ok": True, "columns": t.to_pylist()}))
         elif args.cmd == "pack":
             import ray.data as rd
 

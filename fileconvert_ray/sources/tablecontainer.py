@@ -43,6 +43,7 @@ _ROW_SCHEMA = pa.schema(
         ("payload", pa.large_binary()),
         ("n_values", pa.int64()),
         ("plain_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
         ("crc32", pa.int64()),
     ]
 )
@@ -77,6 +78,7 @@ def _encode_one(name: str, arr) -> list[dict]:
             "payload": enc.payload,
             "n_values": enc.n_values,
             "plain_bytes": enc.plain_bytes,
+            "enc_bytes": len(enc.payload) + len(json.dumps(enc.params)),
             "crc32": enc.crc32,
         }
     ]
@@ -221,7 +223,7 @@ def write_container_table(
         # other columns' payloads via row-group statistics on `column`
         pq.write_table(t, tmp, row_group_size=1, compression="none")
         os.rename(tmp, final)
-        enc_bytes = sum(len(r["payload"]) + len(r["params"]) for r in rows)
+        enc_bytes = sum(r["enc_bytes"] for r in rows)
         plain = sum(r["plain_bytes"] for r in rows)
         return pa.Table.from_pylist(
             [
@@ -350,3 +352,40 @@ def read_container_table(
     return rd.from_items([{"path": p} for p in files]).map_batches(
         decode_file, batch_format="pyarrow"
     )
+
+
+def inspect_container_table(dir_or_paths) -> pa.Table:
+    """Per-column rollup from container metadata rows — the `payload`
+    column is never projected, so this reads kilobytes regardless of
+    data size.  Driver-side loop over footers/metadata rows: intended
+    for the CLI at human file counts; for fleet-scale audits run the
+    same projection through ray.data.read_parquet."""
+    files = _container_files(dir_or_paths)
+    agg: dict[str, dict] = {}
+    for path in files:
+        t = pq.read_table(
+            path, columns=["column", "codec", "n_values", "plain_bytes", "enc_bytes"]
+        )
+        for r in t.to_pylist():
+            a = agg.setdefault(
+                r["column"],
+                {"files": 0, "n_values": 0, "plain_bytes": 0, "enc_bytes": 0, "codecs": set()},
+            )
+            a["files"] += 1
+            a["n_values"] += r["n_values"]
+            a["plain_bytes"] += r["plain_bytes"]
+            a["enc_bytes"] += r["enc_bytes"]
+            a["codecs"].add(r["codec"])
+    rows = [
+        {
+            "column": col,
+            "files": a["files"],
+            "n_values": a["n_values"],
+            "codecs": ",".join(sorted(a["codecs"])),
+            "enc_bytes": a["enc_bytes"],
+            "plain_bytes": a["plain_bytes"],
+            "ratio": round(a["enc_bytes"] / a["plain_bytes"], 4) if a["plain_bytes"] else 0.0,
+        }
+        for col, a in sorted(agg.items())
+    ]
+    return pa.Table.from_pylist(rows)

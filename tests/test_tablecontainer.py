@@ -206,3 +206,24 @@ def test_container_append_mode(ray_session, sf_dir, tmp_path):
     other = rd.read_parquet(f"{sf_dir}/region.parquet")
     with pytest.raises(ValueError, match="schema mismatch"):
         write_container_table(other, out, mode="append").materialize()
+
+
+def test_container_inspect_rollup(ray_session, sf_dir, tmp_path):
+    """table-inspect reads metadata rows only (payload never projected)
+    and its per-column enc/plain totals reconcile with the manifest."""
+    import ray.data as rd
+
+    from fileconvert_ray.sources.tablecontainer import inspect_container_table
+
+    out = os.path.join(str(tmp_path), "tc_ins")
+    man = write_container_table(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"), out, batch_rows=100_000
+    ).to_pandas()
+    t = inspect_container_table(out).to_pandas()
+    assert set(t.column) == set(
+        pq.read_schema(f"{sf_dir}/lineitem.parquet").names
+    )
+    assert int(t.enc_bytes.sum()) == int(man.encoded_bytes.sum())
+    assert int(t.plain_bytes.sum()) == int(man.plain_bytes.sum())
+    assert (t.n_values == int(man.n_rows.sum())).all()
+    assert (t.ratio < 1.0).all()
