@@ -227,3 +227,32 @@ def test_container_inspect_rollup(ray_session, sf_dir, tmp_path):
     assert int(t.plain_bytes.sum()) == int(man.plain_bytes.sum())
     assert (t.n_values == int(man.n_rows.sum())).all()
     assert (t.ratio < 1.0).all()
+
+
+def test_container_corruption_detected(ray_session, sf_dir, tmp_path):
+    """A flipped payload byte must surface as a CRC CodecError on
+    decode, never as silently wrong values (flagship verify parity)."""
+    import ray.data as rd
+
+    out = os.path.join(str(tmp_path), "tc_corrupt")
+    write_container_table(
+        rd.read_parquet(f"{sf_dir}/nation.parquet"), out, batch_rows=100_000
+    ).materialize()
+    path = next(
+        os.path.join(out, f) for f in os.listdir(out) if f.startswith("part-")
+    )
+    t = pq.read_table(path)
+    pays = t.column("payload").to_pylist()
+    idx = max(range(len(pays)), key=lambda i: len(pays[i]))
+    corrupted = bytearray(pays[idx])
+    corrupted[len(corrupted) // 2] ^= 0xFF
+    pays[idx] = bytes(corrupted)
+    t = t.set_column(
+        t.schema.get_field_index("payload"), "payload", pa.array(pays, pa.large_binary())
+    )
+    meta = pq.read_schema(path).metadata
+    pq.write_table(
+        t.replace_schema_metadata(meta), path, row_group_size=1, compression="none"
+    )
+    with pytest.raises(Exception, match="crc mismatch|CodecError|decod"):
+        read_container_table(out).materialize()
