@@ -152,6 +152,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="coalesce input blocks to ~N rows per container")
     te.add_argument("--append", action="store_true",
                     help="add rows to an existing container dir (schema-checked)")
+    te.add_argument("--sort-by", default=None,
+                    help="globally sort by this column first: disjoint zone maps, "
+                         "so later --where reads prune aggressively")
+
+    tm = sub.add_parser(
+        "table-compact",
+        help="rewrite fragmented containers at a target rows-per-container",
+    )
+    tm.add_argument("out_dir", help="a table-encode output directory")
+    tm.add_argument("--to", required=True, help="destination container directory")
+    tm.add_argument("--batch-rows", type=int, default=1_000_000)
 
     td = sub.add_parser("table-decode", help="decode table containers back to parquet")
     td.add_argument("out_dir", help="a table-encode output directory")
@@ -435,6 +446,8 @@ def main(argv: list[str] | None = None) -> int:
                 ds = read_feather_dataset(args.input)
             else:
                 ds = rd.read_parquet(args.input)
+            if args.sort_by:
+                ds = ds.sort(args.sort_by)
             man = write_container_table(
                 ds, args.out, batch_rows=args.batch_rows,
                 mode="append" if args.append else "error",
@@ -474,6 +487,26 @@ def main(argv: list[str] | None = None) -> int:
                 predicate=predicate,
             ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
+        elif args.cmd == "table-compact":
+            from fileconvert_ray.sources.tablecontainer import (
+                read_container_table,
+                write_container_table,
+            )
+
+            man = write_container_table(
+                read_container_table(args.out_dir), args.to, batch_rows=args.batch_rows
+            ).to_pandas()
+            print(
+                json.dumps(
+                    {
+                        "ok": True,
+                        "out": args.to,
+                        "files": len(man),
+                        "n_rows": int(man["n_rows"].sum()),
+                        "encoded_bytes": int(man["encoded_bytes"].sum()),
+                    }
+                )
+            )
         elif args.cmd == "table-inspect":
             from fileconvert_ray.sources.tablecontainer import inspect_container_table
 

@@ -273,6 +273,11 @@ def read_container_table(
         base = dir_or_paths
     else:
         base = os.path.dirname(_container_files(dir_or_paths)[0])
+    if not os.path.exists(os.path.join(base, SCHEMA_FILE)):
+        raise ValueError(
+            f"{base} is not a table-encode output: missing {SCHEMA_FILE} "
+            "(was this directory written by write_container_table?)"
+        )
     with open(os.path.join(base, SCHEMA_FILE)) as f:
         schema = pa.ipc.read_schema(
             pa.py_buffer(base64.b64decode(json.load(f)["schema_b64"]))

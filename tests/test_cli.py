@@ -428,3 +428,26 @@ def test_cli_table_encode_decode(tmp_path):
     dec2 = str(tmp_path / "dec2")
     r = run_cli("table-decode", enc, "--to", dec2, "--columns", "o_orderkey")
     assert pq.read_table(dec2).num_rows == 3000
+
+
+def test_cli_table_sort_compact_inspect(tmp_path):
+    """--sort-by yields aggressively prunable zone maps; table-compact
+    defragments 64 tiny containers into one; table-inspect reconciles."""
+    from fileconvert_ray.sources.tablecontainer import file_pruned
+
+    sf = "/root/testdata/sf0.001"
+    enc = str(tmp_path / "tc")
+    r = run_cli("table-encode", f"{sf}/orders.parquet", "--out", enc,
+                "--sort-by", "o_totalprice")
+    assert r["ok"] and r["files"] > 8
+    files = [os.path.join(enc, f) for f in os.listdir(enc) if f.startswith("part-")]
+    pruned = sum(file_pruned(f, "o_totalprice", 50_000.0, 80_000.0) for f in files)
+    assert pruned >= len(files) * 3 // 4, f"{pruned}/{len(files)}"
+
+    cmp_dir = str(tmp_path / "cmp")
+    r2 = run_cli("table-compact", enc, "--to", cmp_dir, "--batch-rows", "100000")
+    assert r2["ok"] and r2["files"] == 1 and r2["n_rows"] == r["n_rows"]
+    assert r2["encoded_bytes"] < r["encoded_bytes"]
+
+    ins = run_cli("table-inspect", cmp_dir)
+    assert sum(c["enc_bytes"] for c in ins["columns"]) == r2["encoded_bytes"]
