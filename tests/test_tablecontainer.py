@@ -256,3 +256,89 @@ def test_container_corruption_detected(ray_session, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="crc mismatch|CodecError|decod"):
         read_container_table(out).materialize()
+
+
+def _col_equal(a: pa.ChunkedArray | pa.Array, b, t: pa.DataType) -> bool:
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+    if pa.types.is_floating(t):
+        if not a.is_valid().equals(b.is_valid()):
+            return False
+        dt = {2: np.int16, 4: np.int32, 8: np.int64}[t.byte_width]
+        av = np.ascontiguousarray(a.fill_null(0.0).to_numpy(zero_copy_only=False))
+        bv = np.ascontiguousarray(b.fill_null(0.0).to_numpy(zero_copy_only=False))
+        return np.array_equal(av.view(dt), bv.view(dt))
+    if pa.types.is_list(t):
+        la = np.asarray(pa.compute.list_value_length(a))
+        lb = np.asarray(pa.compute.list_value_length(b))
+        return np.array_equal(la, lb) and _col_equal(a.flatten(), b.flatten(), t.value_type)
+    return a.to_pylist() == b.to_pylist()
+
+
+def test_container_random_tables_property(ray_session, tmp_path):
+    """Hypothesis-style sweep: random schemas x random values (nulls,
+    NaN, unicode, empty strings, timestamps, lists) round-trip through
+    the container bit-exactly in original row order (single block)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(20260819)
+
+    def make_col(n: int, kind: int):
+        null_mask = rng.random(n) < 0.15
+        if kind == 0:
+            v = rng.integers(-(2**40), 2**40, n)
+            return pa.array([None if m else int(x) for m, x in zip(null_mask, v)], pa.int64())
+        if kind == 1:
+            return pa.array(rng.integers(0, 1000, n), pa.int32())
+        if kind == 2:  # decimal-like doubles (ALP territory)
+            return pa.array(rng.integers(-(10**7), 10**7, n) / 100.0, pa.float64())
+        if kind == 3:  # continuous with NaN/inf (plane/alp_rd + exceptions)
+            v = rng.normal(size=n)
+            v[rng.random(n) < 0.05] = np.nan
+            v[rng.random(n) < 0.02] = np.inf
+            return pa.array(v, pa.float64())
+        if kind == 4:
+            return pa.array(rng.normal(size=n).astype(np.float32), pa.float32())
+        if kind == 5:
+            pool = ["", "héllo wörld", "日本語", "x" * 50, "a\x00b", "🎉"]
+            return pa.array(
+                [None if m else pool[i % len(pool)] for i, m in enumerate(null_mask)],
+                pa.string(),
+            )
+        if kind == 6:
+            return pa.array(
+                [None if m else bool(x) for m, x in zip(null_mask, rng.integers(0, 2, n))],
+                pa.bool_(),
+            )
+        if kind == 7:
+            base = np.datetime64("2020-01-01T00:00:00", "us")
+            return pa.array(base + rng.integers(0, 10**12, n).astype("timedelta64[us]"))
+        if kind == 8:  # list<int64>, jagged incl. empties
+            lens = rng.integers(0, 5, n)
+            flat = rng.integers(0, 100, int(lens.sum()))
+            off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            return pa.ListArray.from_arrays(pa.array(off), pa.array(flat, pa.int64()))
+        lens = rng.integers(0, 4, n)  # list<float32>
+        flat = rng.normal(size=int(lens.sum())).astype(np.float32)
+        off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(off), pa.array(flat, pa.float32()))
+
+    for trial in range(12):
+        n = int(rng.integers(1, 1500))
+        kinds = rng.choice(10, size=int(rng.integers(1, 5)), replace=False)
+        cols = {f"c{k}": make_col(n, int(k)) for k in kinds}
+        t = pa.table(cols)
+        out = os.path.join(str(tmp_path), f"tc_rand{trial}")
+        write_container_table(rd.from_arrow(t), out, batch_rows=10**6).materialize()
+        import ray
+
+        back = read_container_table(out)
+        bt = pa.concat_tables(
+            [x for x in ray.get(back.to_arrow_refs()) if x.num_rows]
+        ).select(t.column_names)
+        for name in t.column_names:
+            f = t.schema.field(name)
+            got = bt.column(name)
+            if got.type != f.type:
+                got = got.combine_chunks().cast(f.type) if isinstance(got, pa.ChunkedArray) else got.cast(f.type)
+            assert _col_equal(t.column(name), got, f.type), (trial, name, f.type)
