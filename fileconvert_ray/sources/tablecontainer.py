@@ -173,7 +173,10 @@ def write_container_table(
     after checking the persisted schema matches (the incremental-ingest
     contract the flagship encode uses)."""
     os.makedirs(out_dir, exist_ok=True)
-    schema = ds.schema().base_schema
+    ds_schema = ds.schema()
+    if ds_schema is None:
+        raise ValueError("cannot encode a schemaless (fully empty) Dataset")
+    schema = ds_schema.base_schema
     existing = [f for f in os.listdir(out_dir) if f.startswith("part-")]
     if existing:
         if mode != "append":

@@ -342,3 +342,12 @@ def test_container_random_tables_property(ray_session, tmp_path):
             if got.type != f.type:
                 got = got.combine_chunks().cast(f.type) if isinstance(got, pa.ChunkedArray) else got.cast(f.type)
             assert _col_equal(t.column(name), got, f.type), (trial, name, f.type)
+
+
+def test_container_schemaless_input_refused(ray_session, tmp_path):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="schemaless"):
+        write_container_table(
+            rd.from_items([]), os.path.join(str(tmp_path), "tc_none")
+        )
