@@ -79,3 +79,40 @@ def test_encode_verify_300M_tokens(ray_session, tmp_path):
     assert wall <= DECODE_WALL_BOUND, f"decode 300M tokens took {wall:.1f}s"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree("/dev/shm/slow_staged", ignore_errors=True)
+
+
+CONTAINER_WALL_BOUND = 2 * 5.0  # measured r5 @4cpus (contended window): 3.4 s write
+
+
+@pytest.mark.slow
+def test_table_container_sf01_roundtrip_wall(ray_session, tmp_path):
+    """Any-table container at driver scale: encode sf0.1 lineitem
+    (600k rows, all 11 columns incl. four ALP doubles), decode, and
+    reconcile an exact aggregate — pinned at 2x the measured wall."""
+    import ray.data as rd
+
+    from fileconvert_ray.sources.tablecontainer import (
+        read_container_table,
+        write_container_table,
+    )
+
+    out = str(tmp_path / "tc_sf01")
+    t0 = time.perf_counter()
+    man = write_container_table(
+        rd.read_parquet(f"{SF01}/lineitem.parquet"), out, batch_rows=200_000
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    assert wall <= CONTAINER_WALL_BOUND, f"container write took {wall:.1f}s"
+    assert int(man.encoded_bytes.sum()) < 0.25 * int(man.plain_bytes.sum())
+
+    got = int(read_container_table(out, columns=["l_orderkey"]).sum("l_orderkey"))
+    import pyarrow.parquet as pq
+
+    want = int(
+        pq.read_table(f"{SF01}/lineitem.parquet", columns=["l_orderkey"])
+        .column("l_orderkey")
+        .combine_chunks()
+        .sum()
+        .as_py()
+    )
+    assert got == want
