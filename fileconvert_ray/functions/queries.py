@@ -9724,3 +9724,39 @@ ORACLE_SQL["container_predicate_scan"] = """
     select o_orderkey, o_orderstatus from orders
     where o_totalprice between 50000.0 and 150000.0
 """
+
+
+def q_container_time_scan(sf_dir: str):
+    """Temporal zone-map pruning end to end: events container-encoded
+    SORTED by ts (disjoint [min,max] epoch ranges in every footer),
+    then a one-week predicate window decodes only the overlapping
+    containers — the container analogue of a time-partitioned table
+    scan.  Timestamps restore as exact timestamp[us] via the codec
+    atype spec, so the oracle hash covers the temporal dtype path."""
+    import datetime
+
+    import ray.data as rd
+
+    from ..sources.tablecontainer import read_container_table, write_container_table
+
+    out = _job_dir(sf_dir, "conttime")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).sort("ts").repartition(8)
+    write_container_table(ds, out).materialize()
+    return read_container_table(
+        out,
+        predicate=(
+            "ts",
+            datetime.datetime(2024, 1, 8),
+            datetime.datetime(2024, 1, 15),
+        ),
+    )
+
+
+QUERIES["container_time_scan"] = q_container_time_scan
+ORACLE_SQL["container_time_scan"] = """
+    select event_id, ts, user_id, value from events
+    where ts between timestamp '2024-01-08' and timestamp '2024-01-15'
+"""
