@@ -16,9 +16,22 @@ Container rows are written one ROW GROUP each (row_group_size=1) so a
 projected read (``columns=[...]``) prunes other columns' payloads at
 the parquet row-group level instead of hauling them off disk.
 
-Write is tmp+rename per file (crash-safe, idempotent re-runs); the
-Arrow schema is persisted to ``_schema.json`` so decode rebuilds the
-exact dtypes (timestamp units, list element types) with no inference.
+Write is tmp+rename per file (crash-safe — a partial job never leaves
+a half-written container); the Arrow schema is persisted to
+``_schema.json`` so decode rebuilds the exact dtypes (timestamp
+units, list element types) with no inference.
+
+Scale notes (100-TB posture): the write streams block-by-block with
+no driver materialization and no exchange — wall time scales with
+nodes like any map stage.  Containers are uuid-named, so this sink is
+NOT partition-resumable like the flagship tokseq encode (which keys
+resume off its persisted partition plan); the crash-recovery unit
+here is the append GENERATION — re-run the failed generation into a
+fresh dir, or partition a huge ingest into several ``mode="append"``
+writes so a failure repeats only one slice.  Size ``batch_rows`` so a
+container's encoded payload lands in the tens of MB: fragmentation
+multiplies per-chunk codec state and footer overheads, and
+``table-compact`` exists to repair it after the fact.
 """
 
 from __future__ import annotations
