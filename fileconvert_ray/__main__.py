@@ -169,9 +169,9 @@ def build_parser() -> argparse.ArgumentParser:
     td.add_argument("--to", required=True, help="directory for decoded parquet")
     td.add_argument("--columns", default=None,
                     help="comma-separated projection (other payloads never leave disk)")
-    td.add_argument("--where", default=None, metavar="COL:LO:HI",
+    td.add_argument("--where", action="append", default=None, metavar="COL:LO:HI",
                     help="zone-map-pruned range filter; either bound may be empty "
-                         "(numbers or ISO timestamps)")
+                         "(numbers or ISO timestamps); repeatable, ANDed")
 
     ti = sub.add_parser(
         "table-inspect", help="per-column codec/size rollup of a table-encode dir"
@@ -479,8 +479,10 @@ def main(argv: list[str] | None = None) -> int:
 
                         return _dt.datetime.fromisoformat(s)
 
-                wcol, wlo, whi = args.where.split(":", 2)
-                predicate = (wcol, _bound(wlo), _bound(whi))
+                predicate = []
+                for w in args.where:
+                    wcol, wlo, whi = w.split(":", 2)
+                    predicate.append((wcol, _bound(wlo), _bound(whi)))
             read_container_table(
                 args.out_dir,
                 columns=args.columns.split(",") if args.columns else None,

@@ -42,7 +42,7 @@ _EXPS = tuple(range(0, 19))
 _SAMPLE_N = 4096
 
 
-def _float_view(data: np.ndarray) -> tuple[np.ndarray, int]:
+def _float_view(data: np.ndarray, allow_f16: bool = False) -> tuple[np.ndarray, int]:
     if data.ndim != 2:
         raise CodecError("alp: expected (n, w) byte layout")
     w = data.shape[1]
@@ -50,6 +50,10 @@ def _float_view(data: np.ndarray) -> tuple[np.ndarray, int]:
         return data.reshape(-1).view("<f8"), w
     if w == 4:
         return data.reshape(-1).view("<f4"), w
+    if w == 2 and allow_f16:
+        # null-free float16 reaches the fixed path directly (nullable
+        # f16 rides the int16 view, codecs/__init__.py)
+        return data.reshape(-1).view("<f2"), w
     raise CodecError(f"alp: unsupported value width {w}")
 
 
@@ -126,12 +130,12 @@ class AlpRd:
 
     def encode(self, values: np.ndarray):
         data = np.ascontiguousarray(values)
-        v, w = _float_view(data)
+        v, w = _float_view(data, allow_f16=True)
         width = w * 8
         n = len(v)
         if n == 0:
             return {"w": w, "L": 1, "c": 1, "d": "", "k": 0, "rl": 0, "cl": 0}, b""
-        u = v.view(np.uint32 if w == 4 else np.uint64).astype(np.uint64)
+        u = v.view({2: np.uint16, 4: np.uint32, 8: np.uint64}[w]).astype(np.uint64)
         L, c, keys = self._plan(u, width)
         shift = np.uint64(width - L)
         left = u >> shift
@@ -178,10 +182,11 @@ class AlpRd:
             )
             left[pos.astype(np.int64)] = exc_left.astype(np.uint64)
         u = (left << np.uint64(width - L)) | right
-        if w == 4:
-            out = np.ascontiguousarray(u.astype(np.uint32)).view(np.uint8).reshape(n, 4)
-        else:
+        if w == 8:
             out = np.ascontiguousarray(u).view(np.uint8).reshape(n, 8)
+        else:
+            dt = {2: np.uint16, 4: np.uint32}[w]
+            out = np.ascontiguousarray(u.astype(dt)).view(np.uint8).reshape(n, w)
         return out
 
 

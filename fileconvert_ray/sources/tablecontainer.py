@@ -271,18 +271,19 @@ def _container_files(dir_or_paths) -> list[str]:
 def read_container_table(
     dir_or_paths,
     columns: list[str] | None = None,
-    predicate: tuple[str, object, object] | None = None,
+    predicate: tuple[str, object, object] | list[tuple] | None = None,
 ):
     """Containers -> Dataset: one decode task per container file.
 
     ``columns=[...]`` decodes only those columns; other payloads are
     row-group-pruned at the parquet layer (never leave the disk).
 
-    ``predicate=(col, lo, hi)`` (either bound may be None) keeps rows
-    with lo <= col <= hi: each task first reads the container's footer
-    zone map and skips files whose [min, max] misses the range — no
-    payload bytes move for pruned files — then trims the survivors
-    row-level after decode, so results are exact, not file-granular."""
+    ``predicate=(col, lo, hi)`` — or a LIST of such tuples, combined
+    with AND — keeps rows with lo <= col <= hi (either bound may be
+    None): each task first reads the container's footer zone map and
+    skips files where any range misses — no payload bytes move for
+    pruned files — then trims the survivors row-level after decode, so
+    results are exact, not file-granular."""
     import ray.data as rd
 
     if isinstance(dir_or_paths, str) and os.path.isdir(dir_or_paths):
@@ -304,21 +305,27 @@ def read_container_table(
         if missing:
             raise ValueError(f"unknown container columns: {sorted(missing)}")
         fields = [f for f in fields if f.name in set(columns)]
-    pred = None
-    drop_pred_col = False
+    preds: list[tuple[str, object, object]] = []
+    drop_cols: list[str] = []
     if predicate is not None:
-        pcol, lo, hi = predicate
-        pfield = schema.field(pcol)  # raises KeyError for unknown columns
-        if pcol not in {f.name for f in fields}:
-            # decode the key just for trimming, drop it from the result
-            # (the read_range extra-column pattern, functions/export.py)
-            fields.append(pfield)
-            drop_pred_col = True
-        pred = (
-            pcol,
-            None if lo is None else _predicate_value(pfield.type, lo),
-            None if hi is None else _predicate_value(pfield.type, hi),
-        )
+        plist = [predicate] if isinstance(predicate, tuple) else list(predicate)
+        present = {f.name for f in fields}
+        for pcol, lo, hi in plist:
+            pfield = schema.field(pcol)  # raises KeyError for unknown columns
+            if pcol not in present:
+                # decode the key just for trimming, drop it from the
+                # result (the read_range extra-column pattern,
+                # functions/export.py)
+                fields.append(pfield)
+                present.add(pcol)
+                drop_cols.append(pcol)
+            preds.append(
+                (
+                    pcol,
+                    None if lo is None else _predicate_value(pfield.type, lo),
+                    None if hi is None else _predicate_value(pfield.type, hi),
+                )
+            )
 
     wanted: set[str] = set()
     for f in fields:
@@ -327,31 +334,35 @@ def read_container_table(
         else:
             wanted.add(f.name)
 
-    out_schema = pa.schema([f for f in fields if not (drop_pred_col and f.name == pred[0])])
+    out_schema = pa.schema([f for f in fields if f.name not in drop_cols])
     files = _container_files(dir_or_paths)
     if not files:
         return rd.from_arrow(out_schema.empty_table())
 
     def _pruned(path: str) -> bool:
-        if pred is None:
-            return False
-        return file_pruned(path, *pred)
+        # conjunction: any single failing range disqualifies the file
+        return any(file_pruned(path, *p) for p in preds)
 
     def _trim(t: pa.Table) -> pa.Table:
-        if pred is None:
+        if not preds:
             return t
         import pyarrow.compute as pc
 
-        col = t.column(pred[0])
-        if pa.types.is_temporal(col.type):
-            col = col.cast(pa.int64()) if isinstance(col, pa.Array) else col.combine_chunks().cast(pa.int64())
         mask = pa.array(np.ones(t.num_rows, dtype=bool))
-        if pred[1] is not None:
-            mask = pc.and_(mask, pc.greater_equal(col, pred[1]))
-        if pred[2] is not None:
-            mask = pc.and_(mask, pc.less_equal(col, pred[2]))
+        for pcol, lo, hi in preds:
+            col = t.column(pcol)
+            if pa.types.is_temporal(col.type):
+                col = (
+                    col.cast(pa.int64())
+                    if isinstance(col, pa.Array)
+                    else col.combine_chunks().cast(pa.int64())
+                )
+            if lo is not None:
+                mask = pc.and_(mask, pc.greater_equal(col, lo))
+            if hi is not None:
+                mask = pc.and_(mask, pc.less_equal(col, hi))
         t = t.filter(mask)
-        return t.drop_columns([pred[0]]) if drop_pred_col else t
+        return t.drop_columns(drop_cols) if drop_cols else t
 
     def decode_file(batch: pa.Table) -> pa.Table:
         tabs = []

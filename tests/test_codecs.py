@@ -476,3 +476,20 @@ def test_alp_rd_empty():
 
     params, payload = AlpRd().encode(np.empty((0, 4), dtype=np.uint8))
     assert AlpRd().decode(params, payload, 0).shape == (0, 4)
+
+
+def test_alp_rd_float16_roundtrip():
+    """Null-free float16 reaches the fixed path (w=2): ALP-RD must
+    round-trip bit-exactly including NaN/inf; nullable f16 still rides
+    the int16 view elsewhere."""
+    rng = np.random.default_rng(9)
+    vals = (rng.normal(size=50_000) * 0.1).astype(np.float16)
+    vals[::101] = np.float16(np.nan)
+    vals[1::113] = np.float16(np.inf)
+    arr = pa.array(vals, type=pa.float16())
+    enc = encode_array(arr, "x", codec="alp_rd", zstd=True)
+    got = np.ascontiguousarray(decode_array(enc).to_numpy(zero_copy_only=False))
+    assert np.array_equal(got.view(np.int16), vals.view(np.int16))
+    auto = encode_array(arr, "x", codec="auto", zstd=True)
+    got2 = np.ascontiguousarray(decode_array(auto).to_numpy(zero_copy_only=False))
+    assert np.array_equal(got2.view(np.int16), vals.view(np.int16))

@@ -351,3 +351,27 @@ def test_container_schemaless_input_refused(ray_session, tmp_path):
         write_container_table(
             rd.from_items([]), os.path.join(str(tmp_path), "tc_none")
         )
+
+
+def test_container_multi_predicate_and(ray_session, sf_dir, tmp_path):
+    """A list of predicates combines with AND across value and time
+    dimensions; pruning applies if ANY range misses a file."""
+    import datetime
+
+    import ray.data as rd
+
+    out = os.path.join(str(tmp_path), "tc_multi")
+    write_container_table(rd.read_parquet(f"{sf_dir}/orders.parquet"), out).materialize()
+    lo, hi = 50_000.0, 200_000.0
+    cut = datetime.datetime(1996, 6, 1)
+    got = read_container_table(
+        out,
+        columns=["o_orderkey"],
+        predicate=[("o_totalprice", lo, hi), ("o_orderdate", cut, None)],
+    ).to_pandas()
+    orig = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    want = orig[
+        (orig.o_totalprice >= lo) & (orig.o_totalprice <= hi) & (orig.o_orderdate >= cut)
+    ]
+    assert list(got.columns) == ["o_orderkey"]
+    assert sorted(got.o_orderkey) == sorted(want.o_orderkey)
