@@ -312,6 +312,8 @@ def read_container_table(
         present = {f.name for f in fields}
         for pcol, lo, hi in plist:
             pfield = schema.field(pcol)  # raises KeyError for unknown columns
+            if pa.types.is_list(pfield.type) or pa.types.is_large_list(pfield.type):
+                raise ValueError(f"predicate column {pcol} is a list; ranges need scalars")
             if pcol not in present:
                 # decode the key just for trimming, drop it from the
                 # result (the read_range extra-column pattern,

@@ -318,14 +318,20 @@ def test_container_random_tables_property(ray_session, tmp_path):
             flat = rng.integers(0, 100, int(lens.sum()))
             off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
             return pa.ListArray.from_arrays(pa.array(off), pa.array(flat, pa.int64()))
-        lens = rng.integers(0, 4, n)  # list<float32>
-        flat = rng.normal(size=int(lens.sum())).astype(np.float32)
+        if kind == 9:  # list<float32>
+            lens = rng.integers(0, 4, n)
+            flat = rng.normal(size=int(lens.sum())).astype(np.float32)
+            off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            return pa.ListArray.from_arrays(pa.array(off), pa.array(flat, pa.float32()))
+        lens = rng.integers(0, 3, n)  # list<string>
+        pool = ["", "tok", "日本語", "\x00byte"]
+        flat = pa.array([pool[i % len(pool)] for i in range(int(lens.sum()))], pa.string())
         off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-        return pa.ListArray.from_arrays(pa.array(off), pa.array(flat, pa.float32()))
+        return pa.ListArray.from_arrays(pa.array(off), flat)
 
     for trial in range(12):
         n = int(rng.integers(1, 1500))
-        kinds = rng.choice(10, size=int(rng.integers(1, 5)), replace=False)
+        kinds = rng.choice(11, size=int(rng.integers(1, 5)), replace=False)
         cols = {f"c{k}": make_col(n, int(k)) for k in kinds}
         t = pa.table(cols)
         out = os.path.join(str(tmp_path), f"tc_rand{trial}")
