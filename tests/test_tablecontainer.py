@@ -381,3 +381,21 @@ def test_container_multi_predicate_and(ray_session, sf_dir, tmp_path):
     ]
     assert list(got.columns) == ["o_orderkey"]
     assert sorted(got.o_orderkey) == sorted(want.o_orderkey)
+
+
+def test_container_predicate_col_in_projection_kept(ray_session, sf_dir, tmp_path):
+    """When the predicate key IS projected it must stay in the result
+    (the drop applies only to trim-helper columns)."""
+    import ray.data as rd
+
+    out = os.path.join(str(tmp_path), "tc_keep")
+    write_container_table(rd.read_parquet(f"{sf_dir}/orders.parquet"), out).materialize()
+    got = read_container_table(
+        out,
+        columns=["o_orderkey", "o_totalprice"],
+        predicate=("o_totalprice", 100_000.0, None),
+    ).to_pandas()
+    assert sorted(got.columns) == ["o_orderkey", "o_totalprice"]
+    assert (got.o_totalprice >= 100_000.0).all()
+    orig = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    assert len(got) == int((orig.o_totalprice >= 100_000.0).sum())
