@@ -132,6 +132,24 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("out_dir", help="the encode out dir")
     m.add_argument("--target-tokens", type=int, default=4_000_000)
 
+    dl = sub.add_parser(
+        "delete",
+        help="tombstone doc_ids (logical delete; readers filter immediately)",
+    )
+    dl.add_argument("out_dir", help="the encode out dir")
+    dl.add_argument("--ids", default=None, help="comma-separated doc_ids")
+    dl.add_argument("--ids-file", default=None,
+                    help="file with one doc_id per line (takedown list)")
+    dl.add_argument("--sources", default=None,
+                    help="comma-separated source filter (narrows the candidate set)")
+
+    pg = sub.add_parser(
+        "purge",
+        help="physically remove tombstoned rows (offline maintenance; "
+        "rewrites each affected partition in place)",
+    )
+    pg.add_argument("out_dir", help="the encode out dir")
+
     d = sub.add_parser("decode", help="decode containers back to tokseq parquet")
     d.add_argument("out_dir", help="the encode out dir")
     d.add_argument("--to", required=True, help="directory for decoded parquet")
@@ -417,6 +435,33 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "ok": True, "rewritten": int(len(m)),
                 "n_rows": int(m["n_rows"].sum()) if len(m) else 0,
+            }))
+        elif args.cmd == "delete":
+            from fileconvert_ray.pipelines.delete_job import run_delete
+
+            ids: list[str] = []
+            if args.ids:
+                ids.extend(args.ids.split(","))
+            if args.ids_file:
+                with open(args.ids_file) as f:
+                    ids.extend(ln.strip() for ln in f if ln.strip())
+            if not ids:
+                print(json.dumps({"ok": False, "error": "no ids given (--ids / --ids-file)"}))
+                return 2
+            res = run_delete(
+                args.out_dir, ids,
+                sources=args.sources.split(",") if args.sources else None,
+            )
+            print(json.dumps({"ok": True, **res}))
+        elif args.cmd == "purge":
+            from fileconvert_ray.pipelines.delete_job import run_purge
+
+            s = run_purge(args.out_dir).to_pandas()
+            print(json.dumps({
+                "ok": True,
+                "partitions": int(len(s)),
+                "rewritten": int((s["action"] == "rewritten").sum()) if len(s) else 0,
+                "dropped": int((s["action"] == "dropped").sum()) if len(s) else 0,
             }))
         elif args.cmd == "decode":
             from fileconvert_ray.stages.decoder import decode_dataset

@@ -3184,6 +3184,61 @@ def q_decode_filtered(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _delete_scan_ds(sf_dir: str, tag: str, purge: bool):
+    """Shared body of delete_scan / delete_purge_scan: encode the
+    corpus, tombstone every doc whose id ends in 7 (a deterministic
+    takedown list — real usage passes an explicit id list; run_delete
+    routes it via the bucket plan, NO corpus scan), optionally purge
+    (physical in-place rewrite, tombstones must be fully consumed),
+    then stream-decode the survivors projected to (doc_id, n_tok,
+    source).  Oracle: the same predicate over the ORIGINAL documents —
+    a reader that misses a tombstone, or a purge that drops a survivor
+    or resurrects a victim, breaks row count or values."""
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.delete_job import run_delete, run_purge
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..stages.decoder import decode_dataset
+    from ..state.manifest import tombstoned_partitions
+
+    out = _job_dir(sf_dir, tag)
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir), EncodeConfig(out_dir=out, target_partition_tokens=200_000)
+    ).materialize()
+    ids = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    )
+    victims = [str(d) for d in ids.to_pylist() if str(d).endswith("7")]
+    res = run_delete(out, victims)
+    assert res["found"] == len(victims), res
+    if purge:
+        run_purge(out).materialize()
+        assert tombstoned_partitions(out) == []
+    ds = decode_dataset(out, columns=["doc_id", "n_tok", "source"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_delete_scan(sf_dir: str):
+    """Logical delete (tombstones, merge-on-read): see _delete_scan_ds."""
+    return _delete_scan_ds(sf_dir, "delscan", purge=False)
+
+
+def q_delete_purge_scan(sf_dir: str):
+    """Physical purge after the logical delete: see _delete_scan_ds."""
+    return _delete_scan_ds(sf_dir, "delpurge", purge=True)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -7730,6 +7785,8 @@ QUERIES = {
     "orc_scan": q_orc_scan,
     "decode_stats": q_decode_stats,
     "decode_filtered": q_decode_filtered,
+    "delete_scan": q_delete_scan,
+    "delete_purge_scan": q_delete_purge_scan,
 }
 
 _VOCAB_CTE = """
@@ -8512,6 +8569,20 @@ ORACLE_SQL = {
     from documents
     where source in ('src0', 'src3', 'src7')
       and len(string_split(text, ' ')) between 25 and 80
+    """,
+    "delete_scan": """
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           source
+    from documents
+    where cast(doc_id as varchar) not like '%7'
+    """,
+    "delete_purge_scan": """
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           source
+    from documents
+    where cast(doc_id as varchar) not like '%7'
     """,
     "decode_stats": """
         select source,

@@ -41,10 +41,20 @@ def _intent_dir(out_dir: str) -> str:
 def plan_compaction(out_dir: str, target_tokens: int) -> list[dict]:
     """Greedy first-fit in part_id order, per source: pack partitions
     smaller than the target into groups summing to ~target.  Groups of
-    one are dropped (nothing to rewrite).  O(partitions) driver work."""
+    one are dropped (nothing to rewrite).  O(partitions) driver work.
+
+    Partitions carrying tombstones (pipelines.delete_job logical
+    deletes) are EXCLUDED: compaction rewrites physical rows under a
+    new label the tombstone file no longer matches, which would
+    resurrect deleted docs — run_purge first, then compact."""
+    from ..state.manifest import tombstoned_partitions
+
     entries = read_manifest_entries(out_dir)
+    tombstoned = set(tombstoned_partitions(out_dir))
     by_source: dict[str, list[tuple[str, int]]] = {}
     for pid, rec in sorted(entries.items()):
+        if pid in tombstoned:
+            continue
         if rec.get("n_tokens", 0) < target_tokens:
             by_source.setdefault(rec["source"], []).append((pid, int(rec["n_tokens"])))
     groups = []

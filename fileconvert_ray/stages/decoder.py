@@ -11,6 +11,7 @@ Row order across chunks is not defined — verify aligns on doc_id.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -290,13 +291,44 @@ def decode_dataset(
         # chunk is yielded as its own output batch, so the task's peak
         # memory is one chunk, not the whole partition (streamed row
         # groups via iter_partition_chunks)
+        from ..state.manifest import read_tombstones
+
         rng = (
             (min_n_tok, max_n_tok)
             if (min_n_tok is not None or max_n_tok is not None)
             else None
         )
         for p in batch.column("path").to_pylist():
-            for t in iter_partition_chunks(p, decode_cols, n_tok_range=rng):
+            # logical deletes: a partition's tombstone set (usually
+            # absent — one existence check per container) filters its
+            # rows out of every read.  When the projection excludes
+            # doc_id we decode it anyway FOR THIS PARTITION ONLY and
+            # drop it after the filter (the predicate extra-column
+            # pattern); untombstoned partitions pay nothing.
+            pid = os.path.basename(p)[: -len(".parquet")]
+            tomb = read_tombstones(out_dir, pid)
+            cols_p = decode_cols
+            drop_docid = False
+            tomb_arr = None
+            if tomb:
+                tomb_arr = pa.array(sorted(tomb), type=pa.string())
+                if cols_p is not None and "doc_id" not in cols_p:
+                    cols_p = list(cols_p) + ["doc_id"]
+                    drop_docid = True
+            for t in iter_partition_chunks(p, cols_p, n_tok_range=rng):
+                if tomb_arr is not None:
+                    keep = pc.invert(
+                        pc.is_in(
+                            pc.cast(t.column("doc_id"), pa.string()),
+                            value_set=tomb_arr,
+                        )
+                    )
+                    if not pc.all(keep).as_py():
+                        t = t.filter(keep)
+                    if drop_docid:
+                        t = t.drop_columns(["doc_id"])
+                    if t.num_rows == 0:
+                        continue
                 if filtered:
                     mask = np.ones(t.num_rows, dtype=bool)
                     if min_n_tok is not None or max_n_tok is not None:
@@ -348,22 +380,66 @@ def lookup_docs(out_dir: str, doc_ids, sources: list[str] | None = None) -> pa.T
     missing) fall back to candidacy for their whole source —
     correctness never depends on the label arithmetic.
 
+    Tombstoned ids (logical deletes — state.manifest tombstones) are
+    excluded per candidate partition, same as decode_dataset.
+
     This is the POINT-access path (driver-sequential over a handful of
     candidate containers).  A bulk id list that touches most partitions
     should instead stream ``decode_dataset(out_dir)`` through a
     vectorized ``is_in`` / key-only semi-join filter."""
-    from ..state.manifest import JobDirs, read_manifest_entries, read_plan_generations
-    from ..stages.partition import gen_tag, sanitized_names
-    from ..util.hashing import hash_strings_u64
+    from ..state.manifest import JobDirs, read_tombstones
 
     want = sorted({str(d) for d in doc_ids})
     if not want:
         return pa.Table.from_pydict({k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA)
     want_arr = pa.array(want, type=pa.string())
-    hv = hash_strings_u64(want_arr)
+    dirs = JobDirs(out_dir)
+    cand = candidate_partitions(out_dir, want, sources=sources)
+
+    out: list[pa.Table] = []
+    for pid in sorted(cand):
+        path = dirs.container_path(pid)
+        hits = {
+            ci
+            for ci, t in enumerate(iter_partition_chunks(path, columns=["doc_id"]))
+            if pc.any(pc.is_in(t.column("doc_id"), value_set=want_arr)).as_py()
+        }
+        if not hits:
+            continue
+        tomb = read_tombstones(out_dir, pid)
+        tomb_arr = pa.array(sorted(tomb), type=pa.string()) if tomb else None
+        for t in iter_partition_chunks(path, only_chunks=hits):
+            ids = pc.cast(t.column("doc_id"), pa.string())
+            m = pc.is_in(ids, value_set=want_arr)
+            if tomb_arr is not None:
+                m = pc.and_(m, pc.invert(pc.is_in(ids, value_set=tomb_arr)))
+            out.append(t.filter(m))
+    if not out:
+        return pa.Table.from_pydict({k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA)
+    return pa.concat_tables(out).combine_chunks()
+
+
+def candidate_partitions(
+    out_dir: str, doc_ids, sources: list[str] | None = None
+) -> set[str]:
+    """Completed part_ids that could hold any of ``doc_ids`` — the
+    plan-derived routing set lookup_docs documents: per generation,
+    per source, bucket = hash(doc_id) % k from the PERSISTED plan.json
+    (never the materialized-partition count), plus a whole-source
+    fallback for every manifest label no generation's plan explains
+    (compaction output, foreign labels, missing plan.json).  Shared by
+    lookup_docs (point reads) and delete_job.run_delete (tombstone
+    targeting); O(manifest) driver work, no container opens."""
+    from ..state.manifest import read_manifest_entries, read_plan_generations
+    from ..stages.partition import gen_tag, sanitized_names
+    from ..util.hashing import hash_strings_u64
+
+    want = sorted({str(d) for d in doc_ids})
+    if not want:
+        return set()
+    hv = hash_strings_u64(pa.array(want, type=pa.string()))
 
     entries = read_manifest_entries(out_dir)
-    dirs = JobDirs(out_dir)
     try:
         gens = read_plan_generations(out_dir)  # [(gen, {source: k})]
     except FileNotFoundError:
@@ -407,20 +483,4 @@ def lookup_docs(out_dir: str, doc_ids, sources: list[str] | None = None) -> pa.T
             continue
         if pid not in planned:
             cand.add(pid)
-
-    out: list[pa.Table] = []
-    for pid in sorted(cand):
-        path = dirs.container_path(pid)
-        hits = {
-            ci
-            for ci, t in enumerate(iter_partition_chunks(path, columns=["doc_id"]))
-            if pc.any(pc.is_in(t.column("doc_id"), value_set=want_arr)).as_py()
-        }
-        if not hits:
-            continue
-        for t in iter_partition_chunks(path, only_chunks=hits):
-            m = pc.is_in(t.column("doc_id"), value_set=want_arr)
-            out.append(t.filter(m))
-    if not out:
-        return pa.Table.from_pydict({k: [] for k in INPUT_SCHEMA.names}, schema=INPUT_SCHEMA)
-    return pa.concat_tables(out).combine_chunks()
+    return cand

@@ -109,3 +109,61 @@ def read_manifest_entries(out_dir: str) -> dict[str, dict]:
             with open(os.path.join(mdir, f), "rb") as fh:
                 out[f[:-5]] = json.loads(fh.read())
     return out
+
+
+# ------------------------------------------------------ tombstones
+#
+# Logical deletes (takedown / right-to-erasure over an encoded
+# corpus): out_dir/deletes/{part_id}.json holds the sorted doc_ids
+# deleted FROM THAT PARTITION.  Tombstones are per-partition, not a
+# global list, so a reader's filter cost is O(deleted-in-partition)
+# and a 100-TB corpus with a million-id takedown never ships one big
+# set to every decode task — each container loads only its own file
+# (usually absent: one os.path.exists per container).  Writes are
+# atomic and MERGE with the existing file, so repeated deletes
+# accumulate.  Physical removal is pipelines.delete_job.run_purge.
+
+
+def tombstone_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "deletes")
+
+
+def tombstone_path(out_dir: str, part_id: str) -> str:
+    return os.path.join(tombstone_dir(out_dir), f"{part_id}.json")
+
+
+def read_tombstones(out_dir: str, part_id: str) -> frozenset[str] | None:
+    """Deleted doc_ids for one partition, or None when the partition
+    has no tombstone file (the overwhelmingly common case)."""
+    try:
+        with open(tombstone_path(out_dir, part_id), "rb") as f:
+            return frozenset(json.loads(f.read())["doc_ids"])
+    except FileNotFoundError:
+        return None
+
+
+def write_tombstones(out_dir: str, part_id: str, doc_ids) -> int:
+    """Merge doc_ids into the partition's tombstone file (atomic).
+    Returns the merged count."""
+    merged = set(read_tombstones(out_dir, part_id) or ()) | {str(d) for d in doc_ids}
+    os.makedirs(tombstone_dir(out_dir), exist_ok=True)
+    _atomic_write_bytes(
+        tombstone_path(out_dir, part_id),
+        json.dumps({"doc_ids": sorted(merged)}, sort_keys=True).encode(),
+    )
+    return len(merged)
+
+
+def clear_tombstones(out_dir: str, part_id: str) -> None:
+    try:
+        os.unlink(tombstone_path(out_dir, part_id))
+    except FileNotFoundError:
+        pass
+
+
+def tombstoned_partitions(out_dir: str) -> list[str]:
+    """part_ids that currently carry a tombstone file, sorted."""
+    d = tombstone_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))

@@ -1,0 +1,211 @@
+"""Tombstone deletes + physical purge (pipelines/delete_job.py).
+
+Covers the full merge-on-read lifecycle: logical delete filters every
+reader immediately; purge physically rewrites in place under the same
+part_id; all-deleted partitions drop entirely; re-runs converge
+(tombstone = intent record); compaction refuses tombstoned partitions.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from fileconvert_ray.pipelines.delete_job import purge_partition, run_delete, run_purge
+from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
+from fileconvert_ray.sources.tokseq import tokseq_dataset, tokseq_table
+from fileconvert_ray.stages.decoder import decode_dataset, lookup_docs
+from fileconvert_ray.state.manifest import (
+    JobDirs,
+    read_manifest_entries,
+    read_tombstones,
+    tombstoned_partitions,
+    write_tombstones,
+)
+
+
+@pytest.fixture
+def encoded(ray_session, sf_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000, encode_concurrency=(1, 4)),
+    ).materialize()
+    return out
+
+
+def _decoded_ids(out_dir, **kw) -> set:
+    t = decode_dataset(out_dir, **kw).to_pandas()
+    return set(t["doc_id"].astype(str))
+
+
+def test_delete_filters_all_readers(encoded, sf_dir):
+    full = tokseq_table(sf_dir)
+    all_ids = [str(d) for d in full.column("doc_id").to_pylist()]
+    victims = sorted(all_ids)[::7]  # every 7th id, deterministic
+    res = run_delete(encoded, victims)
+    assert res["requested"] == len(set(victims))
+    assert res["found"] == len(set(victims))  # all exist in the corpus
+    assert res["partitions"] >= 1
+
+    # decode_dataset excludes them
+    left = _decoded_ids(encoded)
+    assert left == set(all_ids) - set(victims)
+
+    # projected decode (no doc_id in the projection) excludes them too
+    n = decode_dataset(encoded, columns=["n_tok"]).count()
+    assert n == len(all_ids) - len(set(victims))
+    # and the projection still excludes doc_id from the output schema
+    t = decode_dataset(encoded, columns=["n_tok"]).take_batch(5, batch_format="pyarrow")
+    assert t.column_names == ["n_tok"]
+
+    # lookup_docs: a tombstoned id returns nothing, a survivor returns
+    survivor = sorted(set(all_ids) - set(victims))[0]
+    assert lookup_docs(encoded, [victims[0]]).num_rows == 0
+    got = lookup_docs(encoded, [survivor])
+    assert got.num_rows == 1
+    assert got.column("doc_id")[0].as_py() == survivor
+
+
+def test_delete_missing_ids_found_zero(encoded):
+    res = run_delete(encoded, ["no-such-doc-1", "no-such-doc-2"])
+    assert res["requested"] == 2
+    assert res["found"] == 0
+    assert tombstoned_partitions(encoded) == []
+
+
+def test_purge_physically_removes_and_converges(encoded, sf_dir):
+    full = tokseq_table(sf_dir)
+    all_ids = [str(d) for d in full.column("doc_id").to_pylist()]
+    victims = sorted(all_ids)[:40]
+    run_delete(encoded, victims)
+    before = read_manifest_entries(encoded)
+
+    summary = run_purge(encoded).to_pandas()
+    assert set(summary["action"]) <= {"rewritten", "dropped", "noop", "orphan_cleared"}
+    assert tombstoned_partitions(encoded) == []
+
+    # decoded view identical to the logical view pre-purge
+    assert _decoded_ids(encoded) == set(all_ids) - set(victims)
+
+    # rows physically gone: manifest row counts shrank by the victims
+    after = read_manifest_entries(encoded)
+    assert sum(e["n_rows"] for e in after.values()) == len(all_ids) - len(victims)
+    # rewritten partitions kept their part_id (routing preserved)
+    assert set(after) <= set(before)
+
+    # values survive bit-identically: every surviving row equals input
+    dec = decode_dataset(encoded).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    inp = full.to_pandas()
+    inp = inp[~inp["doc_id"].astype(str).isin(victims)].sort_values("doc_id").reset_index(drop=True)
+    assert (dec["doc_id"].astype(str) == inp["doc_id"].astype(str)).all()
+    assert all(np.array_equal(a, b) for a, b in zip(dec["tokens"], inp["tokens"]))
+
+    # purge re-run is a no-op
+    assert run_purge(encoded).count() == 0
+
+    # lookup after purge: victims gone, survivors found (label
+    # arithmetic still holds because part_ids were preserved)
+    survivor = sorted(set(all_ids) - set(victims))[-1]
+    assert lookup_docs(encoded, [victims[0]]).num_rows == 0
+    assert lookup_docs(encoded, [survivor]).num_rows == 1
+
+
+def test_purge_drops_fully_deleted_partition(encoded):
+    entries = read_manifest_entries(encoded)
+    pid = sorted(entries)[0]
+    dirs = JobDirs(encoded)
+    # tombstone EVERY row of one partition, straight from its container
+    from fileconvert_ray.stages.decoder import read_partition
+
+    ids = read_partition(dirs.container_path(pid)).column("doc_id").to_pylist()
+    res = run_delete(encoded, ids)
+    assert res["found"] == len(set(ids))
+
+    summary = run_purge(encoded).to_pandas()
+    row = summary[summary["part_id"] == pid]
+    assert list(row["action"]) == ["dropped"]
+    assert pid not in read_manifest_entries(encoded)
+    assert not os.path.exists(dirs.container_path(pid))
+    # the other partitions are untouched and still decode
+    assert decode_dataset(encoded).count() > 0
+
+
+def test_purge_partition_orphan_and_noop(encoded):
+    dirs = JobDirs(encoded)
+    # noop: no tombstone
+    pid = sorted(read_manifest_entries(encoded))[0]
+    assert purge_partition(encoded, pid)["action"] == "noop"
+    # orphan: tombstone without a manifest entry
+    write_tombstones(encoded, "ghost-part", ["x"])
+    out = purge_partition(encoded, "ghost-part")
+    assert out["action"] == "orphan_cleared"
+    assert read_tombstones(encoded, "ghost-part") is None
+
+
+def test_tombstones_merge_across_deletes(encoded, sf_dir):
+    all_ids = sorted(
+        str(d) for d in tokseq_table(sf_dir).column("doc_id").to_pylist()
+    )
+    run_delete(encoded, all_ids[:3])
+    run_delete(encoded, all_ids[3:6])
+    left = _decoded_ids(encoded)
+    assert left == set(all_ids[6:])
+
+
+def test_compaction_refuses_tombstoned_partitions(ray_session, sf_dir, tmp_path):
+    from fileconvert_ray.pipelines.compact_job import plan_compaction
+
+    out = str(tmp_path / "enc-multi")
+    # tiny partition target -> several buckets per source, so the
+    # compaction planner has real groups to form
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=500, encode_concurrency=(1, 4)),
+    ).materialize()
+    groups_before = plan_compaction(out, target_tokens=10_000_000)
+    assert groups_before, "fixture must produce compactable groups"
+
+    all_ids = sorted(
+        str(d) for d in tokseq_table(sf_dir).column("doc_id").to_pylist()
+    )
+    run_delete(out, all_ids[:10])
+    tombstoned = set(tombstoned_partitions(out))
+    assert tombstoned
+    for g in plan_compaction(out, target_tokens=10_000_000):
+        assert not (set(g["olds"]) & tombstoned)
+    # after purge, those partitions are compactable again
+    run_purge(out).materialize()
+    assert tombstoned_partitions(out) == []
+    in_groups = {p for g in plan_compaction(out, target_tokens=10_000_000) for p in g["olds"]}
+    assert in_groups & (tombstoned & set(read_manifest_entries(out)))
+
+
+def test_delete_respects_source_filter(encoded, sf_dir):
+    t = tokseq_table(sf_dir)
+    df = t.select(["doc_id", "source"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype(str)
+    src = sorted(df["source"].unique())[0]
+    some = df[df["source"] == src]["doc_id"].tolist()[:5]
+    other_src = sorted(df["source"].unique())[1]
+    # filtering to the WRONG source finds nothing
+    res = run_delete(encoded, some, sources=[other_src])
+    assert res["found"] == 0
+    res = run_delete(encoded, some, sources=[src])
+    assert res["found"] == len(some)
+
+
+def test_hash_verify_valid_after_purge(encoded, sf_dir):
+    """mode=manifest verify (decoded vs manifest digest) stays green
+    after a purge — the digest is recomputed from surviving rows."""
+    from fileconvert_ray.pipelines.verify_job import run_verify
+
+    all_ids = sorted(
+        str(d) for d in tokseq_table(sf_dir).column("doc_id").to_pylist()
+    )
+    run_delete(encoded, all_ids[:25])
+    run_purge(encoded).materialize()
+    v = run_verify(None, encoded, mode="manifest").to_pandas()
+    assert v["ok"].all(), v[~v["ok"]]
