@@ -150,6 +150,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pg.add_argument("out_dir", help="the encode out dir")
 
+    up = sub.add_parser(
+        "upsert",
+        help="apply new-or-updated tokseq shards: tombstone existing "
+        "versions, append as a new generation",
+    )
+    up.add_argument("shards", nargs="+", help="tokseq parquet shard files (the new versions)")
+    up.add_argument("--out", required=True, help="the encode out dir (generational plan)")
+    up.add_argument("--target-partition-tokens", type=int, default=64_000_000)
+
     d = sub.add_parser("decode", help="decode containers back to tokseq parquet")
     d.add_argument("out_dir", help="the encode out dir")
     d.add_argument("--to", required=True, help="directory for decoded parquet")
@@ -453,6 +462,21 @@ def main(argv: list[str] | None = None) -> int:
                 sources=args.sources.split(",") if args.sources else None,
             )
             print(json.dumps({"ok": True, **res}))
+        elif args.cmd == "upsert":
+            from fileconvert_ray.pipelines.encode_job import EncodeConfig
+            from fileconvert_ray.pipelines.upsert_job import run_upsert
+
+            res = run_upsert(
+                args.out, args.shards,
+                EncodeConfig(out_dir=args.out,
+                             target_partition_tokens=args.target_partition_tokens),
+            )
+            m = res.pop("metrics").to_pandas()
+            print(json.dumps({
+                "ok": True, **res,
+                "partitions_written": int(len(m)),
+                "n_rows": int(m["n_rows"].sum()) if len(m) else 0,
+            }))
         elif args.cmd == "purge":
             from fileconvert_ray.pipelines.delete_job import run_purge
 
@@ -643,6 +667,12 @@ def main(argv: list[str] | None = None) -> int:
                     ]
             except FileNotFoundError:
                 pass
+            from fileconvert_ray.state.manifest import read_tombstones, tombstoned_partitions
+
+            tomb_pids = tombstoned_partitions(args.out_dir)
+            n_tombstoned = sum(
+                len(read_tombstones(args.out_dir, p) or ()) for p in tomb_pids
+            )
             print(json.dumps({
                 "ok": True,
                 "partitions": len(entries),
@@ -653,6 +683,16 @@ def main(argv: list[str] | None = None) -> int:
                 "bytes_per_token": (round(tot_bytes / tot_tok, 4) if tot_tok else None),
                 "codec_mix": dict(sorted(codecs.items())),
                 **({"generations": gens} if gens else {}),
+                **(
+                    {
+                        "tombstoned_docs": n_tombstoned,
+                        "tombstoned_partitions": len(tomb_pids),
+                        "live_rows": tot_rows - n_tombstoned,
+                        "note": "run `purge` to reclaim",
+                    }
+                    if tomb_pids
+                    else {}
+                ),
             }))
         elif args.cmd == "lookup":
             from fileconvert_ray.stages.decoder import lookup_docs

@@ -3239,6 +3239,73 @@ def q_delete_purge_scan(sf_dir: str):
     return _delete_scan_ds(sf_dir, "delpurge", purge=True)
 
 
+def q_upsert_scan(sf_dir: str):
+    """Upsert lifecycle under the oracle gate: generational encode,
+    then upsert NEW versions (tokens truncated to 10) of every doc
+    whose id ends in 3 — seal -> tombstone -> append — and
+    stream-decode the result.  Oracle: one row per ORIGINAL doc with
+    n_tok = least(len, 10) for the upserted ids — a duplicate
+    (missed tombstone), lost doc, or stale version breaks parity."""
+    import glob as _glob
+
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..pipelines.upsert_job import run_upsert
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, "upsert")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    shards = os.path.join(base, "shards")
+    tokseq_dataset(sf_dir).write_parquet(shards)
+    out = os.path.join(base, "enc")
+    cfg = EncodeConfig(out_dir=out, target_partition_tokens=200_000)
+    run_encode_files(sorted(_glob.glob(f"{shards}/*.parquet")), cfg).materialize()
+
+    # NEW versions, streamed straight to the upsert shard dir
+    def new_version(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        m = pc.match_like(ids, "%3")
+        sub = batch.filter(m)
+        if sub.num_rows == 0:
+            return sub
+        toks = sub.column("tokens").combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False)
+        lens = np.minimum(off[1:] - off[:-1], 10)
+        take = np.concatenate(
+            [np.arange(s, s + k) for s, k in zip(off[:-1], lens)]
+        ) if len(lens) else np.array([], dtype=np.int64)
+        vals = toks.values.take(pa.array(take, type=pa.int64()))
+        new_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        return pa.Table.from_arrays(
+            [
+                sub.column("doc_id"),
+                pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()), vals),
+                pa.array(lens.astype(np.int32)),
+                sub.column("source"),
+            ],
+            names=["doc_id", "tokens", "n_tok", "source"],
+        )
+
+    ups = os.path.join(base, "upshard")
+    tokseq_dataset(sf_dir).map_batches(
+        new_version, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(ups)
+    run_upsert(out, sorted(_glob.glob(f"{ups}/*.parquet")), cfg)["metrics"].materialize()
+
+    ds = decode_dataset(out, columns=["doc_id", "n_tok", "source"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -7787,6 +7854,7 @@ QUERIES = {
     "decode_filtered": q_decode_filtered,
     "delete_scan": q_delete_scan,
     "delete_purge_scan": q_delete_purge_scan,
+    "upsert_scan": q_upsert_scan,
 }
 
 _VOCAB_CTE = """
@@ -8583,6 +8651,14 @@ ORACLE_SQL = {
            source
     from documents
     where cast(doc_id as varchar) not like '%7'
+    """,
+    "upsert_scan": """
+    select cast(doc_id as bigint) as doc_id,
+           cast(case when cast(doc_id as varchar) like '%3'
+                     then least(len(string_split(text, ' ')), 10)
+                     else len(string_split(text, ' ')) end as bigint) as n_tok,
+           source
+    from documents
     """,
     "decode_stats": """
         select source,

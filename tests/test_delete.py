@@ -209,3 +209,35 @@ def test_hash_verify_valid_after_purge(encoded, sf_dir):
     run_purge(encoded).materialize()
     v = run_verify(None, encoded, mode="manifest").to_pandas()
     assert v["ok"].all(), v[~v["ok"]]
+
+
+def test_delete_purge_model_scenario(encoded, sf_dir):
+    """Model-based sequence: interleaved delete batches and purges
+    checked against two Python sets — ``logical`` (what readers must
+    see) and ``physical`` (rows actually in containers; run_delete's
+    existence scan reads physical rows, so re-deleting a tombstoned
+    but unpurged id reports found again, idempotently)."""
+    rng = np.random.default_rng(7)
+    all_ids = sorted(
+        str(d) for d in tokseq_table(sf_dir).column("doc_id").to_pylist()
+    )
+    logical = set(all_ids)
+    physical = set(all_ids)
+    universe = all_ids + [f"ghost-{i}" for i in range(20)]
+
+    for step in range(6):
+        victims = list(rng.choice(universe, size=int(rng.integers(5, 30)), replace=False))
+        res = run_delete(encoded, victims)
+        assert res["found"] == len(set(victims) & physical), (step, res)
+        logical -= set(victims)
+        assert decode_dataset(encoded).count() == len(logical), step
+        if step % 2 == 1:
+            run_purge(encoded).materialize()
+            physical = set(logical)
+            assert tombstoned_partitions(encoded) == []
+            assert decode_dataset(encoded).count() == len(logical), step
+
+    # final purge + full content check
+    run_purge(encoded).materialize()
+    final = _decoded_ids(encoded)
+    assert final == logical
