@@ -168,6 +168,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--max-ntok", type=int, default=None)
     d.add_argument("--columns", default=None,
                    help="comma-separated projection (skips decoding the rest)")
+    d.add_argument("--max-gen", type=int, default=None,
+                   help="snapshot read: only ingest generations <= N")
 
     te = sub.add_parser(
         "table-encode",
@@ -496,6 +498,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_n_tok=args.min_ntok,
                 max_n_tok=args.max_ntok,
                 columns=args.columns.split(",") if args.columns else None,
+                max_gen=args.max_gen,
             ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
         elif args.cmd == "table-encode":

@@ -3306,6 +3306,51 @@ def q_upsert_scan(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_snapshot_scan(sf_dir: str):
+    """Snapshot (time-travel) read over the generational lineage:
+    ingest the even-doc_id half as generation 0, append the odd half
+    as generation 1, then decode PINNED to max_gen=0.  Oracle: the
+    even half of the original documents — a snapshot that leaks gen-1
+    rows (or loses gen-0 ones) breaks row count or values."""
+    import glob as _glob
+
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, "snap")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    def half(batch: pa.Table, want: int) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), want))
+
+    d0, d1 = os.path.join(base, "h0"), os.path.join(base, "h1")
+    for want, d in ((0, d0), (1, d1)):
+        tokseq_dataset(sf_dir).map_batches(
+            half, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"want": want}
+        ).write_parquet(d)
+    s0 = sorted(_glob.glob(f"{d0}/*.parquet"))
+    s1 = sorted(_glob.glob(f"{d1}/*.parquet"))
+    out = os.path.join(base, "enc")
+    cfg = EncodeConfig(out_dir=out, target_partition_tokens=200_000)
+    run_encode_files(s0, cfg).materialize()
+    run_encode_files(s0 + s1, cfg).materialize()
+
+    ds = decode_dataset(out, columns=["doc_id", "n_tok", "source"], max_gen=0)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -7855,6 +7900,7 @@ QUERIES = {
     "delete_scan": q_delete_scan,
     "delete_purge_scan": q_delete_purge_scan,
     "upsert_scan": q_upsert_scan,
+    "snapshot_scan": q_snapshot_scan,
 }
 
 _VOCAB_CTE = """
@@ -8659,6 +8705,13 @@ ORACLE_SQL = {
                      else len(string_split(text, ' ')) end as bigint) as n_tok,
            source
     from documents
+    """,
+    "snapshot_scan": """
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           source
+    from documents
+    where cast(doc_id as bigint) % 2 = 0
     """,
     "decode_stats": """
         select source,

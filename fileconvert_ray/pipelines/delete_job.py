@@ -82,6 +82,25 @@ def run_delete(
     import ray.data as rd
 
     from ..stages.decoder import candidate_partitions, iter_partition_chunks
+    from ..state.manifest import read_plan
+
+    # a tombstone can only target COMPLETED partitions: an id whose row
+    # sits in a not-yet-encoded partition of an unsealed generation
+    # would be silently missed, then materialize later untombstoned.
+    # Refuse loudly; run_upsert seals first for exactly this reason.
+    try:
+        plan = read_plan(out_dir)
+    except FileNotFoundError:
+        plan = None
+    if plan is not None and any(
+        not g.get("sealed") for g in plan.get("generations", [])
+    ):
+        raise RuntimeError(
+            f"delete refused: {out_dir} has an unsealed ingest generation; "
+            "finish it first (run_encode_files over the recorded lineage "
+            "seals it), otherwise ids still being encoded would escape the "
+            "tombstone."
+        )
 
     want = sorted({str(d) for d in doc_ids})
     if not want:

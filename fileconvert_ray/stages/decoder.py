@@ -247,6 +247,42 @@ def prune_partitions(
     return keep, len(entries)
 
 
+def partitions_for_generations(out_dir: str, max_gen: int) -> list[str]:
+    """Completed part_ids belonging to ingest generations <= max_gen —
+    the snapshot-read selector.  Every manifest label must reconstruct
+    from some generation's persisted bucket plan; an unexplained label
+    (a compaction output merges partitions ACROSS generations, a
+    foreign label has no lineage at all) makes the snapshot boundary
+    meaningless, so this refuses loudly instead of guessing."""
+    from ..state.manifest import read_manifest_entries, read_plan_generations
+    from ..stages.partition import gen_tag, sanitized_names
+
+    entries = read_manifest_entries(out_dir)
+    gens = read_plan_generations(out_dir)  # FileNotFoundError if no plan
+    keep: list[str] = []
+    explained: set[str] = set()
+    for gen, buckets in gens:
+        san = sanitized_names(buckets)
+        tag = gen_tag(gen)
+        for src, k in sorted(buckets.items()):
+            base = f"{san[src]}{tag}-b"
+            for pid in entries:
+                suffix = pid[len(base):]
+                if pid.startswith(base) and suffix.isdigit() and int(suffix) < int(k):
+                    explained.add(pid)
+                    if gen <= max_gen:
+                        keep.append(pid)
+    unexplained = sorted(set(entries) - explained)
+    if unexplained:
+        raise RuntimeError(
+            "snapshot read unavailable: partitions not attributable to any "
+            f"ingest generation (e.g. compaction output): {unexplained[:3]}. "
+            "Compaction merges rows across generations; read without "
+            "max_gen, or snapshot before compacting."
+        )
+    return sorted(set(keep))
+
+
 def decode_dataset(
     out_dir: str,
     *,
@@ -254,6 +290,7 @@ def decode_dataset(
     min_n_tok: int | None = None,
     max_n_tok: int | None = None,
     columns: list[str] | None = None,
+    max_gen: int | None = None,
 ):
     """Completed partitions as a streaming decoded Dataset (E9).
 
@@ -262,7 +299,13 @@ def decode_dataset(
     are filtered vectorized after decode — the residual filter keeps
     semantics exact while the zone maps cut the I/O.  ``columns``
     prunes at decode granularity (see iter_partition_chunks): columns
-    a predicate needs are decoded for the filter, then dropped."""
+    a predicate needs are decoded for the filter, then dropped.
+
+    ``max_gen`` pins the read to ingest generations <= N (snapshot /
+    time-travel over the generational lineage — reproducible "the
+    corpus as of ingest N" reads; see partitions_for_generations).
+    Tombstone deletes stay retroactive across snapshots ON PURPOSE: a
+    takedown applies to every view of the corpus, past included."""
     import ray.data as rd
 
     from ..state.manifest import JobDirs, completed_partitions
@@ -275,6 +318,9 @@ def decode_dataset(
         )
     else:
         part_ids = sorted(completed_partitions(out_dir))
+    if max_gen is not None:
+        snap = set(partitions_for_generations(out_dir, max_gen))
+        part_ids = [p for p in part_ids if p in snap]
     paths = [dirs.container_path(p) for p in part_ids]
 
     decode_cols = columns

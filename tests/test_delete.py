@@ -241,3 +241,29 @@ def test_delete_purge_model_scenario(encoded, sf_dir):
     run_purge(encoded).materialize()
     final = _decoded_ids(encoded)
     assert final == logical
+
+
+def test_delete_refuses_unsealed_generation(ray_session, sf_dir, tmp_path):
+    """A tombstone can only target completed partitions: deleting while
+    an ingest generation is unsealed must refuse loudly."""
+    import json
+
+    import pyarrow.parquet as pq_
+
+    from fileconvert_ray.pipelines.encode_job import run_encode_files
+
+    t = tokseq_table(sf_dir)
+    shard = str(tmp_path / "s.parquet")
+    pq_.write_table(t, shard)
+    out = str(tmp_path / "enc")
+    run_encode_files(
+        [shard],
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000, encode_concurrency=(1, 4)),
+    ).materialize()
+    # simulate a crash mid-ingest: mark the generation unsealed
+    plan_path = os.path.join(out, "plan.json")
+    plan = json.load(open(plan_path))
+    plan["generations"][-1]["sealed"] = False
+    json.dump(plan, open(plan_path, "w"))
+    with pytest.raises(RuntimeError, match="unsealed"):
+        run_delete(out, ["0"])

@@ -162,3 +162,47 @@ def test_upsert_refuses_non_generational(ray_session, sf_dir, tmp_path):
     ).materialize()
     with pytest.raises(RuntimeError, match="generational"):
         run_upsert(out, [f"{sf_dir}/documents.parquet"])
+
+
+def test_snapshot_read_pins_generation(corpus, tmp_path):
+    """max_gen decode returns exactly the gen-0 rows; compaction breaks
+    the boundary and snapshot reads refuse afterwards."""
+    from fileconvert_ray.pipelines.compact_job import run_compact
+    from fileconvert_ray.stages.decoder import partitions_for_generations
+
+    out, t, base = corpus  # built from two shards, single generation 0
+    # append a second generation: 3 new docs
+    new = pa.Table.from_pydict(
+        {
+            "doc_id": ["g1-a", "g1-b", "g1-c"],
+            "tokens": pa.array([[1], [2, 3], [4]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 2, 1], type=pa.int32()),
+            "source": ["src0", "src1", "src2"],
+        },
+        schema=INPUT_SCHEMA,
+    )
+    shard = str(tmp_path / "g1.parquet")
+    pq.write_table(new, shard)
+    prior = sorted(glob.glob(os.path.join(base, "*.parquet")))
+    run_encode_files(
+        prior + [shard],
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000, encode_concurrency=(1, 4)),
+    ).materialize()
+
+    full = decode_dataset(out).count()
+    snap0 = decode_dataset(out, max_gen=0).to_pandas()
+    assert full == t.num_rows + 3
+    assert len(snap0) == t.num_rows
+    assert not snap0["doc_id"].astype(str).str.startswith("g1-").any()
+    snap1 = decode_dataset(out, max_gen=1).count()
+    assert snap1 == full
+
+    # projected snapshot read composes with columns=
+    assert decode_dataset(out, max_gen=0, columns=["n_tok"]).count() == t.num_rows
+
+    # compaction destroys generation boundaries -> snapshot refuses
+    run_compact(out, target_tokens=10_000_000).materialize()
+    with pytest.raises(RuntimeError, match="snapshot"):
+        partitions_for_generations(out, 0)
+    # unpinned reads still fine
+    assert decode_dataset(out).count() == full
