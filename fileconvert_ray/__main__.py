@@ -127,10 +127,17 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--mode", choices=["exact", "hash", "manifest"], default="hash")
     v.add_argument("--by", choices=["partition", "source"], default="partition",
                    help="hash-mode granularity; 'source' survives compaction")
+    v.add_argument("--gens", default=None,
+                   help="comma-separated ingest generations to verify "
+                        "(incremental verify: re-check only what a recent "
+                        "append added)")
 
     m = sub.add_parser("compact", help="rewrite small partitions into target-size containers")
     m.add_argument("out_dir", help="the encode out dir")
     m.add_argument("--target-tokens", type=int, default=4_000_000)
+    m.add_argument("--cross-gen", action="store_true",
+                   help="pack across ingest generations (fuller groups; "
+                        "snapshot reads refuse afterwards)")
 
     dl = sub.add_parser(
         "delete",
@@ -432,7 +439,12 @@ def main(argv: list[str] | None = None) -> int:
             factory = None
             if args.input is not None:
                 factory = lambda: rd.read_parquet(args.input)
-            v = run_verify(factory, args.out, mode=args.mode, by=args.by).to_pandas()
+            gens = (
+                [int(g) for g in args.gens.split(",")] if args.gens else None
+            )
+            v = run_verify(
+                factory, args.out, mode=args.mode, by=args.by, gens=gens
+            ).to_pandas()
             ok = bool(v["ok"].all()) and len(v) > 0
             print(json.dumps({
                 "ok": ok, "partitions": int(len(v)),
@@ -442,7 +454,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from fileconvert_ray.pipelines.compact_job import run_compact
 
-            m = run_compact(args.out_dir, target_tokens=args.target_tokens).to_pandas()
+            m = run_compact(
+                args.out_dir,
+                target_tokens=args.target_tokens,
+                preserve_generations=not args.cross_gen,
+            ).to_pandas()
             print(json.dumps({
                 "ok": True, "rewritten": int(len(m)),
                 "n_rows": int(m["n_rows"].sum()) if len(m) else 0,

@@ -38,46 +38,93 @@ def _intent_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "compact")
 
 
-def plan_compaction(out_dir: str, target_tokens: int) -> list[dict]:
-    """Greedy first-fit in part_id order, per source: pack partitions
-    smaller than the target into groups summing to ~target.  Groups of
-    one are dropped (nothing to rewrite).  O(partitions) driver work.
+def plan_compaction(
+    out_dir: str, target_tokens: int, *, preserve_generations: bool = True
+) -> list[dict]:
+    """Greedy first-fit in part_id order, per (source, ingest
+    generation): pack partitions smaller than the target into groups
+    summing to ~target.  Groups of one are dropped (nothing to
+    rewrite).  O(partitions) driver work.
+
+    ``preserve_generations`` (default): each group stays WITHIN one
+    ingest generation and the output label carries that generation's
+    tag (``{san}{tag}-c{NNNN}``), so snapshot reads
+    (``decode_dataset(max_gen=...)``) keep working across compaction —
+    the merged rows are still exactly that generation's rows.  Pass
+    ``preserve_generations=False`` to pack across generations (fewer,
+    fuller groups when many generations are each tiny) at the
+    documented cost: snapshot reads refuse afterwards.
+
+    Label discipline: ``-c`` is RESERVED for single-generation
+    compaction outputs (label_generations attributes it).  Groups that
+    mix or lack a generation — cross-gen mode, labels no plan explains,
+    plan.json absent — get ``{san(source)}-x{NNNN}``, which by
+    construction never parses as generation-attributable, so a mixed
+    container can never silently leak into a pinned snapshot.
 
     Partitions carrying tombstones (pipelines.delete_job logical
     deletes) are EXCLUDED: compaction rewrites physical rows under a
     new label the tombstone file no longer matches, which would
     resurrect deleted docs — run_purge first, then compact."""
-    from ..state.manifest import tombstoned_partitions
+    from ..stages.decoder import label_generations
+    from ..stages.partition import gen_tag, sanitize_id, sanitized_names
+    from ..state.manifest import read_plan_generations, tombstoned_partitions
 
     entries = read_manifest_entries(out_dir)
     tombstoned = set(tombstoned_partitions(out_dir))
-    by_source: dict[str, list[tuple[str, int]]] = {}
+    gen_of: dict[str, int] = {}
+    gen_san: dict[int, dict[str, str]] = {}
+    if preserve_generations:
+        try:
+            gen_of = label_generations(out_dir)
+            gen_san = {
+                gen: sanitized_names(buckets)
+                for gen, buckets in read_plan_generations(out_dir)
+            }
+        except FileNotFoundError:
+            pass  # no plan: everything packs per source, legacy naming
+
+    # group key = (source, generation); None = unattributable/legacy
+    by_key: dict[tuple[str, int | None], list[tuple[str, int]]] = {}
     for pid, rec in sorted(entries.items()):
         if pid in tombstoned:
             continue
         if rec.get("n_tokens", 0) < target_tokens:
-            by_source.setdefault(rec["source"], []).append((pid, int(rec["n_tokens"])))
+            key = (rec["source"], gen_of.get(pid) if preserve_generations else None)
+            by_key.setdefault(key, []).append((pid, int(rec["n_tokens"])))
+
+    taken = set(entries)  # a re-run must not collide with surviving ids
+
+    def new_gid(source: str, gen: int | None, idx: int) -> tuple[str, int]:
+        base = (
+            f"{gen_san[gen][source]}{gen_tag(gen)}-c"
+            if gen is not None
+            else f"{sanitize_id(source)}-x"
+        )
+        while f"{base}{idx:04d}" in taken:
+            idx += 1
+        gid = f"{base}{idx:04d}"
+        taken.add(gid)
+        return gid, idx + 1
+
     groups = []
-    for source, parts in sorted(by_source.items()):
+    for (source, gen), parts in sorted(
+        by_key.items(), key=lambda kv: (kv[0][0], -1 if kv[0][1] is None else kv[0][1])
+    ):
         cur: list[str] = []
         cur_tok = 0
         idx = 0
         for pid, ntok in parts:
             if cur and cur_tok + ntok > target_tokens:
                 if len(cur) > 1:
-                    groups.append({"source": source, "olds": cur, "gid": f"{source}-c{idx:04d}"})
-                    idx += 1
+                    gid, idx = new_gid(source, gen, idx)
+                    groups.append({"source": source, "olds": cur, "gid": gid})
                 cur, cur_tok = [], 0
             cur.append(pid)
             cur_tok += ntok
         if len(cur) > 1:
-            groups.append({"source": source, "olds": cur, "gid": f"{source}-c{idx:04d}"})
-    # a re-run must not collide with surviving compacted ids
-    taken = set(entries)
-    for g in groups:
-        while g["gid"] in taken:
-            g["gid"] += "x"
-        taken.add(g["gid"])
+            gid, idx = new_gid(source, gen, idx)
+            groups.append({"source": source, "olds": cur, "gid": gid})
     return groups
 
 
@@ -136,16 +183,26 @@ def recover_compaction(out_dir: str) -> dict:
     return {"finished": finished, "rolled_back": rolled_back}
 
 
-def run_compact(out_dir: str, target_tokens: int, *, zstd: bool = True):
+def run_compact(
+    out_dir: str,
+    target_tokens: int,
+    *,
+    zstd: bool = True,
+    preserve_generations: bool = True,
+):
     """Compact all small partitions under out_dir; one Ray task per
     compaction group (each group's I/O is independent — the scheduler
     spreads groups across the cluster; no shuffle, the data moves
-    exactly once per rewritten partition).  Returns the metrics
-    Dataset for the rewritten partitions (0 rows = nothing to do)."""
+    exactly once per rewritten partition).  By default groups stay
+    within one ingest generation so snapshot reads survive (see
+    plan_compaction).  Returns the metrics Dataset for the rewritten
+    partitions (0 rows = nothing to do)."""
     import ray.data as rd
 
     recover_compaction(out_dir)
-    groups = plan_compaction(out_dir, target_tokens)
+    groups = plan_compaction(
+        out_dir, target_tokens, preserve_generations=preserve_generations
+    )
     if not groups:
         from ..stages.encoder import PartitionWriter
 

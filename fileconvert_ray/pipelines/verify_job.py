@@ -220,7 +220,7 @@ def _container_digest(batch: pa.Table, out_dir: str) -> pa.Table:
 
 
 def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partition",
-               ds_from_files=None):
+               ds_from_files=None, gens: list[int] | None = None):
     """Returns the per-partition verify Dataset; any ok=False is a failure.
 
     mode="exact": per-row alignment via a part_id shuffle (tests).
@@ -240,9 +240,35 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partiti
     disjoint) and the originals are re-read from the recorded files —
     ``ds_factory`` may be None then; ``ds_from_files(files)`` overrides
     the default ``read_parquet`` when the encode used a custom reader.
+
+    ``gens`` scopes the check to the listed ingest generations — the
+    incremental-verify path: after appending generation N to a huge
+    corpus, re-verify ONLY generation N (its recorded input shards vs
+    its disjoint partition labels) instead of re-reading everything.
+    Valid for exact / hash-by-partition (input re-read scoped to the
+    generations' lineage) and manifest mode (labels filtered through
+    label_generations, so it keeps working after generation-preserving
+    compaction).  by="source" digests span generations, so gens= with
+    it raises.
     """
     plan_doc = read_plan(out_dir)
     gen_docs = plan_doc.get("generations")
+    if gens is not None:
+        gens = sorted({int(g) for g in gens})
+        if by == "source" and mode != "manifest":
+            raise ValueError(
+                "run_verify: gens= cannot combine with by='source' — "
+                "per-source digests aggregate rows across generations."
+            )
+        known = (
+            {int(g["gen"]) for g in gen_docs} if gen_docs else {0}
+        )
+        missing = [g for g in gens if g not in known]
+        if missing:
+            raise ValueError(
+                f"run_verify: unknown ingest generation(s) {missing}; "
+                f"plan.json records {sorted(known)}."
+            )
     if gen_docs:
         import ray.data as _rd
 
@@ -255,9 +281,15 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partiti
                 (lambda f=[fe["path"] for fe in g["files"]]: ds_from_files(f)),
             )
             for g in gen_docs
+            if gens is None or int(g["gen"]) in gens
         ]
         if ds_factory is None:
-            all_files = [fe["path"] for g in gen_docs for fe in g["files"]]
+            all_files = [
+                fe["path"]
+                for g in gen_docs
+                if gens is None or int(g["gen"]) in gens
+                for fe in g["files"]
+            ]
             ds_factory = lambda: ds_from_files(all_files)
     else:
         if ds_factory is None and mode != "manifest":
@@ -290,6 +322,17 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partiti
         from ..state.manifest import read_manifest_entries
 
         entries = read_manifest_entries(out_dir)
+        if gens is not None:
+            # scope to the requested generations via label attribution;
+            # an unattributable label (cross-gen compaction, foreign)
+            # belongs to NO generation and is excluded — the unscoped
+            # run still audits it
+            from ..stages.decoder import label_generations
+
+            gen_of = label_generations(out_dir)
+            entries = {
+                p: e for p, e in entries.items() if gen_of.get(p) in set(gens)
+            }
         expected = {
             p: [int(e["digest"]["n_rows"]), int(e["digest"]["hsum"]) % (1 << 64)]
             for p, e in entries.items()

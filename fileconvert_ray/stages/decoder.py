@@ -247,40 +247,68 @@ def prune_partitions(
     return keep, len(entries)
 
 
-def partitions_for_generations(out_dir: str, max_gen: int) -> list[str]:
-    """Completed part_ids belonging to ingest generations <= max_gen —
-    the snapshot-read selector.  Every manifest label must reconstruct
-    from some generation's persisted bucket plan; an unexplained label
-    (a compaction output merges partitions ACROSS generations, a
-    foreign label has no lineage at all) makes the snapshot boundary
-    meaningless, so this refuses loudly instead of guessing."""
+def label_generations(out_dir: str) -> dict[str, int]:
+    """part_id -> ingest generation, for every completed partition whose
+    label reconstructs from the persisted bucket plan: encoder outputs
+    ``{san}{tag}-b{NNNN}`` (bucket ordinal under that generation's
+    count) and generation-preserving compaction outputs
+    ``{san}{tag}-c{NNNN}`` (compact_job packs each group WITHIN one
+    generation precisely so this attribution survives the rewrite;
+    the ordinal is a free counter, not a bucket).  Labels that parse
+    as neither are absent from the map — the caller decides whether
+    that means "refuse" (snapshot reads) or "whole-source fallback"
+    (lookup routing).  Raises FileNotFoundError when plan.json is
+    absent.  O(partitions x generations) driver work, no I/O beyond
+    the manifest dir + plan.json."""
     from ..state.manifest import read_manifest_entries, read_plan_generations
     from ..stages.partition import gen_tag, sanitized_names
 
     entries = read_manifest_entries(out_dir)
     gens = read_plan_generations(out_dir)  # FileNotFoundError if no plan
-    keep: list[str] = []
-    explained: set[str] = set()
-    for gen, buckets in gens:
-        san = sanitized_names(buckets)
-        tag = gen_tag(gen)
-        for src, k in sorted(buckets.items()):
-            base = f"{san[src]}{tag}-b"
-            for pid in entries:
+    # per-generation sanitized names: computed from THAT generation's
+    # source set, exactly as the encoder did when writing the labels
+    per_gen = [
+        (gen, buckets, sanitized_names(buckets), gen_tag(gen)) for gen, buckets in gens
+    ]
+    gen_of: dict[str, int] = {}
+    for pid, rec in entries.items():
+        src = rec.get("source")
+        for gen, buckets, san, tag in per_gen:
+            if src not in buckets:
+                continue
+            for kind in ("-b", "-c"):
+                base = f"{san[src]}{tag}{kind}"
+                if not pid.startswith(base):
+                    continue
                 suffix = pid[len(base):]
-                if pid.startswith(base) and suffix.isdigit() and int(suffix) < int(k):
-                    explained.add(pid)
-                    if gen <= max_gen:
-                        keep.append(pid)
-    unexplained = sorted(set(entries) - explained)
+                if suffix.isdigit() and (
+                    kind == "-c" or int(suffix) < int(buckets[src])
+                ):
+                    gen_of[pid] = gen
+    return gen_of
+
+
+def partitions_for_generations(out_dir: str, max_gen: int) -> list[str]:
+    """Completed part_ids belonging to ingest generations <= max_gen —
+    the snapshot-read selector.  Every manifest label must reconstruct
+    from some generation's persisted bucket plan (encoder buckets and
+    generation-preserving compaction outputs both do — see
+    label_generations); an unexplained label (a cross-generation
+    compaction output, a foreign label with no lineage) makes the
+    snapshot boundary meaningless, so this refuses loudly instead of
+    guessing."""
+    from ..state.manifest import read_manifest_entries
+
+    gen_of = label_generations(out_dir)  # FileNotFoundError if no plan
+    unexplained = sorted(set(read_manifest_entries(out_dir)) - set(gen_of))
     if unexplained:
         raise RuntimeError(
             "snapshot read unavailable: partitions not attributable to any "
-            f"ingest generation (e.g. compaction output): {unexplained[:3]}. "
-            "Compaction merges rows across generations; read without "
-            "max_gen, or snapshot before compacting."
+            f"ingest generation (e.g. cross-generation compaction output): "
+            f"{unexplained[:3]}. Read without max_gen, or compact with "
+            "preserve_generations=True (the default)."
         )
-    return sorted(set(keep))
+    return sorted(p for p, g in gen_of.items() if g <= max_gen)
 
 
 def decode_dataset(

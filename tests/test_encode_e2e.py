@@ -808,33 +808,62 @@ def test_incremental_crash_resume_is_partition_granular(ray_session, tmp_path, o
     assert bool(v["ok"].all()) and int(v["n_rows"].sum()) == 900
 
 
-def test_compaction_merges_across_generations(ray_session, tmp_path, out_dir):
-    """compact packs small partitions from DIFFERENT generations of the
-    same source into one container; rows survive bit-identically
+def test_compaction_over_generational_corpus(ray_session, tmp_path, out_dir):
+    """Default compaction over a generational corpus packs small
+    partitions WITHIN each generation (both gens compact, no group
+    mixes them — snapshot reads survive); rows survive bit-identically
     (source-granular hash verify green) and lookup still finds docs in
-    compacted (plan-unexplainable) partitions via the source fallback."""
-    from fileconvert_ray.pipelines.compact_job import run_compact
+    compacted partitions via the source fallback.  Cross-generation
+    packing is the explicit opt-in (preserve_generations=False), after
+    which snapshots refuse."""
+    from fileconvert_ray.pipelines.compact_job import plan_compaction, run_compact
     from fileconvert_ray.pipelines.encode_job import run_encode_files
-    from fileconvert_ray.stages.decoder import lookup_docs
+    from fileconvert_ray.stages.decoder import (
+        label_generations,
+        lookup_docs,
+        partitions_for_generations,
+    )
 
     shards = _write_shards(tmp_path, [(0, 300), (300, 600)])
     cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=50_000)
     run_encode_files(shards[:1], cfg).materialize()
     run_encode_files(shards, cfg).materialize()
     before = read_manifest_entries(out_dir)
+    gen_before = label_generations(out_dir)
+    snap0_rows = sum(
+        before[p]["n_rows"] for p in partitions_for_generations(out_dir, 0)
+    )
 
+    # no planned group mixes generations
+    for g in plan_compaction(out_dir, 10_000_000):
+        assert len({gen_before[p] for p in g["olds"]}) == 1
     m = run_compact(out_dir, target_tokens=10_000_000).to_pandas()
     assert len(m) > 0
-    # at least one compaction output replaced partitions of BOTH gens
+    # both generations had compactable groups (src0 is skewed in each)
     after = read_manifest_entries(out_dir)
     gone = set(before) - set(after)
     assert any("-g01-" in p for p in gone) and any("-g01-" not in p for p in gone)
+
+    # snapshot boundary intact: gen-0 row count unchanged, -c labels attributed
+    assert sum(
+        after[p]["n_rows"] for p in partitions_for_generations(out_dir, 0)
+    ) == snap0_rows
 
     v = run_verify(None, out_dir, mode="hash", by="source").to_pandas()
     assert bool(v["ok"].all()) and int(v["n_rows"].sum()) == 600
     # point lookup across a compacted generational corpus
     got = lookup_docs(out_dir, ["d000000123", "d000000456"]).to_pandas()
     assert sorted(got["doc_id"]) == ["d000000123", "d000000456"]
+
+    # opt-in cross-gen packing merges the two survivors -> snapshot refuses
+    mx = run_compact(
+        out_dir, target_tokens=10_000_000, preserve_generations=False
+    ).to_pandas()
+    assert len(mx) > 0
+    with pytest.raises(RuntimeError, match="snapshot"):
+        partitions_for_generations(out_dir, 0)
+    v2 = run_verify(None, out_dir, mode="hash", by="source").to_pandas()
+    assert bool(v2["ok"].all()) and int(v2["n_rows"].sum()) == 600
 
 
 def test_curate_hygiene_chain_encodes_and_verifies(ray_session, sf_dir, tmp_path):
@@ -875,3 +904,60 @@ def test_curate_hygiene_chain_encodes_and_verifies(ray_session, sf_dir, tmp_path
         .to_pylist()
     )
     assert not ({base.column("doc_id")[0].as_py(), base.column("doc_id")[1].as_py()} & ids)
+
+
+def test_generation_scoped_verify(ray_session, tmp_path, out_dir):
+    """gens= verifies ONLY the listed ingest generations — the
+    incremental-verify path: corrupt a gen-0 container, gens=[1] stays
+    green in every mode while the unscoped run (and gens=[0]) fails;
+    manifest-mode scoping survives generation-preserving compaction."""
+    from fileconvert_ray.pipelines.compact_job import run_compact
+    from fileconvert_ray.pipelines.encode_job import run_encode_files
+
+    shards = _write_shards(tmp_path, [(0, 300), (300, 600)])
+    cfg = EncodeConfig(out_dir=out_dir, target_partition_tokens=50_000)
+    run_encode_files(shards[:1], cfg).materialize()
+    run_encode_files(shards, cfg).materialize()
+
+    for mode in ("exact", "hash", "manifest"):
+        v1 = run_verify(None, out_dir, mode=mode, gens=[1]).to_pandas()
+        assert bool(v1["ok"].all()) and len(v1) > 0
+        assert all("-g01-" in p for p in v1["part_id"])
+        assert int(v1["n_rows"].sum()) == 300
+
+    # guardrails: unknown generation, by='source' with gens
+    with pytest.raises(ValueError, match="unknown ingest generation"):
+        run_verify(None, out_dir, mode="hash", gens=[7])
+    with pytest.raises(ValueError, match="source"):
+        run_verify(None, out_dir, mode="hash", by="source", gens=[1])
+
+    # corrupt one gen-0 container: scoped-to-gen-1 stays green,
+    # gen-0 scope and the unscoped run both catch it
+    victim = sorted(
+        p for p in read_manifest_entries(out_dir) if "-g" not in p
+    )[0]
+    path = os.path.join(out_dir, "parts", f"{victim}.parquet")
+    raw = bytearray(open(path, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+
+    ok1 = run_verify(None, out_dir, mode="hash", gens=[1]).to_pandas()
+    assert bool(ok1["ok"].all())
+    bad0 = run_verify(None, out_dir, mode="hash", gens=[0]).to_pandas()
+    assert not bool(bad0["ok"].all())
+    bad = run_verify(None, out_dir, mode="hash").to_pandas()
+    assert not bool(bad["ok"].all())
+
+    # repair by re-encoding gen 0's missing partition from its lineage:
+    # simplest honest repair here is a fresh decode-side check after
+    # restoring the original bytes
+    raw[len(raw) // 2] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+
+    # generation-preserving compaction keeps manifest-mode scoping
+    # (hash by="partition" is plan-label-granular, so post-compaction
+    # audits go through manifest or by="source" — unchanged contract)
+    run_compact(out_dir, target_tokens=10_000_000).materialize()
+    vm = run_verify(None, out_dir, mode="manifest", gens=[1]).to_pandas()
+    assert bool(vm["ok"].all()) and int(vm["n_rows"].sum()) == 300
+    assert all("-g01-" in p for p in vm["part_id"])

@@ -46,9 +46,11 @@ def corpus(ray_session, sf_dir, tmp_path):
     pq.write_table(t.slice(0, half), s1)
     pq.write_table(t.slice(half), s2)
     out = str(tmp_path / "enc")
+    # 1_000-token target => >1 bucket per source, so the generation-
+    # preserving compaction test below has real groups to merge
     run_encode_files(
         [s1, s2],
-        EncodeConfig(out_dir=out, target_partition_tokens=5_000, encode_concurrency=(1, 4)),
+        EncodeConfig(out_dir=out, target_partition_tokens=1_000, encode_concurrency=(1, 4)),
     ).materialize()
     return out, t, str(base)
 
@@ -165,8 +167,10 @@ def test_upsert_refuses_non_generational(ray_session, sf_dir, tmp_path):
 
 
 def test_snapshot_read_pins_generation(corpus, tmp_path):
-    """max_gen decode returns exactly the gen-0 rows; compaction breaks
-    the boundary and snapshot reads refuse afterwards."""
+    """max_gen decode returns exactly the gen-0 rows; generation-
+    preserving compaction (the default) keeps snapshots readable;
+    cross-generation compaction breaks the boundary and snapshot reads
+    refuse afterwards."""
     from fileconvert_ray.pipelines.compact_job import run_compact
     from fileconvert_ray.stages.decoder import partitions_for_generations
 
@@ -200,9 +204,30 @@ def test_snapshot_read_pins_generation(corpus, tmp_path):
     # projected snapshot read composes with columns=
     assert decode_dataset(out, max_gen=0, columns=["n_tok"]).count() == t.num_rows
 
-    # compaction destroys generation boundaries -> snapshot refuses
-    run_compact(out, target_tokens=10_000_000).materialize()
+    # generation-preserving compaction (default): fewer partitions,
+    # snapshot still returns exactly the gen-0 rows
+    n_parts_before = len(partitions_for_generations(out, 10))
+    m = run_compact(out, target_tokens=10_000_000).to_pandas()
+    assert len(m) > 0, "fixture must produce compactable groups"
+    assert len(partitions_for_generations(out, 10)) < n_parts_before
+    snap0c = decode_dataset(out, max_gen=0).to_pandas()
+    assert len(snap0c) == t.num_rows
+    assert not snap0c["doc_id"].astype(str).str.startswith("g1-").any()
+    assert decode_dataset(out, max_gen=1).count() == full
+
+    # cross-generation compaction destroys the boundary -> refuse.
+    # force mergeable groups by appending one more tiny generation
+    # (default compaction above left ~1 container per (source, gen))
+    new2 = new.set_column(0, "doc_id", pa.array(["g2-a", "g2-b", "g2-c"]))
+    shard2 = str(tmp_path / "g2.parquet")
+    pq.write_table(new2, shard2)
+    run_encode_files(
+        prior + [shard, shard2],
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000, encode_concurrency=(1, 4)),
+    ).materialize()
+    mx = run_compact(out, target_tokens=10_000_000, preserve_generations=False).to_pandas()
+    assert len(mx) > 0, "cross-gen compaction must form groups"
     with pytest.raises(RuntimeError, match="snapshot"):
         partitions_for_generations(out, 0)
     # unpinned reads still fine
-    assert decode_dataset(out).count() == full
+    assert decode_dataset(out).count() == full + 3
