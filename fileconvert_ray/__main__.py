@@ -7,12 +7,15 @@
     python -m fileconvert_ray encode   IN_DIR --out DIR
         [--target-partition-tokens N] [--codec col=NAME] [--no-resume]
     python -m fileconvert_ray verify   IN_DIR --out DIR [--mode exact|hash|manifest]
-    python -m fileconvert_ray decode   OUT_DIR --to DIR
+        [--gens N,..]
+    python -m fileconvert_ray decode   OUT_DIR --to DIR [--max-gen N]
     python -m fileconvert_ray pack     IN_DIR --out DIR [--seq-len N]
         [--order-col doc_id] [--buckets N]
+    python -m fileconvert_ray export-packed OUT_DIR --to DIR --seq-len N
+        [--order hash|int] [--max-gen N] [--sources a,b]
     python -m fileconvert_ray dedup    IN_DIR --out DIR [--key text]
         [--id doc_id] [--strategy broadcast|join]
-    python -m fileconvert_ray compact  OUT_DIR [--target-tokens N]
+    python -m fileconvert_ray compact  OUT_DIR [--target-tokens N] [--cross-gen]
     python -m fileconvert_ray curate   DOCS_DIR --out DIR [--no-encode]
         [--target-partition-tokens N]
     python -m fileconvert_ray query    NAME [--sf-dir DIR] [--out DIR]
@@ -276,6 +279,21 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--out", required=True)
     x.add_argument("--by", required=True, help="numeric/temporal partition key")
     x.add_argument("--partitions", type=int, default=16)
+
+    xp = sub.add_parser(
+        "export-packed",
+        help="export fixed-length packed training shards from an encoded corpus",
+    )
+    xp.add_argument("out_dir", help="the encode out dir")
+    xp.add_argument("--to", required=True, help="destination shard directory")
+    xp.add_argument("--seq-len", type=int, default=2048)
+    xp.add_argument("--order", choices=["hash", "int"], default="hash",
+                    help="concat order: 63-bit doc_id hash (any id type) or "
+                         "ascending integer doc_id")
+    xp.add_argument("--sources", default=None, help="comma-separated source filter")
+    xp.add_argument("--max-gen", type=int, default=None,
+                    help="snapshot export: ingest generations <= N")
+    xp.add_argument("--buckets", type=int, default=64)
 
     f = sub.add_parser("profile", help="per-column stats of a parquet table")
     f.add_argument("input", help="parquet file or directory")
@@ -754,6 +772,19 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.out, args.by, n_partitions=args.partitions
             )
             print(json.dumps({"ok": True, **man}))
+        elif args.cmd == "export-packed":
+            from fileconvert_ray.pipelines.pack_job import run_export_packed
+
+            res = run_export_packed(
+                args.out_dir,
+                args.to,
+                args.seq_len,
+                order=args.order,
+                sources=args.sources.split(",") if args.sources else None,
+                max_gen=args.max_gen,
+                n_buckets=args.buckets,
+            )
+            print(json.dumps({"ok": True, "out": args.to, **res}))
         elif args.cmd == "profile":
             from fileconvert_ray.functions.profile import profile_parquet
 

@@ -3351,6 +3351,45 @@ def q_snapshot_scan(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_packed_export_scan(sf_dir: str):
+    """Trainer-facing packed export over the ENCODED corpus
+    (pipelines/pack_job.py): tokseq -> encode -> decode (streaming) ->
+    pack to 256-token rows, order="int" (ascending doc_id — the
+    SQL-reproducible mode).  Result is the same exact per-chunk digest
+    as pack_sequences, so the oracle covers the WHOLE chain: a codec
+    bug, a lost row, or a packing off-by-one all break the value hash."""
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..pipelines.pack_job import packed_dataset
+
+    out = _job_dir(sf_dir, "packx")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=200_000),
+    ).materialize()
+
+    packed = packed_dataset(out, 256, order="int", n_buckets=8)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        cum = np.concatenate(([0], np.cumsum(flat)))
+        wcum = np.concatenate(([0], np.cumsum(flat * pos)))
+        return pa.Table.from_pydict({
+            "chunk_id": pc.cast(batch.column("chunk_id"), pa.int64()),
+            "n_tok": pa.array(lens),
+            "tok_sum": pa.array(cum[offs[1:]] - cum[offs[:-1]]),
+            "tok_wsum": pa.array(wcum[offs[1:]] - wcum[offs[:-1]]),
+        })
+
+    return packed.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -7901,6 +7940,7 @@ QUERIES = {
     "delete_purge_scan": q_delete_purge_scan,
     "upsert_scan": q_upsert_scan,
     "snapshot_scan": q_snapshot_scan,
+    "packed_export_scan": q_packed_export_scan,
 }
 
 _VOCAB_CTE = """
@@ -8845,6 +8885,22 @@ ORACLE_SQL = {
                cast(count(distinct t) as bigint) as n_distinct,
                round(1 - count(distinct t)::double / count(*), 6) as rep_ratio
         from s group by doc_id
+    """,
+    "packed_export_scan": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    o as (select doc_id,
+                 coalesce(sum(len(ws)) over (order by doc_id
+                          rows between unbounded preceding and 1 preceding), 0) as base
+          from d),
+    p as (select v.token as token, o.base + u.i - 1 as gpos
+          from u join v on u.w1 = v.word join o on u.doc_id = o.doc_id)
+    select cast(gpos // 256 as bigint) as chunk_id,
+           cast(count(*) as bigint) as n_tok,
+           cast(sum(token) as bigint) as tok_sum,
+           cast(sum(token * (gpos % 256 + 1)) as bigint) as tok_wsum
+    from p group by 1
     """,
     "pack_sequences": _VOCAB_CTE
     + """,

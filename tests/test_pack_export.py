@@ -1,0 +1,104 @@
+"""Packed training-shard export (pipelines/pack_job.py): the encoded
+corpus streams straight into fixed-length packed rows."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode, run_encode_files
+from fileconvert_ray.pipelines.pack_job import packed_dataset, run_export_packed
+from fileconvert_ray.sources.tokseq import synth_dataset, tokseq_dataset, tokseq_table
+
+
+def _flat(t: pa.Table) -> np.ndarray:
+    toks = t.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+
+
+def test_packed_export_int_order_bit_exact(ray_session, sf_dir, tmp_path):
+    """order='int': the concatenated packed stream equals the original
+    corpus concatenated by ascending integer doc_id, bit for bit."""
+    out = str(tmp_path / "enc")
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000),
+    ).materialize()
+
+    L = 128
+    packed = packed_dataset(out, L, order="int", n_buckets=4).to_arrow_refs()
+    import ray
+
+    t = pa.concat_tables([ray.get(r) for r in packed]).sort_by("chunk_id")
+    n = t.num_rows
+    lens = pc.list_value_length(t.column("tokens")).to_numpy(zero_copy_only=False)
+    assert (lens[:-1] == L).all() and lens[-1] <= L
+    assert sorted(t.column("chunk_id").to_pylist()) == list(range(n))
+
+    orig = tokseq_table(sf_dir)
+    order = np.argsort(
+        pc.cast(orig.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False),
+        kind="stable",
+    )
+    expect = _flat(orig.take(pa.array(order)))
+    got = _flat(t)
+    assert len(got) == len(expect)
+    assert (got == expect).all()
+
+
+def test_packed_export_hash_order_and_shards(ray_session, tmp_path):
+    """order='hash' (default): token mass conserved, chunks uniform,
+    deterministic across runs; run_export_packed lands readable
+    parquet shards with matching totals."""
+    out = str(tmp_path / "enc")
+    run_encode(
+        lambda: synth_dataset(800, num_blocks=4),
+        EncodeConfig(out_dir=out, target_partition_tokens=100_000),
+    ).materialize()
+
+    L = 256
+    d1 = packed_dataset(out, L, n_buckets=8).to_pandas()
+    d2 = packed_dataset(out, L, n_buckets=8).to_pandas()
+    assert int(d1.n_tok.sum()) == int(d2.n_tok.sum())
+    h1 = d1.sort_values("chunk_id").tokens.apply(lambda v: tuple(v)).tolist()
+    h2 = d2.sort_values("chunk_id").tokens.apply(lambda v: tuple(v)).tolist()
+    assert h1 == h2  # deterministic hash order
+
+    to = str(tmp_path / "shards")
+    res = run_export_packed(out, to, L, n_buckets=8)
+    assert res["tokens"] == int(d1.n_tok.sum())
+    assert res["chunks"] == len(d1)
+    back = pq.read_table(to)
+    assert back.num_rows == res["chunks"]
+    blens = pc.list_value_length(back.column("tokens")).to_numpy(zero_copy_only=False)
+    assert (np.sort(blens)[1:] == L).all() if len(blens) > 1 else True
+
+
+def test_packed_export_snapshot_scope(ray_session, sf_dir, tmp_path):
+    """max_gen= composes: a gen-0 snapshot export packs exactly the
+    gen-0 token mass."""
+    t = tokseq_table(sf_dir)
+    h = t.num_rows // 2
+    base = tmp_path / "shards_in"
+    base.mkdir()
+    s0, s1 = str(base / "s0.parquet"), str(base / "s1.parquet")
+    pq.write_table(t.slice(0, h), s0)
+    pq.write_table(t.slice(h), s1)
+    out = str(tmp_path / "enc")
+    cfg = EncodeConfig(out_dir=out, target_partition_tokens=5_000)
+    run_encode_files([s0], cfg).materialize()
+    run_encode_files([s0, s1], cfg).materialize()
+
+    gen0_tokens = int(pc.sum(t.slice(0, h).column("n_tok")).as_py())
+    d0 = packed_dataset(out, 128, max_gen=0, n_buckets=4).to_pandas()
+    assert int(d0.n_tok.sum()) == gen0_tokens
+    dall = packed_dataset(out, 128, n_buckets=4).to_pandas()
+    assert int(dall.n_tok.sum()) == int(pc.sum(t.column("n_tok")).as_py())
+
+    with pytest.raises(ValueError, match="order"):
+        packed_dataset(out, 128, order="bogus")
