@@ -116,3 +116,56 @@ def test_table_container_sf01_roundtrip_wall(ray_session, tmp_path):
         .as_py()
     )
     assert got == want
+
+
+INCR_VERIFY_FRACTION = 0.5  # measured: gens=[1] ~0.1x the full wall
+
+
+@pytest.mark.slow
+def test_incremental_verify_cost_scales_with_append(ray_session, tmp_path):
+    """The incremental-verify contract at scale: after appending a ~5%
+    generation to a ~120M-token corpus, run_verify(gens=[1]) re-reads
+    only the appended shard — pinned at <=0.5x the full-verify wall
+    (measured ~0.1x; a scoping regression that silently re-verifies
+    everything trips this immediately)."""
+    import os
+
+    from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode_files
+    from fileconvert_ray.pipelines.verify_job import run_verify
+
+    base = str(tmp_path / "shards")
+    d0, d1 = f"{base}/g0", f"{base}/g1"
+    # disjoint doc ranges: rows [0, 190k) as gen 0, [190k, 200k) as gen 1
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    os.makedirs(d0), os.makedirs(d1)
+
+    for k, (a, b) in enumerate([(0, 95_000), (95_000, 190_000)]):
+        pq.write_table(synth_rows(a, b), f"{d0}/s{k}.parquet")
+    pq.write_table(synth_rows(190_000, 200_000), f"{d1}/s0.parquet")
+
+    out = str(tmp_path / "enc")
+    cfg = EncodeConfig(out_dir=out, staged_dir="/dev/shm/slow_incr_staged")
+    run_encode_files([f"{d0}/s0.parquet", f"{d0}/s1.parquet"], cfg).materialize()
+    m1 = run_encode_files(
+        [f"{d0}/s0.parquet", f"{d0}/s1.parquet", f"{d1}/s0.parquet"], cfg
+    ).to_pandas()
+    appended_rows = int(m1["n_rows"].sum())
+    assert appended_rows == 10_000
+
+    t0 = time.perf_counter()
+    vs = run_verify(None, out, mode="hash", gens=[1]).to_pandas()
+    scoped_wall = time.perf_counter() - t0
+    assert bool(vs["ok"].all()) and int(vs["n_rows"].sum()) == appended_rows
+
+    t0 = time.perf_counter()
+    vf = run_verify(None, out, mode="hash").to_pandas()
+    full_wall = time.perf_counter() - t0
+    assert bool(vf["ok"].all()) and int(vf["n_rows"].sum()) == 200_000
+
+    assert scoped_wall <= INCR_VERIFY_FRACTION * full_wall, (
+        f"scoped verify {scoped_wall:.1f}s vs full {full_wall:.1f}s"
+    )
+    shutil.rmtree("/dev/shm/slow_incr_staged", ignore_errors=True)
