@@ -294,6 +294,9 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--max-gen", type=int, default=None,
                     help="snapshot export: ingest generations <= N")
     xp.add_argument("--buckets", type=int, default=64)
+    xp.add_argument("--seed", type=int, default=0,
+                    help="reseed the hash order (per-epoch deterministic "
+                         "global reshuffle; ignored with --order int)")
 
     f = sub.add_parser("profile", help="per-column stats of a parquet table")
     f.add_argument("input", help="parquet file or directory")
@@ -780,6 +783,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.to,
                 args.seq_len,
                 order=args.order,
+                seed=args.seed,
                 sources=args.sources.split(",") if args.sources else None,
                 max_gen=args.max_gen,
                 n_buckets=args.buckets,

@@ -33,6 +33,7 @@ def packed_dataset(
     seq_len: int,
     *,
     order: str = "hash",
+    seed: int = 0,
     sources: list[str] | None = None,
     max_gen: int | None = None,
     n_buckets: int = 64,
@@ -40,7 +41,8 @@ def packed_dataset(
     """Streaming Dataset of PACKED_SCHEMA rows (chunk_id, tokens,
     n_tok) from an encoded corpus.  ``max_gen`` composes with snapshot
     reads: export "the corpus as of ingest N" without materializing
-    anything else."""
+    anything else.  ``seed`` reseeds the hash order — a per-epoch
+    deterministic global reshuffle for free (ignored by order="int")."""
     from ..functions.packing import pack_sequences
     from ..stages.decoder import decode_dataset
     from ..util.hashing import hash_strings_u64
@@ -64,9 +66,9 @@ def packed_dataset(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         # 63-bit: keeps (max - min + 1) inside int64 for the bucketer
-        h = (hash_strings_u64(pc.cast(ids, pa.string())) >> np.uint64(1)).astype(
-            np.int64
-        )
+        h = (
+            hash_strings_u64(pc.cast(ids, pa.string()), seed=seed) >> np.uint64(1)
+        ).astype(np.int64)
         i = batch.column_names.index("doc_id")
         return batch.set_column(i, "doc_id", pa.array(h))
 
@@ -84,6 +86,7 @@ def run_export_packed(
     seq_len: int,
     *,
     order: str = "hash",
+    seed: int = 0,
     sources: list[str] | None = None,
     max_gen: int | None = None,
     n_buckets: int = 64,
@@ -95,6 +98,7 @@ def run_export_packed(
         out_dir,
         seq_len,
         order=order,
+        seed=seed,
         sources=sources,
         max_gen=max_gen,
         n_buckets=n_buckets,

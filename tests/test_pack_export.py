@@ -69,6 +69,12 @@ def test_packed_export_hash_order_and_shards(ray_session, tmp_path):
     h2 = d2.sort_values("chunk_id").tokens.apply(lambda v: tuple(v)).tolist()
     assert h1 == h2  # deterministic hash order
 
+    # a different seed is a different (but token-conserving) epoch order
+    d3 = packed_dataset(out, L, seed=7, n_buckets=8).to_pandas()
+    assert int(d3.n_tok.sum()) == int(d1.n_tok.sum())
+    h3 = d3.sort_values("chunk_id").tokens.apply(lambda v: tuple(v)).tolist()
+    assert h3 != h1
+
     to = str(tmp_path / "shards")
     res = run_export_packed(out, to, L, n_buckets=8)
     assert res["tokens"] == int(d1.n_tok.sum())
@@ -102,3 +108,37 @@ def test_packed_export_snapshot_scope(ray_session, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="order"):
         packed_dataset(out, 128, order="bogus")
+
+
+def test_packed_export_edge_shapes(ray_session, tmp_path):
+    """Adversarial shapes: empty token rows vanish into the stream, a
+    single doc much longer than seq_len fans out across chunks, and
+    the reconstruction is still bit-exact in int order."""
+    import ray.data as rd
+
+    from fileconvert_ray.sources.tokseq import INPUT_SCHEMA
+
+    rows = {
+        "doc_id": ["1", "2", "3", "4"],
+        "tokens": pa.array(
+            [[], list(range(1000)), [], [7, 8, 9]], type=pa.list_(pa.int32())
+        ),
+        "n_tok": pa.array([0, 1000, 0, 3], type=pa.int32()),
+        "source": ["s0", "s0", "s1", "s1"],
+    }
+    t = pa.Table.from_pydict(rows, schema=INPUT_SCHEMA)
+    out = str(tmp_path / "enc")
+    run_encode(
+        lambda: rd.from_arrow(t),
+        EncodeConfig(out_dir=out, target_partition_tokens=200_000),
+    ).materialize()
+
+    L = 128
+    packed = packed_dataset(out, L, order="int", n_buckets=4).to_pandas()
+    got = np.concatenate(
+        [np.asarray(v) for _, v in sorted(zip(packed.chunk_id, packed.tokens))]
+    )
+    expect = np.concatenate([np.arange(1000), [7, 8, 9]])
+    assert (got == expect).all()
+    lens = sorted(packed.n_tok.tolist(), reverse=True)
+    assert all(l == L for l in lens[:-1]) and lens[-1] <= L
