@@ -297,6 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--seed", type=int, default=0,
                     help="reseed the hash order (per-epoch deterministic "
                          "global reshuffle; ignored with --order int)")
+    xp.add_argument("--boundaries", action="store_true",
+                    help="add doc_starts: within-chunk offsets where a "
+                         "document begins (attention-reset positions)")
 
     f = sub.add_parser("profile", help="per-column stats of a parquet table")
     f.add_argument("input", help="parquet file or directory")
@@ -784,6 +787,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.seq_len,
                 order=args.order,
                 seed=args.seed,
+                boundaries=args.boundaries,
                 sources=args.sources.split(",") if args.sources else None,
                 max_gen=args.max_gen,
                 n_buckets=args.buckets,

@@ -43,8 +43,27 @@ import pyarrow.compute as pc
 FRAG_SCHEMA = pa.schema(
     [("chunk_id", pa.int64()), ("cpos", pa.int64()), ("frag", pa.list_(pa.int32()))]
 )
+# boundaries=True: fragments / chunks additionally carry the within-chunk
+# offsets at which a (non-empty) document STARTS — the attention-reset
+# positions a trainer needs so packed rows don't attend across documents.
+FRAG_B_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.int64()),
+        ("cpos", pa.int64()),
+        ("frag", pa.list_(pa.int32())),
+        ("bnd", pa.list_(pa.int32())),
+    ]
+)
 PACKED_SCHEMA = pa.schema(
     [("chunk_id", pa.int64()), ("tokens", pa.list_(pa.int32())), ("n_tok", pa.int64())]
+)
+PACKED_B_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.int64()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int64()),
+        ("doc_starts", pa.list_(pa.int32())),
+    ]
 )
 
 
@@ -59,7 +78,7 @@ def _flat_tokens(col) -> tuple[np.ndarray, np.ndarray]:
 
 def pack_sequences(ds, *, seq_len: int, order_col: str = "doc_id",
                    tokens_col: str = "tokens", n_tok_col: str = "n_tok",
-                   n_buckets: int = 16):
+                   n_buckets: int = 16, boundaries: bool = False):
     """Pack ``ds``'s token lists into fixed-length rows.
 
     ``order_col`` must be an integer column: the global concatenation
@@ -67,9 +86,20 @@ def pack_sequences(ds, *, seq_len: int, order_col: str = "doc_id",
     unique by contract).  Returns a Dataset with PACKED_SCHEMA; the
     trailing partial chunk is kept (n_tok < seq_len on at most one
     row).
+
+    ``boundaries=True`` adds a ``doc_starts: list<int32>`` column —
+    the ascending within-chunk offsets where a non-empty document
+    begins (PACKED_B_SCHEMA).  These are the attention-reset /
+    position-id-reset offsets for packed-sequence training; an offset
+    of 0 appears only when a document happens to start exactly at a
+    chunk boundary.  Zero-token documents contribute no boundary (they
+    occupy no positions).  Cost: the same fragment rows carry an extra
+    O(docs) int32 list — no extra pass, no extra exchange.
     """
     L = int(seq_len)
     B = int(n_buckets)
+    f_schema = FRAG_B_SCHEMA if boundaries else FRAG_SCHEMA
+    p_schema = PACKED_B_SCHEMA if boundaries else PACKED_SCHEMA
 
     # ---- pass 1: key range (column-pruned; O(batches) partials)
     def minmax(batch: pa.Table) -> pa.Table:
@@ -85,8 +115,8 @@ def pack_sequences(ds, *, seq_len: int, order_col: str = "doc_id",
     if len(mm) == 0:
         import ray.data as rd
 
-        return rd.from_arrow(pa.Table.from_pydict({f.name: [] for f in PACKED_SCHEMA},
-                                                  schema=PACKED_SCHEMA))
+        return rd.from_arrow(pa.Table.from_pydict({f.name: [] for f in p_schema},
+                                                  schema=p_schema))
     lo_id, hi_id = int(mm.mn.min()), int(mm.mx.max())
     span = max(hi_id - lo_id + 1, 1)
     width = (span + B - 1) // B  # bucket b covers ids [lo_id + b*width, ...)
@@ -120,13 +150,13 @@ def pack_sequences(ds, *, seq_len: int, order_col: str = "doc_id",
 
     def frag_emit(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.Table.from_pydict({f.name: [] for f in FRAG_SCHEMA}, schema=FRAG_SCHEMA)
+            return pa.Table.from_pydict({f.name: [] for f in f_schema}, schema=f_schema)
         g = group.sort_by(order_col)
         b = int(g.column("_pb")[0].as_py())
         flat, lens = _flat_tokens(g.column(tokens_col))
         n = len(flat)
         if n == 0:
-            return pa.Table.from_pydict({f.name: [] for f in FRAG_SCHEMA}, schema=FRAG_SCHEMA)
+            return pa.Table.from_pydict({f.name: [] for f in f_schema}, schema=f_schema)
         if n >= (1 << 31):
             # fragment list offsets are int32; a bucket this large must
             # be split finer rather than silently wrapping
@@ -145,8 +175,25 @@ def pack_sequences(ds, *, seq_len: int, order_col: str = "doc_id",
         chunk_ids = first_chunk + np.arange(len(run_starts), dtype=np.int64)
         cpos = (gpos0 + run_starts) % L
         frags = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
+        if not boundaries:
+            return pa.Table.from_arrays(
+                [pa.array(chunk_ids), pa.array(cpos), frags], schema=FRAG_SCHEMA
+            )
+        # non-empty doc starts, LOCAL to this bucket's flat stream
+        doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1][lens > 0]
+        # slice of doc_starts falling inside each run; a doc start at
+        # local p in run r sits at within-chunk offset cpos[r] + (p -
+        # run_starts[r])  (each run lies inside exactly one chunk)
+        bcuts = np.searchsorted(doc_starts, np.concatenate((run_starts, [n])))
+        run_idx = np.repeat(np.arange(len(run_starts)), np.diff(bcuts))
+        bnd_flat = (cpos[run_idx] + doc_starts[bcuts[0]:bcuts[-1]] - run_starts[run_idx]).astype(
+            np.int32
+        )
+        bnd = pa.ListArray.from_arrays(
+            pa.array(bcuts.astype(np.int32)), pa.array(bnd_flat, type=pa.int32())
+        )
         return pa.Table.from_arrays(
-            [pa.array(chunk_ids), pa.array(cpos), frags], schema=FRAG_SCHEMA
+            [pa.array(chunk_ids), pa.array(cpos), frags, bnd], schema=FRAG_B_SCHEMA
         )
 
     frags = (
@@ -159,16 +206,22 @@ def pack_sequences(ds, *, seq_len: int, order_col: str = "doc_id",
     # ---- pass 4: assemble chunks from <= n_buckets+docs fragments each
     def assemble(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.Table.from_pydict({f.name: [] for f in PACKED_SCHEMA},
-                                        schema=PACKED_SCHEMA)
+            return pa.Table.from_pydict({f.name: [] for f in p_schema},
+                                        schema=p_schema)
         g = group.sort_by("cpos")
         flat = pc.list_flatten(g.column("frag").combine_chunks())
         n = len(flat)
         cid = g.column("chunk_id")[0].as_py()
         toks = pa.ListArray.from_arrays(pa.array([0, n], type=pa.int32()), flat)
-        return pa.Table.from_arrays(
-            [pa.array([cid], type=pa.int64()), toks, pa.array([n], type=pa.int64())],
-            schema=PACKED_SCHEMA,
-        )
+        cols = [pa.array([cid], type=pa.int64()), toks, pa.array([n], type=pa.int64())]
+        if boundaries:
+            # fragment bnd offsets are already chunk-relative and each
+            # fragment's list is ascending; cpos order makes the
+            # concatenation globally ascending
+            bflat = pc.list_flatten(g.column("bnd").combine_chunks())
+            cols.append(
+                pa.ListArray.from_arrays(pa.array([0, len(bflat)], type=pa.int32()), bflat)
+            )
+        return pa.Table.from_arrays(cols, schema=p_schema)
 
     return frags.groupby("chunk_id").map_groups(assemble, batch_format="pyarrow")

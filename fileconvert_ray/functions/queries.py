@@ -3390,6 +3390,47 @@ def q_packed_export_scan(sf_dir: str):
     return packed.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_packed_boundaries_scan(sf_dir: str):
+    """Packed export WITH document boundaries (pack_job
+    boundaries=True): per chunk, the within-chunk offsets where a doc
+    starts — the attention-reset positions for packed-sequence
+    training.  Digest per chunk = (n_starts, sum of offsets,
+    rank-weighted sum) so the oracle pins the offset VALUES and their
+    ascending ORDER; chunks with no doc start are filtered (the SQL
+    side groups over start positions only)."""
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..pipelines.pack_job import packed_dataset
+
+    out = _job_dir(sf_dir, "packb")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=200_000),
+    ).materialize()
+
+    packed = packed_dataset(out, 256, order="int", n_buckets=8, boundaries=True)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        bnd = batch.column("doc_starts")
+        if isinstance(bnd, pa.ChunkedArray):
+            bnd = bnd.combine_chunks()
+        lens = pc.list_value_length(bnd).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(bnd).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        rank = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        cum = np.concatenate(([0], np.cumsum(flat)))
+        wcum = np.concatenate(([0], np.cumsum(flat * rank)))
+        t = pa.Table.from_pydict({
+            "chunk_id": pc.cast(batch.column("chunk_id"), pa.int64()),
+            "n_starts": pa.array(lens),
+            "bnd_sum": pa.array(cum[offs[1:]] - cum[offs[:-1]]),
+            "bnd_wsum": pa.array(wcum[offs[1:]] - wcum[offs[:-1]]),
+        })
+        return t.filter(pc.greater(t.column("n_starts"), 0))
+
+    return packed.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -7941,6 +7982,7 @@ QUERIES = {
     "upsert_scan": q_upsert_scan,
     "snapshot_scan": q_snapshot_scan,
     "packed_export_scan": q_packed_export_scan,
+    "packed_boundaries_scan": q_packed_boundaries_scan,
 }
 
 _VOCAB_CTE = """
@@ -8885,6 +8927,23 @@ ORACLE_SQL = {
                cast(count(distinct t) as bigint) as n_distinct,
                round(1 - count(distinct t)::double / count(*), 6) as rep_ratio
         from s group by doc_id
+    """,
+    "packed_boundaries_scan": """
+        with d as (select doc_id, string_split(text, ' ') as ws from documents),
+        o as (select doc_id, len(ws) as n,
+                     coalesce(sum(len(ws)) over (order by doc_id
+                              rows between unbounded preceding and 1 preceding),
+                              0) as base
+              from d),
+        s as (select base // 256 as c, base % 256 as off,
+                     row_number() over (partition by base // 256
+                                        order by base) as rnk
+              from o where n > 0)
+        select cast(c as bigint) as chunk_id,
+               cast(count(*) as bigint) as n_starts,
+               cast(sum(off) as bigint) as bnd_sum,
+               cast(sum(off * rnk) as bigint) as bnd_wsum
+        from s group by 1
     """,
     "packed_export_scan": _VOCAB_CTE
     + """,

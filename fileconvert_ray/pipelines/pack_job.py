@@ -37,12 +37,15 @@ def packed_dataset(
     sources: list[str] | None = None,
     max_gen: int | None = None,
     n_buckets: int = 64,
+    boundaries: bool = False,
 ):
     """Streaming Dataset of PACKED_SCHEMA rows (chunk_id, tokens,
     n_tok) from an encoded corpus.  ``max_gen`` composes with snapshot
     reads: export "the corpus as of ingest N" without materializing
     anything else.  ``seed`` reseeds the hash order — a per-epoch
-    deterministic global reshuffle for free (ignored by order="int")."""
+    deterministic global reshuffle for free (ignored by order="int").
+    ``boundaries=True`` adds ``doc_starts: list<int32>`` — the
+    within-chunk attention-reset offsets (functions/packing.py)."""
     from ..functions.packing import pack_sequences
     from ..stages.decoder import decode_dataset
     from ..util.hashing import hash_strings_u64
@@ -77,7 +80,9 @@ def packed_dataset(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return pack_sequences(keyed, seq_len=seq_len, n_buckets=n_buckets)
+    return pack_sequences(
+        keyed, seq_len=seq_len, n_buckets=n_buckets, boundaries=boundaries
+    )
 
 
 def run_export_packed(
@@ -90,6 +95,7 @@ def run_export_packed(
     sources: list[str] | None = None,
     max_gen: int | None = None,
     n_buckets: int = 64,
+    boundaries: bool = False,
 ) -> dict:
     """Export packed training shards to ``to_dir`` (parquet, one file
     per block).  Returns {"chunks": N, "tokens": T} from the written
@@ -102,6 +108,7 @@ def run_export_packed(
         sources=sources,
         max_gen=max_gen,
         n_buckets=n_buckets,
+        boundaries=boundaries,
     )
     ds.write_parquet(to_dir)
     import ray.data as rd

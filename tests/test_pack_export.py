@@ -142,3 +142,44 @@ def test_packed_export_edge_shapes(ray_session, tmp_path):
     assert (got == expect).all()
     lens = sorted(packed.n_tok.tolist(), reverse=True)
     assert all(l == L for l in lens[:-1]) and lens[-1] <= L
+
+
+def test_packed_export_doc_boundaries(ray_session, tmp_path):
+    """boundaries=True: doc_starts holds the exact ascending
+    within-chunk offsets of every non-empty doc start — checked
+    against a pure-Python reference over random lengths (including
+    zero-length docs, which contribute no boundary)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    n_docs = 400
+    lens = rng.integers(0, 60, n_docs)
+    lens[rng.random(n_docs) < 0.1] = 0
+    toks = [list(rng.integers(0, 1000, l).astype(np.int32)) for l in lens]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(np.arange(n_docs) * 7 + 3, type=pa.int64()),
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "n_tok": pa.array(lens.astype(np.int64)),
+        }
+    )
+    from fileconvert_ray.functions.packing import pack_sequences
+
+    L = 64
+    packed = (
+        pack_sequences(rd.from_arrow(t), seq_len=L, n_buckets=7, boundaries=True)
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    starts_all = np.concatenate(([0], np.cumsum(lens)))[:-1][lens > 0]
+    n_seen = 0
+    for _, row in packed.iterrows():
+        lo = int(row.chunk_id) * L
+        exp = (starts_all[(starts_all >= lo) & (starts_all < lo + len(row.tokens))] - lo).tolist()
+        assert row.doc_starts.tolist() == exp  # exact AND ascending
+        n_seen += len(exp)
+    assert n_seen == len(starts_all)
+
+    # default path: schema unchanged (no doc_starts column)
+    plain = pack_sequences(rd.from_arrow(t), seq_len=L, n_buckets=7)
+    assert plain.schema().names == ["chunk_id", "tokens", "n_tok"]
