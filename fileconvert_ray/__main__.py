@@ -250,6 +250,16 @@ def build_parser() -> argparse.ArgumentParser:
     ins = sub.add_parser("inspect", help="summarize an encode out dir from its manifest")
     ins.add_argument("out_dir")
 
+    fs = sub.add_parser(
+        "fsck",
+        help="metadata-only consistency audit of an encode out dir "
+        "(manifest <-> containers <-> plan <-> tombstones; exit 1 on errors)",
+    )
+    fs.add_argument("out_dir")
+    fs.add_argument("--reclaim", action="store_true",
+                    help="delete benign leftovers: orphan containers, tmp/ "
+                         "scratch, and (complete jobs only) staged/ scratch")
+
     lk = sub.add_parser(
         "lookup",
         help="point-lookup doc ids in an encoded out dir (index-free: the "
@@ -327,6 +337,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd == "fsck":
+        # metadata-only: O(partitions) stats, no Ray session needed
+        from fileconvert_ray.state.fsck import fsck
+
+        report = fsck(args.out_dir, reclaim=args.reclaim)
+        print(json.dumps(report, sort_keys=True))
+        return 0 if report["ok"] else 1
     import ray
 
     if not ray.is_initialized():
