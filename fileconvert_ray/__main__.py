@@ -45,10 +45,12 @@ def _kv_pairs(values: list[str]) -> dict:
 _TOKSEQ_COLS = ("doc_id", "tokens", "n_tok", "source")
 
 
-def _require_tokseq_schema(path: str) -> None:
+def _require_tokseq_schema(path: str) -> bool:
     """Fail fast with a readable message when an encode input is not
     tokseq-shaped — otherwise the pipeline dies mid-execution with a
-    raw KeyError wrapped around a full block dump."""
+    raw KeyError wrapped around a full block dump.  Returns True when
+    the columns exist but dtypes drifted from INPUT_SCHEMA (the caller
+    then inserts a normalize_tokseq cast stage)."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -60,9 +62,10 @@ def _require_tokseq_schema(path: str) -> None:
             raise SystemExit(f"no parquet shards found under {path!r}")
         f = cands[0]
     try:
-        names = set(_pq.read_schema(f).names)
+        schema = _pq.read_schema(f)
     except Exception as e:
         raise SystemExit(f"cannot read parquet schema of {f!r}: {e}")
+    names = set(schema.names)
     missing = [c for c in _TOKSEQ_COLS if c not in names]
     if missing:
         raise SystemExit(
@@ -71,6 +74,11 @@ def _require_tokseq_schema(path: str) -> None:
             "tables must be tokenized first — see the `curate` subcommand, "
             "which tokenizes its train split before encoding)"
         )
+    from fileconvert_ray.sources.tokseq import INPUT_SCHEMA
+
+    return any(
+        not schema.field(fld.name).type.equals(fld.type) for fld in INPUT_SCHEMA
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -332,6 +340,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--check-all", action="store_true",
                    help="run EVERY oracle-checked query against DuckDB and "
                         "print a summary (exit 1 if any mismatch)")
+    # mutating commands hold out_dir/.lock (state/lock.py); this flag
+    # steals a lock whose owner is known dead (crashed job, lost host)
+    for _name in ("encode", "encode-inc", "compact", "delete", "purge",
+                  "upsert", "table-encode"):
+        sub.choices[_name].add_argument(
+            "--break-lock", action="store_true",
+            help="steal out_dir/.lock from a dead job")
     return p
 
 
@@ -351,6 +366,27 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # single-writer guard: mutating commands hold out_dir/.lock for the
+    # whole command (the crash-safety protocols assume ONE writer; see
+    # state/lock.py).  Readers (decode/query/verify/...) take no lock.
+    from contextlib import ExitStack
+
+    _MUTATORS = {"encode": "out", "encode-inc": "out", "compact": "out_dir",
+                 "delete": "out_dir", "purge": "out_dir", "upsert": "out",
+                 "table-encode": "out"}
+    _stack = ExitStack()
+    if args.cmd in _MUTATORS:
+        from fileconvert_ray.state.lock import LockHeldError, job_lock
+
+        try:
+            _stack.enter_context(
+                job_lock(getattr(args, _MUTATORS[args.cmd]), args.cmd,
+                         force=getattr(args, "break_lock", False))
+            )
+        except LockHeldError as e:
+            print(json.dumps({"ok": False, "error": str(e)}))
+            ray.shutdown()
+            return 3
     try:
         if args.cmd == "convert":
             from fileconvert_ray.sources.csvio import (
@@ -424,7 +460,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode
 
-            _require_tokseq_schema(args.input)
+            needs_cast = _require_tokseq_schema(args.input)
             cfg = EncodeConfig(
                 out_dir=args.out,
                 target_partition_tokens=args.target_partition_tokens,
@@ -434,7 +470,13 @@ def main(argv: list[str] | None = None) -> int:
                 reduce_buckets=args.reduce_buckets,
                 staged_dir=args.staged_dir,
             )
-            m = run_encode(lambda: rd.read_parquet(args.input), cfg).to_pandas()
+            if needs_cast:
+                from fileconvert_ray.sources.tokseq import normalize_tokseq
+
+                factory = lambda: normalize_tokseq(rd.read_parquet(args.input))
+            else:
+                factory = lambda: rd.read_parquet(args.input)
+            m = run_encode(factory, cfg).to_pandas()
             print(json.dumps({
                 "ok": True,
                 "partitions": int(len(m)),
@@ -445,6 +487,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "encode-inc":
             import glob as _glob
 
+            import ray.data as rd
+
             from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode_files
 
             files = []
@@ -453,8 +497,7 @@ def main(argv: list[str] | None = None) -> int:
                     sorted(_glob.glob(os.path.join(p, "*.parquet")))
                     if os.path.isdir(p) else [p]
                 )
-            if files:
-                _require_tokseq_schema(files[0])
+            needs_cast = _require_tokseq_schema(files[0]) if files else False
             cfg = EncodeConfig(
                 out_dir=args.out,
                 target_partition_tokens=args.target_partition_tokens,
@@ -464,7 +507,14 @@ def main(argv: list[str] | None = None) -> int:
                 reduce_buckets=args.reduce_buckets,
                 staged_dir=args.staged_dir,
             )
-            m = run_encode_files(files, cfg).to_pandas()
+            inc_kw = {}
+            if needs_cast:
+                from fileconvert_ray.sources.tokseq import normalize_tokseq
+
+                inc_kw["ds_from_files"] = lambda fs: normalize_tokseq(
+                    rd.read_parquet(fs)
+                )
+            m = run_encode_files(files, cfg, **inc_kw).to_pandas()
             print(json.dumps({
                 "ok": True,
                 "new_partitions": int(len(m)),
@@ -937,6 +987,7 @@ def main(argv: list[str] | None = None) -> int:
                 "head": json.loads(df.to_json(orient="records", date_format="iso")),
             }))
     finally:
+        _stack.close()
         ray.shutdown()
     return 0
 

@@ -31,6 +31,21 @@ INPUT_SCHEMA = pa.schema(
 )
 
 
+def normalize_tokseq(ds):
+    """Cast loosely-typed tokseq shards (e.g. int64 doc_id, list<int64>
+    tokens from a third-party tokenizer dump) to INPUT_SCHEMA.  Blocks
+    already in canonical layout pass through zero-copy; the CLI only
+    inserts this stage when the parquet footer says dtypes drifted."""
+
+    def cast(batch: pa.Table) -> pa.Table:
+        if batch.schema.equals(INPUT_SCHEMA):
+            return batch
+        cols = [pc.cast(batch.column(f.name), f.type) for f in INPUT_SCHEMA]
+        return pa.Table.from_arrays(cols, schema=INPUT_SCHEMA)
+
+    return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def build_vocab(sf_dir: str) -> list[str]:
     """Global sorted vocabulary of whitespace-split words (31 at every sf).
 

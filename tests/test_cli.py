@@ -451,3 +451,26 @@ def test_cli_table_sort_compact_inspect(tmp_path):
 
     ins = run_cli("table-inspect", cmp_dir)
     assert sum(c["enc_bytes"] for c in ins["columns"]) == r2["encoded_bytes"]
+
+
+def test_cli_encode_drifted_dtypes(tmp_path):
+    """Third-party tokenizer dumps come in as int64 doc_id / list<int64>
+    tokens; the CLI must normalize to INPUT_SCHEMA instead of dying in
+    the hash stage (round-5: normalize_tokseq cast path)."""
+    shard = str(tmp_path / "in.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "tokens": pa.array([[1, 2, 3], [4], [5, 6]], pa.list_(pa.int64())),
+            "n_tok": pa.array([3, 1, 2], pa.int64()),
+            "source": pa.array(["s0", "s0", "s1"]).dictionary_encode(),
+        }),
+        shard)
+    out = str(tmp_path / "enc")
+    r = run_cli("encode", shard, "--out", out)
+    assert r["ok"] and r["n_rows"] == 3 and r["n_tokens"] == 6
+    dec_dir = str(tmp_path / "dec")
+    assert run_cli("decode", out, "--to", dec_dir)["ok"]
+    t = pq.read_table(dec_dir).sort_by("doc_id")
+    assert t.column("doc_id").to_pylist() == ["10", "11", "12"]
+    assert t.column("tokens").to_pylist() == [[1, 2, 3], [4], [5, 6]]
