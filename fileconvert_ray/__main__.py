@@ -255,6 +255,24 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--decontam", default=None, metavar="EVAL_PARQUET",
                    help="drop docs sharing any word 3-gram with this eval set")
 
+    tk = sub.add_parser(
+        "tokenize",
+        help="documents parquet -> tokseq shards (out/shards) + out/vocab.json",
+    )
+    tk.add_argument("input", help="documents parquet (dir or file): doc_id, text, source")
+    tk.add_argument("--out", required=True)
+    tk.add_argument("--vocab", default=None,
+                    help="freeze an existing vocab.json (unseen words -> OOV id); "
+                    "REQUIRED for shards that must join an already-encoded corpus")
+
+    dt = sub.add_parser(
+        "detokenize", help="tokseq shards + vocab.json -> documents parquet"
+    )
+    dt.add_argument("input", help="a tokenize out dir, or any tokseq shard dir/file")
+    dt.add_argument("--out", required=True)
+    dt.add_argument("--vocab", default=None,
+                    help="vocab.json path (default: input/vocab.json)")
+
     ins = sub.add_parser("inspect", help="summarize an encode out dir from its manifest")
     ins.add_argument("out_dir")
 
@@ -743,6 +761,14 @@ def main(argv: list[str] | None = None) -> int:
                 near_dedup=args.near_dedup,
                 decontam_path=args.decontam,
             )))
+        elif args.cmd == "tokenize":
+            from fileconvert_ray.pipelines.tokenize_job import run_tokenize
+
+            print(json.dumps(run_tokenize(args.input, args.out, vocab_path=args.vocab)))
+        elif args.cmd == "detokenize":
+            from fileconvert_ray.pipelines.tokenize_job import run_detokenize
+
+            print(json.dumps(run_detokenize(args.input, args.out, vocab_path=args.vocab)))
         elif args.cmd == "inspect":
             from collections import Counter
 

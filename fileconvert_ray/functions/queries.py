@@ -2919,6 +2919,26 @@ def q_csv_export_roundtrip(sf_dir: str):
     return rd.read_csv(base)
 
 
+def q_tokenize_roundtrip(sf_dir: str):
+    """Whole-tokenizer fidelity with a VALUE oracle: documents ->
+    run_tokenize (distributed vocab build + word->id shards +
+    persisted vocab.json) -> run_detokenize (id->word via one Arrow
+    take + binary_join) -> (doc_id, text, source), hash-compared
+    against plain SQL over the original parquet.  A vocab-order drift,
+    id remap, split/join asymmetry, or OOV leak breaks value parity."""
+    import ray.data as rd
+
+    from ..pipelines.tokenize_job import run_detokenize, run_tokenize
+
+    tok = _job_dir(sf_dir, "tokrt")
+    detok = _job_dir(sf_dir, "tokrt-back")
+    shutil.rmtree(tok, ignore_errors=True)
+    shutil.rmtree(detok, ignore_errors=True)
+    run_tokenize(f"{sf_dir}/documents.parquet", tok)
+    run_detokenize(tok, detok)
+    return rd.read_parquet(detok)
+
+
 def q_feather_roundtrip(sf_dir: str):
     """Feather / Arrow-IPC sink+source fidelity with a VALUE oracle:
     documents -> write_feather_dataset (one IPC file per block,
@@ -7918,6 +7938,7 @@ QUERIES = {
     "encode_metrics": q_encode_metrics,
     "csv_roundtrip": q_csv_roundtrip,
     "csv_export_roundtrip": q_csv_export_roundtrip,
+    "tokenize_roundtrip": q_tokenize_roundtrip,
     "jsonl_export_roundtrip": q_jsonl_export_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
     "bpe_merge_rounds": q_bpe_merge_rounds,
@@ -8823,6 +8844,9 @@ ORACLE_SQL = {
     """,
     "csv_export_roundtrip": """
         select doc_id, text, lang, source, n_chars from documents
+    """,
+    "tokenize_roundtrip": """
+        select cast(doc_id as varchar) as doc_id, text, source from documents
     """,
     "jsonl_export_roundtrip": """
         select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id, event_type

@@ -62,9 +62,18 @@ def build_vocab(sf_dir: str) -> list[str]:
     return sorted(words)
 
 
-def tokenize_batch(batch: pa.Table, vocab: dict[str, int]) -> pa.Table:
+def tokenize_batch(
+    batch: pa.Table, vocab: dict[str, int], oov_id: int | None = None
+) -> pa.Table:
     """documents batch -> tokseq batch.  Vectorized: split via Arrow
-    kernel, word->id via dictionary_encode + small mapping gather."""
+    kernel, word->id via dictionary_encode + small mapping gather.
+
+    ``oov_id=None`` (the default) treats the vocab as total — an
+    unseen word is a KeyError (the F1a/curate path, where the vocab
+    was built from this very corpus).  With ``oov_id`` set, unseen
+    words map there instead — the frozen-vocab mode run_tokenize uses
+    when re-tokenizing NEW shards against a persisted vocabulary (ids
+    must stay stable across incremental ingests)."""
     text = batch.column("text").combine_chunks()
     words = pc.split_pattern(text, " ")
     if isinstance(words, pa.ChunkedArray):
@@ -73,7 +82,12 @@ def tokenize_batch(batch: pa.Table, vocab: dict[str, int]) -> pa.Table:
     denc = pc.dictionary_encode(flat)
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
-    mapping = np.array([vocab[w] for w in denc.dictionary.to_pylist()], dtype=np.int32)
+    if oov_id is None:
+        mapping = np.array([vocab[w] for w in denc.dictionary.to_pylist()], dtype=np.int32)
+    else:
+        mapping = np.array(
+            [vocab.get(w, oov_id) for w in denc.dictionary.to_pylist()], dtype=np.int32
+        )
     ids = mapping[denc.indices.to_numpy(zero_copy_only=False)]
     lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens)))

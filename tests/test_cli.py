@@ -474,3 +474,43 @@ def test_cli_encode_drifted_dtypes(tmp_path):
     t = pq.read_table(dec_dir).sort_by("doc_id")
     assert t.column("doc_id").to_pylist() == ["10", "11", "12"]
     assert t.column("tokens").to_pylist() == [[1, 2, 3], [4], [5, 6]]
+
+
+def test_cli_tokenize_detokenize_roundtrip(tmp_path):
+    """tokenize -> encode -> decode -> detokenize reproduces the
+    original text bit-exactly, and a frozen vocab maps unseen words to
+    the reserved OOV id (round-5 tokenize front door)."""
+    tok = str(tmp_path / "tok")
+    r = run_cli("tokenize", "/root/testdata/sf0.001/documents.parquet", "--out", tok)
+    assert r["ok"] and r["n_docs"] == 500 and r["vocab_size"] == 31
+    assert os.path.exists(os.path.join(tok, "vocab.json"))
+
+    enc = str(tmp_path / "enc")
+    assert run_cli("encode", r["shards_dir"], "--out", enc)["ok"]
+    dec = str(tmp_path / "dec")
+    assert run_cli("decode", enc, "--to", dec)["ok"]
+    back = str(tmp_path / "back")
+    assert run_cli("detokenize", dec, "--out", back,
+                   "--vocab", os.path.join(tok, "vocab.json"))["ok"]
+    orig = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    ).sort_by("doc_id")
+    got = pq.read_table(back).select(["doc_id", "text", "source"])
+    assert sorted(got.column("text").to_pylist()) == sorted(orig.column("text").to_pylist())
+    assert got.num_rows == 500
+
+    # frozen vocab: unseen word -> OOV id -> "<unk>" on the way back
+    nd = str(tmp_path / "nd.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [99], "text": ["zzz-unseen zzz-unseen"], "source": ["s"]}),
+        nd)
+    tok2 = str(tmp_path / "tok2")
+    r2 = run_cli("tokenize", nd, "--out", tok2,
+                 "--vocab", os.path.join(tok, "vocab.json"))
+    assert r2["frozen_vocab"] and r2["oov_id"] == 31
+    t = pq.read_table(r2["shards_dir"])
+    assert t.column("tokens").to_pylist() == [[31, 31]]
+    back2 = str(tmp_path / "back2")
+    assert run_cli("detokenize", tok2, "--out", back2)["ok"]
+    assert pq.read_table(back2).column("text").to_pylist() == ["<unk> <unk>"]
