@@ -255,6 +255,14 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--decontam", default=None, metavar="EVAL_PARQUET",
                    help="drop docs sharing any word 3-gram with this eval set")
 
+    mg = sub.add_parser(
+        "merge",
+        help="union another encoded corpus into this one as new ingest "
+        "generations — hardlink/copy containers, no re-encode",
+    )
+    mg.add_argument("src_dir", help="the encode out dir to import FROM (unchanged)")
+    mg.add_argument("--out", required=True, help="the encode out dir to merge INTO")
+
     tk = sub.add_parser(
         "tokenize",
         help="documents parquet -> tokseq shards (out/shards) + out/vocab.json",
@@ -361,7 +369,7 @@ def build_parser() -> argparse.ArgumentParser:
     # mutating commands hold out_dir/.lock (state/lock.py); this flag
     # steals a lock whose owner is known dead (crashed job, lost host)
     for _name in ("encode", "encode-inc", "compact", "delete", "purge",
-                  "upsert", "table-encode"):
+                  "upsert", "table-encode", "merge"):
         sub.choices[_name].add_argument(
             "--break-lock", action="store_true",
             help="steal out_dir/.lock from a dead job")
@@ -391,7 +399,7 @@ def main(argv: list[str] | None = None) -> int:
 
     _MUTATORS = {"encode": "out", "encode-inc": "out", "compact": "out_dir",
                  "delete": "out_dir", "purge": "out_dir", "upsert": "out",
-                 "table-encode": "out"}
+                 "table-encode": "out", "merge": "out"}
     _stack = ExitStack()
     if args.cmd in _MUTATORS:
         from fileconvert_ray.state.lock import LockHeldError, job_lock
@@ -761,6 +769,10 @@ def main(argv: list[str] | None = None) -> int:
                 near_dedup=args.near_dedup,
                 decontam_path=args.decontam,
             )))
+        elif args.cmd == "merge":
+            from fileconvert_ray.pipelines.merge_job import run_merge
+
+            print(json.dumps(run_merge(args.out, args.src_dir)))
         elif args.cmd == "tokenize":
             from fileconvert_ray.pipelines.tokenize_job import run_tokenize
 

@@ -3371,6 +3371,52 @@ def q_snapshot_scan(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_merge_scan(sf_dir: str):
+    """Corpus merge (pipelines/merge_job.py) under the oracle gate:
+    encode the even-doc_id half and the odd half into two INDEPENDENT
+    generational stores, merge B into A (hardlinked containers, new
+    ingest generations, no re-encode), decode the union.  Oracle: the
+    whole original corpus — a lost partition, label collision, or
+    tombstone/plan slip breaks row count or values."""
+    import glob as _glob
+
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..pipelines.merge_job import run_merge
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, "merge")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    def half(batch: pa.Table, want: int) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), want))
+
+    d0, d1 = os.path.join(base, "h0"), os.path.join(base, "h1")
+    for want, d in ((0, d0), (1, d1)):
+        tokseq_dataset(sf_dir).map_batches(
+            half, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"want": want}
+        ).write_parquet(d)
+    a, b = os.path.join(base, "A"), os.path.join(base, "B")
+    cfg = lambda out: EncodeConfig(out_dir=out, target_partition_tokens=200_000)
+    run_encode_files(sorted(_glob.glob(f"{d0}/*.parquet")), cfg(a)).materialize()
+    run_encode_files(sorted(_glob.glob(f"{d1}/*.parquet")), cfg(b)).materialize()
+    run_merge(a, b)
+
+    ds = decode_dataset(a, columns=["doc_id", "n_tok", "source"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_packed_export_scan(sf_dir: str):
     """Trainer-facing packed export over the ENCODED corpus
     (pipelines/pack_job.py): tokseq -> encode -> decode (streaming) ->
@@ -8002,6 +8048,7 @@ QUERIES = {
     "delete_purge_scan": q_delete_purge_scan,
     "upsert_scan": q_upsert_scan,
     "snapshot_scan": q_snapshot_scan,
+    "merge_scan": q_merge_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
 }
@@ -8815,6 +8862,12 @@ ORACLE_SQL = {
            source
     from documents
     where cast(doc_id as bigint) % 2 = 0
+    """,
+    "merge_scan": """
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           source
+    from documents
     """,
     "decode_stats": """
         select source,

@@ -416,6 +416,13 @@ def run_encode_files(input_files, cfg: EncodeConfig, ds_from_files=None,
             "Use run_encode on it, or rebuild with run_encode_files."
         )
     gens: list[dict] = list(prev["generations"]) if prev else []
+    if any(g.get("opaque") for g in gens):
+        raise RuntimeError(
+            f"{cfg.out_dir} contains an OPAQUE ingest generation (merged "
+            "from a run_encode store with no file lineage); incremental "
+            "encode cannot tell appends from re-ingests there. Merge into "
+            "a store built by run_encode_files, or rebuild."
+        )
 
     known: dict[str, int] = {}
     for g in gens:

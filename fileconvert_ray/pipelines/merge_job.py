@@ -1,0 +1,281 @@
+"""Corpus merge — union two encoded container stores WITHOUT
+re-encoding anything.
+
+At 100 TB, combining two separately-curated corpora must cost
+O(partitions) metadata + hardlinks, not a decode->re-encode of either
+side.  ``run_merge(dest_dir, src_dir)`` imports every completed
+partition of ``src_dir`` into ``dest_dir`` as NEW ingest generations:
+
+- src generation g (or the whole of a legacy single-plan src as one
+  generation) becomes dest generation ``base + g`` where ``base`` is
+  one past dest's highest generation — label tags stay disjoint by
+  construction, so nothing in dest is ever touched or renamed.
+- Partition labels re-tag deterministically:
+  ``{san}{old_tag}-b{NNNN}`` -> ``{san}{new_tag}-b{NNNN}`` (same for
+  ``-c`` compaction labels); the sanitized source names are recomputed
+  from each generation's own source set exactly as the encoder did,
+  so the bucket-ordinal arithmetic lookup_docs relies on keeps
+  working on the merged store.  A src partition whose label no
+  generation's plan explains (``-x`` cross-generation compaction
+  output) is refused loudly — merging it would break the "mixed
+  containers never leak into snapshots" discipline.
+- Container BYTES are not rewritten: files are hardlinked when the
+  stores share a filesystem (copy fallback, tmp+rename).  Manifest
+  digests therefore stay valid — ``verify --mode manifest`` is green
+  on the merged store immediately.  Hardlinks are safe against later
+  mutation of either store because every container rewrite in this
+  repo (purge, compact) goes through tmp+``os.replace``, which swaps
+  the inode instead of writing in place.
+- Tombstones (logical deletes) carry over under the new labels: a
+  takedown honored in src stays honored after the merge.
+- plan.json is written LAST.  A crash mid-merge leaves only fully
+  landed partitions (container rename, then manifest entry — the
+  partition is the recovery unit, as everywhere in this store) whose
+  labels the plan does not yet explain; re-running the merge skips
+  landed partitions by digest and converges.  Snapshot reads refuse
+  the unexplained labels until the plan lands — loud, not wrong.
+
+Semantics: merge is a UNION, not a dedup — a doc_id present in both
+stores yields two rows, exactly like interleaving two datasets;
+run exact/near dedup upstream if that is not wanted.  Generational
+lineage (shard files) is carried from src when it has one, so
+generation-scoped exact/hash verify keeps working; a legacy
+(run_encode) side contributes an OPAQUE generation — no file lineage —
+on which only manifest verify and whole-corpus reads are possible,
+and incremental encode refuses to extend the store (it cannot tell
+appends from re-ingests without lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from ..state.manifest import (
+    JobDirs,
+    read_manifest_entries,
+    read_plan,
+    read_tombstones,
+    write_manifest_entry,
+    write_plan,
+    write_tombstones,
+)
+from ..stages.partition import gen_tag, sanitized_names
+
+
+def _gen_docs(plan: dict) -> list[dict]:
+    """A plan's generation records, synthesizing one OPAQUE generation
+    for a legacy run_encode plan (no file lineage)."""
+    gens = plan.get("generations")
+    if gens:
+        return [dict(g) for g in gens]
+    return [
+        {
+            "gen": 0,
+            "buckets": dict(plan.get("buckets", {})),
+            "source_tokens": dict(plan.get("source_tokens", {})),
+            "target_partition_tokens": plan.get("target_partition_tokens"),
+            "files": [],
+            "sealed": True,
+            "opaque": True,
+        }
+    ]
+
+
+def _label_map(src_dir: str, src_gens: list[dict], base: int) -> dict[str, str]:
+    """old part_id -> new part_id for every completed src partition.
+    Raises on labels no generation's plan explains."""
+    entries = read_manifest_entries(src_dir)
+    per_gen = [
+        (int(g["gen"]), dict(g["buckets"]), sanitized_names(g["buckets"]),
+         gen_tag(int(g["gen"])))
+        for g in src_gens
+    ]
+    out: dict[str, str] = {}
+    unexplained: list[str] = []
+    for pid, rec in sorted(entries.items()):
+        src = rec.get("source")
+        hit = None
+        for gen, buckets, san, tag in per_gen:
+            if src not in buckets:
+                continue
+            for kind in ("-b", "-c"):
+                base_lbl = f"{san[src]}{tag}{kind}"
+                if pid.startswith(base_lbl):
+                    suffix = pid[len(base_lbl):]
+                    if suffix.isdigit() and (
+                        kind == "-c" or int(suffix) < int(buckets[src])
+                    ):
+                        hit = f"{san[src]}{gen_tag(base + gen)}{kind}{suffix}"
+                        break
+            if hit:
+                break
+        if hit is None:
+            unexplained.append(pid)
+        else:
+            out[pid] = hit
+    if unexplained:
+        raise RuntimeError(
+            "merge refused: src partitions not attributable to any ingest "
+            f"generation (e.g. --cross-gen compaction output): "
+            f"{unexplained[:3]}{'...' if len(unexplained) > 3 else ''}. "
+            "Rebuild or re-compact the source per-generation first."
+        )
+    return out
+
+
+def _place_container(src_path: str, dst_path: str) -> str:
+    """Hardlink src -> dst (same filesystem: zero bytes moved); copy
+    via tmp+rename otherwise.  Returns 'link' or 'copy'."""
+    try:
+        os.link(src_path, dst_path)
+        return "link"
+    except OSError:
+        tmp = dst_path + ".merging"
+        shutil.copy2(src_path, tmp)
+        os.replace(tmp, dst_path)
+        return "copy"
+
+
+def _prior_base(dest_gens: list[dict], src_gens: list[dict], src_abs: str):
+    """If ``src_abs`` was merged into dest before, the generation base
+    that merge used (so a re-run maps to the SAME labels and digest-
+    skips) plus the src generations not yet present (src extended by
+    encode-inc since).  None when no prior merge is recognizable.
+
+    Raises when the prior merge is recognizable but a NEW src
+    generation's number is already taken by unrelated data (dest moved
+    on after the merge) — re-importing everything under a fresh base
+    would silently duplicate the previously merged rows."""
+
+    def match(dg: dict, sg: dict) -> bool:
+        return (
+            dg.get("merged_from") == src_abs
+            and dg.get("buckets") == sg.get("buckets")
+            and dg.get("source_tokens") == sg.get("source_tokens")
+        )
+
+    by_gen = {int(g["gen"]): g for g in dest_gens}
+    first = src_gens[0]
+    for dg in dest_gens:
+        b = int(dg["gen"]) - int(first["gen"])
+        if b < 0 or not match(dg, first):
+            continue
+        new: list[dict] = []
+        matched = 0
+        for sg in src_gens:
+            got = by_gen.get(b + int(sg["gen"]))
+            if got is None:
+                new.append(sg)
+            elif match(got, sg):
+                matched += 1
+            else:
+                if matched:
+                    raise RuntimeError(
+                        "merge refused: src grew since its last merge, but "
+                        f"dest generation {b + int(sg['gen'])} now holds "
+                        "unrelated data — merge the growth into a store "
+                        "that has not moved on, or re-encode."
+                    )
+                break
+        else:
+            if matched:
+                return b, new
+    return None
+
+
+def run_merge(dest_dir: str, src_dir: str) -> dict:
+    """Import every completed partition of ``src_dir`` into
+    ``dest_dir`` as new ingest generations.  Idempotent: a re-run (or
+    a crash-interrupted run re-run) skips partitions already landed
+    with the same digest and refuses on digest conflicts."""
+    if os.path.realpath(dest_dir) == os.path.realpath(src_dir):
+        raise ValueError("merge: dest and src are the same directory")
+    dest_plan = read_plan(dest_dir)  # FileNotFoundError: not an encode dir
+    src_plan = read_plan(src_dir)
+    dest_gens = _gen_docs(dest_plan)
+    src_gens = _gen_docs(src_plan)
+    for g in src_gens:
+        if not g.get("sealed", True):
+            raise RuntimeError(
+                f"merge refused: src generation {g['gen']} is unsealed "
+                "(encode in progress or interrupted) — finish or reseal it "
+                "first (run_encode_files on the same inputs resumes it)."
+            )
+    src_abs = os.path.abspath(src_dir)
+    prior = _prior_base(dest_gens, src_gens, src_abs)
+    if prior is not None:
+        base, gens_to_add = prior  # re-run / src-growth: same labels
+    else:
+        base = max(int(g["gen"]) for g in dest_gens) + 1
+        gens_to_add = src_gens
+
+    lbl = _label_map(src_dir, src_gens, base)
+    src_entries = read_manifest_entries(src_dir)
+    dest_entries = read_manifest_entries(dest_dir)
+
+    sdirs, ddirs = JobDirs(src_dir), JobDirs(dest_dir)
+    ddirs.create()
+    landed = skipped = 0
+    linked = True
+    for old, new in sorted(lbl.items()):
+        rec = dict(src_entries[old])
+        if new in dest_entries:
+            if dest_entries[new].get("digest") == rec.get("digest"):
+                skipped += 1  # resume: this partition already landed
+                continue
+            raise RuntimeError(
+                f"merge refused: dest already has partition {new} with a "
+                "different digest — label collision with unrelated data."
+            )
+        dst_path = ddirs.container_path(new)
+        if not os.path.exists(dst_path):
+            how = _place_container(sdirs.container_path(old), dst_path)
+            linked = linked and how == "link"
+        tomb = read_tombstones(src_dir, old)
+        if tomb:
+            write_tombstones(dest_dir, new, sorted(tomb))
+        rec["part_id"] = new
+        rec["merged_from"] = os.path.abspath(src_dir)
+        write_manifest_entry(ddirs, new, rec)  # landing marker, written last
+        landed += 1
+
+    # plan lands LAST: the merge is complete (and its labels
+    # generation-attributable) only once this write happens.  A pure
+    # re-run (nothing to add) leaves the plan untouched.
+    new_gens = sorted(
+        dest_gens
+        + [
+            {
+                **g,
+                "gen": base + int(g["gen"]),
+                "sealed": True,
+                "merged_from": src_abs,
+            }
+            for g in gens_to_add
+        ],
+        key=lambda g: int(g["gen"]),
+    )
+    if gens_to_add:
+        doc = {
+            "buckets": dict(new_gens[0]["buckets"]),
+            "source_tokens": dict(new_gens[0]["source_tokens"]),
+            "target_partition_tokens": dest_plan.get("target_partition_tokens"),
+            "generations": new_gens,
+        }
+        write_plan(dest_dir, doc)
+
+    n_rows = sum(int(src_entries[o].get("n_rows", 0)) for o in lbl)
+    n_tokens = sum(int(src_entries[o].get("n_tokens", 0)) for o in lbl)
+    return {
+        "ok": True,
+        "merged_partitions": landed,
+        "skipped_partitions": skipped,
+        "generations_added": len(gens_to_add),
+        "first_new_generation": base,
+        "n_rows": int(n_rows),
+        "n_tokens": int(n_tokens),
+        "hardlinked": bool(linked and landed > 0),
+        "opaque_lineage": any(g.get("opaque") for g in new_gens),
+    }

@@ -253,6 +253,21 @@ def run_verify(ds_factory, out_dir: str, mode: str = "exact", by: str = "partiti
     """
     plan_doc = read_plan(out_dir)
     gen_docs = plan_doc.get("generations")
+    if gen_docs and mode != "manifest" and ds_factory is None:
+        # merged-in legacy stores have no file lineage: their rows
+        # cannot be re-read from recorded shards, so input-based modes
+        # need an explicit ds_factory or must stay manifest-scoped
+        opaque = [
+            int(g["gen"]) for g in gen_docs
+            if g.get("opaque") and (gens is None or int(g["gen"]) in {int(x) for x in gens})
+        ]
+        if opaque:
+            raise ValueError(
+                f"run_verify: generation(s) {opaque} are opaque (merged from "
+                "a store with no file lineage); exact/hash verify needs an "
+                "explicit ds_factory covering them, or use mode='manifest' "
+                "or scope gens= to lineage-bearing generations."
+            )
     if gens is not None:
         gens = sorted({int(g) for g in gens})
         if by == "source" and mode != "manifest":

@@ -514,3 +514,28 @@ def test_cli_tokenize_detokenize_roundtrip(tmp_path):
     back2 = str(tmp_path / "back2")
     assert run_cli("detokenize", tok2, "--out", back2)["ok"]
     assert pq.read_table(back2).column("text").to_pylist() == ["<unk> <unk>"]
+
+
+def test_cli_merge(tmp_path):
+    """merge unions a second encoded corpus as new generations; re-run
+    is a no-op; a held lock on the dest refuses with exit 3."""
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    sh = tmp_path / "sh"
+    sh.mkdir()
+    t = synth_rows(0, 300)
+    pq.write_table(t.slice(0, 150), str(sh / "a.parquet"))
+    pq.write_table(t.slice(150), str(sh / "b.parquet"))
+    A, B = str(tmp_path / "A"), str(tmp_path / "B")
+    assert run_cli("encode-inc", str(sh / "a.parquet"), "--out", A,
+                   "--target-partition-tokens", "20000")["ok"]
+    assert run_cli("encode-inc", str(sh / "b.parquet"), "--out", B,
+                   "--target-partition-tokens", "20000")["ok"]
+    r = run_cli("merge", B, "--out", A)
+    assert r["ok"] and r["merged_partitions"] > 0 and r["hardlinked"]
+    assert run_cli("verify", "--out", A, "--mode", "hash")["ok"]
+    dec = str(tmp_path / "dec")
+    assert run_cli("decode", A, "--to", dec)["ok"]
+    assert pq.read_table(dec).num_rows == 300
+    r2 = run_cli("merge", B, "--out", A)
+    assert r2["merged_partitions"] == 0 and r2["skipped_partitions"] == r["merged_partitions"]

@@ -1,0 +1,180 @@
+"""Corpus merge (pipelines/merge_job.py): union two encoded stores
+without re-encoding — src partitions land as new ingest generations,
+containers hardlinked, digests preserved, tombstones carried over."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from fileconvert_ray.pipelines.encode_job import (
+    EncodeConfig,
+    run_encode,
+    run_encode_files,
+)
+from fileconvert_ray.pipelines.merge_job import run_merge
+from fileconvert_ray.pipelines.verify_job import run_verify
+from fileconvert_ray.sources.tokseq import tokseq_table
+from fileconvert_ray.stages.decoder import decode_dataset, lookup_docs
+from fileconvert_ray.state.manifest import read_manifest_entries, read_plan
+
+
+def _split_shards(t: pa.Table, base, names):
+    """Write |names| contiguous slices of t as shards; returns paths."""
+    os.makedirs(base, exist_ok=True)
+    n = t.num_rows // len(names)
+    paths = []
+    for i, name in enumerate(names):
+        lo = i * n
+        hi = t.num_rows if i == len(names) - 1 else (i + 1) * n
+        p = os.path.join(base, name)
+        pq.write_table(t.slice(lo, hi - lo), p)
+        paths.append(p)
+    return paths
+
+
+@pytest.fixture
+def two_stores(ray_session, sf_dir, tmp_path):
+    """The sf0.001 corpus split doc-wise into two independently
+    encoded generational stores (A: shards 0-1, B: shards 2-3)."""
+    t = tokseq_table(sf_dir)
+    shards = _split_shards(t, str(tmp_path / "sh"), [f"s{i}.parquet" for i in range(4)])
+    a, b = str(tmp_path / "A"), str(tmp_path / "B")
+    run_encode_files(shards[:2], EncodeConfig(out_dir=a, target_partition_tokens=2_000)).materialize()
+    # B gets TWO generations of its own (tests gen renumbering)
+    run_encode_files(shards[2:3], EncodeConfig(out_dir=b, target_partition_tokens=2_000)).materialize()
+    run_encode_files(shards[2:4], EncodeConfig(out_dir=b, target_partition_tokens=2_000)).materialize()
+    return a, b, t, shards
+
+
+def _decoded_ids(out_dir, **kw):
+    ds = decode_dataset(out_dir, columns=["doc_id"], **kw)
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+def test_merge_union_is_complete(two_stores):
+    a, b, t, _ = two_stores
+    before = set(_decoded_ids(a))
+    r = run_merge(a, b)
+    assert r["ok"] and r["merged_partitions"] > 0 and r["skipped_partitions"] == 0
+    assert r["generations_added"] == 2 and r["first_new_generation"] == 1
+    assert r["hardlinked"] and not r["opaque_lineage"]
+    got = _decoded_ids(a)
+    want = sorted(str(d) for d in t.column("doc_id").to_pylist())
+    assert got == want
+    # dest rows untouched, src dir unchanged
+    assert before < set(got)
+    assert set(_decoded_ids(b)) == set(got) - before
+
+    # manifest verify green immediately (digests carried with the bits)
+    v = run_verify(None, a, mode="manifest").to_pandas()
+    assert bool(v["ok"].all()) and len(v) == len(read_manifest_entries(a))
+    # hash verify green too: B's file lineage rode along
+    v2 = run_verify(None, a, mode="hash").to_pandas()
+    assert bool(v2["ok"].all())
+
+    # point lookup routes through the merged generations
+    some = want[::97][:5]
+    hit = lookup_docs(a, some)
+    assert sorted(hit.column("doc_id").to_pylist()) == sorted(some)
+
+    # snapshot semantics: the merged-in corpus is generations >= 1
+    assert set(_decoded_ids(a, max_gen=0)) == before
+
+
+def test_merge_rerun_is_idempotent(two_stores):
+    a, b, _, _ = two_stores
+    r1 = run_merge(a, b)
+    n = len(read_manifest_entries(a))
+    r2 = run_merge(a, b)
+    assert r2["merged_partitions"] == 0
+    assert r2["skipped_partitions"] == r1["merged_partitions"]
+    assert len(read_manifest_entries(a)) == n
+    # plan records the src generations exactly once per (gen, source-set)
+    plan = read_plan(a)
+    assert [g["gen"] for g in plan["generations"]] == list(range(len(plan["generations"])))
+
+
+def test_merge_carries_tombstones(two_stores):
+    a, b, t, _ = two_stores
+    from fileconvert_ray.pipelines.delete_job import run_delete
+
+    b_ids = _decoded_ids(b)
+    victims = b_ids[:7]
+    run_delete(b, victims)
+    assert set(_decoded_ids(b)) == set(b_ids) - set(victims)
+    run_merge(a, b)
+    got = set(_decoded_ids(a))
+    assert not (got & set(victims))
+    assert set(b_ids) - set(victims) <= got
+
+
+def test_merge_legacy_src_is_opaque(two_stores, tmp_path):
+    a, _, t, shards = two_stores
+    import ray.data as rd
+
+    legacy = str(tmp_path / "L")
+    run_encode(
+        lambda: rd.read_parquet(shards[2:4]),
+        EncodeConfig(out_dir=legacy, target_partition_tokens=2_000),
+    ).materialize()
+    r = run_merge(a, legacy)
+    assert r["ok"] and r["opaque_lineage"]
+    want = sorted(str(d) for d in t.column("doc_id").to_pylist())
+    assert _decoded_ids(a) == want
+    # manifest verify fine; hash verify refuses loudly (no lineage)
+    v = run_verify(None, a, mode="manifest").to_pandas()
+    assert bool(v["ok"].all())
+    with pytest.raises(ValueError, match="opaque"):
+        run_verify(None, a, mode="hash")
+    # incremental encode refuses to extend an opaque store
+    with pytest.raises(RuntimeError, match="OPAQUE"):
+        run_encode_files(shards, EncodeConfig(out_dir=a, target_partition_tokens=2_000))
+
+
+def test_merge_refuses_self_and_conflict(two_stores, tmp_path):
+    a, b, t, shards = two_stores
+    with pytest.raises(ValueError, match="same directory"):
+        run_merge(a, a)
+    # digest conflict: land the merge, then tamper with one imported
+    # manifest digest and re-merge — the conflicting label must refuse
+    run_merge(a, b)
+    ents = read_manifest_entries(a)
+    pid = sorted(p for p in ents if ents[p].get("merged_from"))[0]
+    rec = ents[pid]
+    rec["digest"] = {"hsum": 1, "n_rows": rec["digest"]["n_rows"]}
+    mpath = os.path.join(a, "manifest", f"{pid}.json")
+    with open(mpath, "w") as f:
+        json.dump(rec, f)
+    with pytest.raises(RuntimeError, match="different digest"):
+        run_merge(a, b)
+
+
+def test_merge_resumes_after_partial_crash(two_stores):
+    """Simulated crash: first merge attempt landed some partitions but
+    died before plan.json — the re-run lands the rest and converges."""
+    a, b, t, _ = two_stores
+    plan_before = read_plan(a)
+    r = run_merge(a, b)
+    # roll back plan.json to pre-merge (as if the crash hit right
+    # before the final write), drop half the landed manifests+parts
+    from fileconvert_ray.state.manifest import write_plan
+
+    write_plan(a, plan_before)
+    ents = read_manifest_entries(a)
+    imported = sorted(p for p in ents if ents[p].get("merged_from"))
+    assert len(imported) == r["merged_partitions"]
+    for pid in imported[: len(imported) // 2]:
+        os.remove(os.path.join(a, "manifest", f"{pid}.json"))
+        os.remove(os.path.join(a, "parts", f"{pid}.parquet"))
+    r2 = run_merge(a, b)
+    assert r2["merged_partitions"] == len(imported) // 2
+    assert r2["skipped_partitions"] == len(imported) - len(imported) // 2
+    want = sorted(str(d) for d in t.column("doc_id").to_pylist())
+    assert _decoded_ids(a) == want
+    v = run_verify(None, a, mode="hash").to_pandas()
+    assert bool(v["ok"].all())
