@@ -255,6 +255,22 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--decontam", default=None, metavar="EVAL_PARQUET",
                    help="drop docs sharing any word 3-gram with this eval set")
 
+    ig = sub.add_parser(
+        "ingest",
+        help="fused tokenize+encode over raw documents parquet — "
+        "incremental (new shards only), frozen vocab after the first run",
+    )
+    ig.add_argument("inputs", nargs="+",
+                    help="documents parquet paths/dirs (the FULL corpus, old + new)")
+    ig.add_argument("--out", required=True)
+    ig.add_argument("--target-partition-tokens", type=int, default=4_000_000)
+    ig.add_argument("--codec", action="append", default=[], metavar="COL=CODEC")
+    ig.add_argument("--no-zstd", action="store_true")
+    ig.add_argument("--no-resume", action="store_true",
+                    help="rebuild from scratch (clears containers, lineage AND vocab)")
+    ig.add_argument("--reduce-buckets", type=int, default=None)
+    ig.add_argument("--staged-dir", default=None)
+
     mg = sub.add_parser(
         "merge",
         help="union another encoded corpus into this one as new ingest "
@@ -369,7 +385,7 @@ def build_parser() -> argparse.ArgumentParser:
     # mutating commands hold out_dir/.lock (state/lock.py); this flag
     # steals a lock whose owner is known dead (crashed job, lost host)
     for _name in ("encode", "encode-inc", "compact", "delete", "purge",
-                  "upsert", "table-encode", "merge"):
+                  "upsert", "table-encode", "merge", "ingest"):
         sub.choices[_name].add_argument(
             "--break-lock", action="store_true",
             help="steal out_dir/.lock from a dead job")
@@ -399,7 +415,7 @@ def main(argv: list[str] | None = None) -> int:
 
     _MUTATORS = {"encode": "out", "encode-inc": "out", "compact": "out_dir",
                  "delete": "out_dir", "purge": "out_dir", "upsert": "out",
-                 "table-encode": "out", "merge": "out"}
+                 "table-encode": "out", "merge": "out", "ingest": "out"}
     _stack = ExitStack()
     if args.cmd in _MUTATORS:
         from fileconvert_ray.state.lock import LockHeldError, job_lock
@@ -553,14 +569,20 @@ def main(argv: list[str] | None = None) -> int:
 
             from fileconvert_ray.pipelines.verify_job import run_verify
 
+            from fileconvert_ray.pipelines.ingest_job import ingest_verify_reader
+
             factory = None
             if args.input is not None:
                 factory = lambda: rd.read_parquet(args.input)
             gens = (
                 [int(g) for g in args.gens.split(",")] if args.gens else None
             )
+            # document-ingested stores re-tokenize their recorded
+            # lineage with the persisted frozen vocab (ingest.json)
+            dff = ingest_verify_reader(args.out)
             v = run_verify(
-                factory, args.out, mode=args.mode, by=args.by, gens=gens
+                factory, args.out, mode=args.mode, by=args.by, gens=gens,
+                ds_from_files=dff,
             ).to_pandas()
             ok = bool(v["ok"].all()) and len(v) > 0
             print(json.dumps({
@@ -768,6 +790,18 @@ def main(argv: list[str] | None = None) -> int:
                 target_partition_tokens=args.target_partition_tokens,
                 near_dedup=args.near_dedup,
                 decontam_path=args.decontam,
+            )))
+        elif args.cmd == "ingest":
+            from fileconvert_ray.pipelines.ingest_job import run_ingest
+
+            print(json.dumps(run_ingest(
+                args.inputs, args.out,
+                target_partition_tokens=args.target_partition_tokens,
+                codec_overrides=_kv_pairs(args.codec),
+                zstd=not args.no_zstd,
+                resume=not args.no_resume,
+                reduce_buckets=args.reduce_buckets,
+                staged_dir=args.staged_dir,
             )))
         elif args.cmd == "merge":
             from fileconvert_ray.pipelines.merge_job import run_merge

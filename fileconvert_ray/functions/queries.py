@@ -3417,6 +3417,43 @@ def q_merge_scan(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_ingest_scan(sf_dir: str):
+    """Fused tokenize+encode ingest (pipelines/ingest_job.py) under
+    the oracle gate: the documents table is split into two shard
+    files and ingested in TWO incremental runs (the second against
+    the frozen vocab of the first), then the union decodes.  Oracle:
+    word counts of the whole original corpus — a vocab drift, OOV
+    leak, lost generation, or plan slip breaks row count or values."""
+    from ..pipelines.ingest_job import run_ingest
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, "ingest")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    h = docs.num_rows // 2
+    s1, s2 = os.path.join(base, "d1.parquet"), os.path.join(base, "d2.parquet")
+    pq.write_table(docs.slice(0, h), s1)
+    pq.write_table(docs.slice(h), s2)
+    enc = os.path.join(base, "enc")
+    run_ingest([s1], enc, target_partition_tokens=200_000)
+    run_ingest([s1, s2], enc, target_partition_tokens=200_000)
+
+    ds = decode_dataset(enc, columns=["doc_id", "n_tok", "source"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_packed_export_scan(sf_dir: str):
     """Trainer-facing packed export over the ENCODED corpus
     (pipelines/pack_job.py): tokseq -> encode -> decode (streaming) ->
@@ -8049,6 +8086,7 @@ QUERIES = {
     "upsert_scan": q_upsert_scan,
     "snapshot_scan": q_snapshot_scan,
     "merge_scan": q_merge_scan,
+    "ingest_scan": q_ingest_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
 }
@@ -8864,6 +8902,12 @@ ORACLE_SQL = {
     where cast(doc_id as bigint) % 2 = 0
     """,
     "merge_scan": """
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           source
+    from documents
+    """,
+    "ingest_scan": """
     select cast(doc_id as bigint) as doc_id,
            cast(len(string_split(text, ' ')) as bigint) as n_tok,
            source

@@ -539,3 +539,35 @@ def test_cli_merge(tmp_path):
     assert pq.read_table(dec).num_rows == 300
     r2 = run_cli("merge", B, "--out", A)
     assert r2["merged_partitions"] == 0 and r2["skipped_partitions"] == r["merged_partitions"]
+
+
+def test_cli_ingest_incremental(tmp_path):
+    """ingest = fused tokenize+encode over raw documents: two
+    incremental runs (second under the frozen vocab), input-free hash
+    verify via ingest.json, decode + detokenize closes the loop."""
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    h = docs.num_rows // 2
+    s1, s2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    pq.write_table(docs.slice(0, h), s1)
+    pq.write_table(docs.slice(h), s2)
+    enc = str(tmp_path / "enc")
+    r1 = run_cli("ingest", s1, "--out", enc, "--target-partition-tokens", "3000")
+    assert r1["ok"] and r1["n_rows"] == h and not r1["frozen_vocab"]
+    r2 = run_cli("ingest", s1, s2, "--out", enc, "--target-partition-tokens", "3000")
+    assert r2["ok"] and r2["n_rows"] == docs.num_rows - h and r2["frozen_vocab"]
+    # verify is input-free: lineage + frozen vocab reconstruct the reader
+    v = run_cli("verify", "--out", enc, "--mode", "hash")
+    assert v["ok"] and v["n_mismatch"] == 0
+    # and ONLY the appended generation re-verifies incrementally
+    v1 = run_cli("verify", "--out", enc, "--mode", "hash", "--gens", "1")
+    assert v1["ok"]
+    dec = str(tmp_path / "dec")
+    assert run_cli("decode", enc, "--to", dec)["ok"]
+    back = str(tmp_path / "back")
+    assert run_cli("detokenize", dec, "--out", back,
+                   "--vocab", os.path.join(enc, "vocab.json"))["ok"]
+    got = pq.read_table(back)
+    assert sorted(got.column("text").to_pylist()) == sorted(
+        docs.column("text").to_pylist()
+    )
