@@ -125,6 +125,33 @@ def _label_map(src_dir: str, src_gens: list[dict], base: int) -> dict[str, str]:
     return out
 
 
+def _check_vocab_compat(dest_dir: str, src_dir: str) -> None:
+    """Document-ingested stores (pipelines/ingest_job.py) bake token
+    ids that only decode against THEIR vocab.json.  Merging two stores
+    whose vocabularies differ — or an ingested store into a plain
+    tokseq store — would silently mix incompatible id spaces; refuse
+    and point at the re-tokenize path instead."""
+
+    def vocab_of(d: str):
+        p = os.path.join(d, "vocab.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    dv, sv = vocab_of(dest_dir), vocab_of(src_dir)
+    if dv is None and sv is None:
+        return
+    if dv != sv:
+        raise RuntimeError(
+            "merge refused: the stores' token id spaces are incompatible "
+            f"(dest vocab: {'absent' if dv is None else len(dv)} words, "
+            f"src vocab: {'absent' if sv is None else len(sv)} words, "
+            "unequal). Re-tokenize one side against the other's vocab "
+            "(decode -> detokenize -> ingest with --vocab) instead."
+        )
+
+
 def _place_container(src_path: str, dst_path: str) -> str:
     """Hardlink src -> dst (same filesystem: zero bytes moved); copy
     via tmp+rename otherwise.  Returns 'link' or 'copy'."""
@@ -194,6 +221,7 @@ def run_merge(dest_dir: str, src_dir: str) -> dict:
         raise ValueError("merge: dest and src are the same directory")
     dest_plan = read_plan(dest_dir)  # FileNotFoundError: not an encode dir
     src_plan = read_plan(src_dir)
+    _check_vocab_compat(dest_dir, src_dir)
     dest_gens = _gen_docs(dest_plan)
     src_gens = _gen_docs(src_plan)
     for g in src_gens:

@@ -178,3 +178,40 @@ def test_merge_resumes_after_partial_crash(two_stores):
     assert _decoded_ids(a) == want
     v = run_verify(None, a, mode="hash").to_pandas()
     assert bool(v["ok"].all())
+
+
+def test_merge_refuses_vocab_mismatch(ray_session, sf_dir, tmp_path):
+    """Two ingested stores with different vocabularies carry
+    incompatible token id spaces — merge must refuse, and equal
+    vocabularies must pass."""
+    from fileconvert_ray.pipelines.ingest_job import run_ingest
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    h = docs.num_rows // 2
+    s1, s2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    pq.write_table(docs.slice(0, h), s1)
+    pq.write_table(docs.slice(h), s2)
+    A, B = str(tmp_path / "A"), str(tmp_path / "B")
+    run_ingest([s1], A, target_partition_tokens=3_000)
+    run_ingest([s2], B, target_partition_tokens=3_000)
+    # same corpus words at both halves? force a mismatch to be sure
+    vb = json.load(open(os.path.join(B, "vocab.json")))
+    json.dump(vb + ["zzz-extra"], open(os.path.join(B, "vocab.json"), "w"))
+    with pytest.raises(RuntimeError, match="incompatible"):
+        run_merge(A, B)
+    # restore equality -> merge proceeds and the union decodes fully
+    json.dump(json.load(open(os.path.join(A, "vocab.json"))),
+              open(os.path.join(B, "vocab.json"), "w"))
+    r = run_merge(A, B)
+    assert r["ok"] and r["merged_partitions"] > 0
+    assert len(_decoded_ids(A)) == docs.num_rows
+    # ingested-into-plain is refused too
+    t = tokseq_table(sf_dir)
+    sh = str(tmp_path / "plain.parquet")
+    pq.write_table(t, sh)
+    P = str(tmp_path / "P")
+    run_encode_files([sh], EncodeConfig(out_dir=P, target_partition_tokens=3_000)).materialize()
+    with pytest.raises(RuntimeError, match="incompatible"):
+        run_merge(P, A)
