@@ -188,6 +188,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated projection (skips decoding the rest)")
     d.add_argument("--max-gen", type=int, default=None,
                    help="snapshot read: only ingest generations <= N")
+    d.add_argument("--with-ann", default=None,
+                   help="comma-separated annotation names to attach "
+                        "(co-partitioned side tables from `annotate`)")
+
+    an = sub.add_parser(
+        "annotate",
+        help="compute a co-partitioned derived-annotation side table "
+        "(ann/NAME/{part_id}.parquet) over an encode out dir",
+    )
+    an.add_argument("out_dir", help="the encode out dir")
+    an.add_argument("--name", default="token_stats",
+                    help="registered annotator (see pipelines/annotate_job.py)")
 
     te = sub.add_parser(
         "table-encode",
@@ -654,6 +666,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_n_tok=args.max_ntok,
                 columns=args.columns.split(",") if args.columns else None,
                 max_gen=args.max_gen,
+                with_annotations=args.with_ann.split(",") if args.with_ann else None,
             ).write_parquet(args.to)
             print(json.dumps({"ok": True, "out": args.to}))
         elif args.cmd == "table-encode":
@@ -791,6 +804,10 @@ def main(argv: list[str] | None = None) -> int:
                 near_dedup=args.near_dedup,
                 decontam_path=args.decontam,
             )))
+        elif args.cmd == "annotate":
+            from fileconvert_ray.pipelines.annotate_job import run_annotate
+
+            print(json.dumps(run_annotate(args.out_dir, args.name)))
         elif args.cmd == "ingest":
             from fileconvert_ray.pipelines.ingest_job import run_ingest
 

@@ -3454,6 +3454,41 @@ def q_ingest_scan(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_annotate_scan(sf_dir: str):
+    """Co-partitioned derived annotations (pipelines/annotate_job.py)
+    under the oracle gate: encode the corpus, run the token_stats
+    annotator (one task per container, ann/{name}/{pid}.parquet), and
+    decode WITH the annotation attached (shuffle-free in-task gather).
+    Oracle: the same type-token stats computed word-level in SQL
+    (gaps-and-islands for the longest immediate-repeat run)."""
+    import glob as _glob
+
+    from ..pipelines.annotate_job import run_annotate
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, "annot")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    shards = os.path.join(base, "sh")
+    tokseq_dataset(sf_dir).write_parquet(shards)
+    enc = os.path.join(base, "enc")
+    run_encode_files(
+        sorted(_glob.glob(f"{shards}/*.parquet")),
+        EncodeConfig(out_dir=enc, target_partition_tokens=200_000),
+    ).materialize()
+    run_annotate(enc, "token_stats")
+
+    ds = decode_dataset(enc, columns=["doc_id"], with_annotations=["token_stats"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            0, "doc_id", pc.cast(batch.column("doc_id"), pa.int64())
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_packed_export_scan(sf_dir: str):
     """Trainer-facing packed export over the ENCODED corpus
     (pipelines/pack_job.py): tokseq -> encode -> decode (streaming) ->
@@ -8087,6 +8122,7 @@ QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "merge_scan": q_merge_scan,
     "ingest_scan": q_ingest_scan,
+    "annotate_scan": q_annotate_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
 }
@@ -8913,6 +8949,25 @@ ORACLE_SQL = {
            source
     from documents
     """,
+    "annotate_scan": """
+    with s as (select doc_id, string_split(text, ' ') as ws from documents),
+    t as (select doc_id, unnest(ws) as word, generate_subscripts(ws, 1) as ord from s),
+    runs as (select doc_id, word,
+                    ord - row_number() over (partition by doc_id, word order by ord) as grp
+             from t),
+    rl as (select doc_id, cast(count(*) as bigint) as run
+           from runs group by doc_id, word, grp),
+    mr as (select doc_id, max(run) as max_run from rl group by doc_id),
+    agg as (select doc_id, cast(count(*) as bigint) as n_tok,
+                   cast(count(distinct word) as bigint) as n_distinct
+            from t group by doc_id)
+    select cast(a.doc_id as bigint) as doc_id, a.n_tok, a.n_distinct,
+           cast(a.n_distinct as double) / cast(a.n_tok as double) as distinct_ratio,
+           1.0 - cast(a.n_distinct as double) / cast(a.n_tok as double) as repetition_ratio,
+           mr.max_run
+    from agg a join mr on a.doc_id = mr.doc_id
+    """,
+
     "decode_stats": """
         select source,
                cast(count(*) as bigint) as n_docs,

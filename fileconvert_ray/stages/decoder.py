@@ -319,8 +319,18 @@ def decode_dataset(
     max_n_tok: int | None = None,
     columns: list[str] | None = None,
     max_gen: int | None = None,
+    with_annotations: list[str] | None = None,
 ):
     """Completed partitions as a streaming decoded Dataset (E9).
+
+    ``with_annotations=[name, ...]`` attaches co-partitioned side
+    tables written by pipelines.annotate_job — an in-task doc_id
+    gather against ONLY that partition's ann file (the side store
+    inherits the corpus partitioning, so the attach is shuffle-free).
+    doc_id is force-included in the output then (the join key);
+    annotation columns already present in the decode (e.g. n_tok) are
+    skipped.  A served partition with no annotation file raises —
+    stale-after-rewrite is loud, re-run run_annotate to fill gaps.
 
     With a predicate, manifest zone maps prune whole partitions before
     any container is opened (prune_partitions), and the surviving rows
@@ -359,6 +369,8 @@ def decode_dataset(
         if sources is not None and "source" not in columns:
             extra.append("source")
         decode_cols = list(columns) + extra
+    if with_annotations and decode_cols is not None and "doc_id" not in decode_cols:
+        decode_cols = list(decode_cols) + ["doc_id"]  # join key, kept in output
 
     def decode(batch: pa.Table):
         # one task per container file; GENERATOR udf — each encoded
@@ -380,6 +392,13 @@ def decode_dataset(
             # drop it after the filter (the predicate extra-column
             # pattern); untombstoned partitions pay nothing.
             pid = os.path.basename(p)[: -len(".parquet")]
+            anns = []
+            if with_annotations:
+                from ..pipelines.annotate_job import read_annotation
+
+                for nm in with_annotations:
+                    a = read_annotation(out_dir, nm, pid)  # raises if stale
+                    anns.append(a.combine_chunks())
             tomb = read_tombstones(out_dir, pid)
             cols_p = decode_cols
             drop_docid = False
@@ -421,6 +440,18 @@ def decode_dataset(
                         continue
                 if extra:
                     t = t.drop_columns(extra)
+                for a in anns:
+                    # shuffle-free attach: the ann file holds exactly
+                    # this partition's docs, so a vectorized index_in
+                    # gather aligns it to the (possibly filtered) chunk
+                    idx = pc.index_in(
+                        pc.cast(t.column("doc_id"), pa.string()),
+                        value_set=pc.cast(a.column("doc_id"), pa.string()),
+                    )
+                    for fld in a.schema:
+                        if fld.name in t.column_names:
+                            continue
+                        t = t.append_column(fld, a.column(fld.name).take(idx))
                 yield t
 
     return rd.from_items([{"path": p} for p in paths]).map_batches(

