@@ -18,6 +18,11 @@
     python -m fileconvert_ray compact  OUT_DIR [--target-tokens N] [--cross-gen]
     python -m fileconvert_ray curate   DOCS_DIR --out DIR [--no-encode]
         [--target-partition-tokens N]
+    python -m fileconvert_ray tokenize DOCS --out DIR [--vocab V.json]
+    python -m fileconvert_ray detokenize IN --out DIR [--vocab V.json]
+    python -m fileconvert_ray ingest   DOCS... --out DIR (fused tokenize+encode)
+    python -m fileconvert_ray merge    SRC_DIR --out DEST_DIR (no re-encode)
+    python -m fileconvert_ray annotate OUT_DIR [--name token_stats]
     python -m fileconvert_ray query    NAME [--sf-dir DIR] [--out DIR]
         [--limit N] | --list
 

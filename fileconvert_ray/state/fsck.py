@@ -169,6 +169,48 @@ def fsck(out_dir: str, *, reclaim: bool = False) -> dict:
         if pid not in entries:
             errors.append({"kind": "tombstone_unknown_partition", "part_id": pid})
 
+    # ---- ingest sidecars (pipelines/ingest_job.py) ------------------
+    if os.path.exists(os.path.join(out_dir, "ingest.json")) and not os.path.exists(
+        os.path.join(out_dir, "vocab.json")
+    ):
+        errors.append(
+            {"kind": "missing_vocab",
+             "detail": "ingest.json present but vocab.json absent: token ids "
+                       "are undecodable to text and verify cannot re-tokenize"}
+        )
+
+    # ---- annotations (pipelines/annotate_job.py) --------------------
+    ann_root = os.path.join(out_dir, "ann")
+    stale_ann: list[str] = []
+    if os.path.isdir(ann_root):
+        for name in sorted(os.listdir(ann_root)):
+            adir = os.path.join(ann_root, name)
+            if not os.path.isdir(adir):
+                continue
+            missing = sorted(
+                pid for pid in entries
+                if not os.path.exists(os.path.join(adir, f"{pid}.parquet"))
+            )
+            if missing:
+                warnings.append(
+                    {"kind": "annotation_gaps", "annotation": name,
+                     "count": len(missing), "part_ids": missing[:10],
+                     "detail": "partitions without this annotation (rewritten "
+                               "after annotate? re-run `annotate` to fill)"}
+                )
+            stale_ann.extend(
+                os.path.join(adir, f)
+                for f in os.listdir(adir)
+                if f.endswith(".parquet") and f[:-len(".parquet")] not in entries
+            )
+    if stale_ann:
+        warnings.append(
+            {"kind": "stale_annotations", "count": len(stale_ann),
+             "bytes": sum(os.path.getsize(p) for p in stale_ann),
+             "detail": "annotation files for partitions no longer in the "
+                       "manifest (purged/compacted away; safe to reclaim)"}
+        )
+
     # ---- scratch ----------------------------------------------------
     tmp_files = _scratch_files(dirs.tmp)
     staged_files = _scratch_files(dirs.staged)
@@ -181,7 +223,9 @@ def fsck(out_dir: str, *, reclaim: bool = False) -> dict:
 
     reclaimed = {"files": 0, "bytes": 0}
     if reclaim:
-        victims = list(tmp_files) + [(p, os.path.getsize(p)) for p in orphan_paths]
+        victims = list(tmp_files) + [
+            (p, os.path.getsize(p)) for p in orphan_paths + stale_ann
+        ]
         # staged/ is shuffle scratch a RESUME of an incomplete job does
         # not need either (resume re-stages from input) — but keep it
         # unless the job is complete, out of caution

@@ -145,3 +145,33 @@ def test_fsck_no_plan_and_bad_plan(enc_dir, tmp_path):
     r2 = fsck(d)
     assert not r2["ok"]
     assert any(e["kind"] == "bad_plan" for e in r2["errors"])
+
+
+def test_fsck_ingest_and_annotation_sidecars(enc_dir, ray_session, tmp_path):
+    """Round-5 sidecars: a missing vocab on an ingested store is an
+    ERROR; annotation gaps and stale annotation files are warnings,
+    stale ones reclaimable."""
+    d = _copy(enc_dir, tmp_path)
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+
+    run_annotate(d, "token_stats")
+    r = fsck(d)
+    assert r["ok"] and not any(w["kind"].startswith("annotation") for w in r["warnings"])
+
+    # drop one annotation file -> gap warning; add one for a ghost
+    # partition -> stale warning, reclaimed on request
+    adir = os.path.join(d, "ann", "token_stats")
+    files = sorted(f for f in os.listdir(adir) if f.endswith(".parquet"))
+    os.remove(os.path.join(adir, files[0]))
+    shutil.copy(os.path.join(adir, files[1]), os.path.join(adir, "ghost-b9999.parquet"))
+    r = fsck(d)
+    kinds = {w["kind"] for w in r["warnings"]}
+    assert r["ok"] and {"annotation_gaps", "stale_annotations"} <= kinds
+    r = fsck(d, reclaim=True)
+    assert not os.path.exists(os.path.join(adir, "ghost-b9999.parquet"))
+
+    # ingest marker without vocab -> error
+    with open(os.path.join(d, "ingest.json"), "w") as f:
+        json.dump({"tokenizer": "whitespace-vocab", "vocab": "vocab.json"}, f)
+    r = fsck(d)
+    assert not r["ok"] and any(e["kind"] == "missing_vocab" for e in r["errors"])
