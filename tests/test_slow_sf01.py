@@ -169,3 +169,42 @@ def test_incremental_verify_cost_scales_with_append(ray_session, tmp_path):
         f"scoped verify {scoped_wall:.1f}s vs full {full_wall:.1f}s"
     )
     shutil.rmtree("/dev/shm/slow_incr_staged", ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_merge_cost_is_metadata_only_at_scale(ray_session, tmp_path):
+    """The merge contract at scale: unioning two ~60M-token stores
+    (100k docs each) costs O(partitions) metadata + hardlinks — pinned
+    at <= 5 s wall regardless of corpus bytes (a re-encode or byte
+    copy would be 10-40x that), with the merged store fully readable
+    and its token totals exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode_files
+    from fileconvert_ray.pipelines.merge_job import run_merge
+    from fileconvert_ray.sources.tokseq import synth_rows
+    from fileconvert_ray.state.manifest import read_manifest_entries
+
+    base = str(tmp_path / "sh")
+    os.makedirs(base)
+    pq.write_table(synth_rows(0, 100_000), f"{base}/a.parquet")
+    pq.write_table(synth_rows(100_000, 200_000), f"{base}/b.parquet")
+    A, B = str(tmp_path / "A"), str(tmp_path / "B")
+    cfgA = EncodeConfig(out_dir=A, staged_dir="/dev/shm/slow_mg_a")
+    cfgB = EncodeConfig(out_dir=B, staged_dir="/dev/shm/slow_mg_b")
+    run_encode_files([f"{base}/a.parquet"], cfgA).materialize()
+    run_encode_files([f"{base}/b.parquet"], cfgB).materialize()
+    tok_a = sum(e["n_tokens"] for e in read_manifest_entries(A).values())
+    tok_b = sum(e["n_tokens"] for e in read_manifest_entries(B).values())
+
+    t0 = time.perf_counter()
+    r = run_merge(A, B)
+    wall = time.perf_counter() - t0
+    assert r["ok"] and r["hardlinked"] and r["n_tokens"] == tok_b
+    assert wall <= 5.0, f"merge of ~120M tokens took {wall:.1f}s"
+    total = sum(e["n_tokens"] for e in read_manifest_entries(A).values())
+    assert total == tok_a + tok_b > 100_000_000
+    for d in ("/dev/shm/slow_mg_a", "/dev/shm/slow_mg_b"):
+        shutil.rmtree(d, ignore_errors=True)
