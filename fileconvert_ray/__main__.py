@@ -296,6 +296,23 @@ def build_parser() -> argparse.ArgumentParser:
     mg.add_argument("src_dir", help="the encode out dir to import FROM (unchanged)")
     mg.add_argument("--out", required=True, help="the encode out dir to merge INTO")
 
+    rm = sub.add_parser(
+        "remap-vocab",
+        help="re-express a store's token ids in a TARGET vocabulary "
+        "(one integer gather per token, no string round-trip) so a "
+        "vocab-incompatible store becomes mergeable",
+    )
+    rm.add_argument("src_dir", help="the encoded store to remap FROM (unchanged)")
+    rm.add_argument("--out", required=True, help="the remapped store to create")
+    rm.add_argument("--vocab", required=True,
+                    help="target vocab.json path, or a store dir holding one "
+                    "(typically the merge destination)")
+    rm.add_argument("--target-partition-tokens", type=int, default=4_000_000)
+    rm.add_argument("--no-zstd", action="store_true")
+    rm.add_argument("--no-resume", action="store_true")
+    rm.add_argument("--reduce-buckets", type=int, default=None)
+    rm.add_argument("--staged-dir", default=None)
+
     tk = sub.add_parser(
         "tokenize",
         help="documents parquet -> tokseq shards (out/shards) + out/vocab.json",
@@ -402,7 +419,7 @@ def build_parser() -> argparse.ArgumentParser:
     # mutating commands hold out_dir/.lock (state/lock.py); this flag
     # steals a lock whose owner is known dead (crashed job, lost host)
     for _name in ("encode", "encode-inc", "compact", "delete", "purge",
-                  "upsert", "table-encode", "merge", "ingest"):
+                  "upsert", "table-encode", "merge", "ingest", "remap-vocab"):
         sub.choices[_name].add_argument(
             "--break-lock", action="store_true",
             help="steal out_dir/.lock from a dead job")
@@ -432,7 +449,8 @@ def main(argv: list[str] | None = None) -> int:
 
     _MUTATORS = {"encode": "out", "encode-inc": "out", "compact": "out_dir",
                  "delete": "out_dir", "purge": "out_dir", "upsert": "out",
-                 "table-encode": "out", "merge": "out", "ingest": "out"}
+                 "table-encode": "out", "merge": "out", "ingest": "out",
+                 "remap-vocab": "out"}
     _stack = ExitStack()
     if args.cmd in _MUTATORS:
         from fileconvert_ray.state.lock import LockHeldError, job_lock
@@ -597,6 +615,12 @@ def main(argv: list[str] | None = None) -> int:
             # document-ingested stores re-tokenize their recorded
             # lineage with the persisted frozen vocab (ingest.json)
             dff = ingest_verify_reader(args.out)
+            if factory is None and dff is None:
+                # remapped stores re-decode their recorded src store
+                # and remap again (remap.json)
+                from fileconvert_ray.pipelines.remap_job import remap_verify_reader
+
+                factory = remap_verify_reader(args.out)
             v = run_verify(
                 factory, args.out, mode=args.mode, by=args.by, gens=gens,
                 ds_from_files=dff,
@@ -829,6 +853,16 @@ def main(argv: list[str] | None = None) -> int:
             from fileconvert_ray.pipelines.merge_job import run_merge
 
             print(json.dumps(run_merge(args.out, args.src_dir)))
+        elif args.cmd == "remap-vocab":
+            from fileconvert_ray.pipelines.remap_job import run_remap
+
+            print(json.dumps(run_remap(
+                args.src_dir, args.out, vocab=args.vocab,
+                target_partition_tokens=args.target_partition_tokens,
+                zstd=not args.no_zstd, resume=not args.no_resume,
+                reduce_buckets=args.reduce_buckets,
+                staged_dir=args.staged_dir,
+            )))
         elif args.cmd == "tokenize":
             from fileconvert_ray.pipelines.tokenize_job import run_tokenize
 

@@ -2939,6 +2939,75 @@ def q_tokenize_roundtrip(sf_dir: str):
     return rd.read_parquet(detok)
 
 
+def q_remap_roundtrip(sf_dir: str):
+    """Vocab-remap fidelity with a VALUE oracle: the documents subset
+    with n_chars % 3 == 0 is ingested into its OWN store (own total
+    vocabulary), remapped into a vocabulary built over the FULL corpus
+    (pipelines/remap_job.py: decode -> one int32 LUT gather per token
+    -> re-encode), and the remapped store is decoded + detokenized
+    against the TARGET vocab back to (doc_id, text, source) —
+    hash-compared against plain SQL over the original parquet.  Every
+    subset word exists in the full-corpus vocab, so the round trip is
+    lossless by construction; a LUT drift, OOV mis-map, list-offset
+    corruption or container round-trip loss breaks value parity."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..pipelines.ingest_job import run_ingest
+    from ..pipelines.remap_job import run_remap
+    from ..pipelines.tokenize_job import build_vocab_distributed
+    from ..stages.decoder import decode_dataset
+
+    import json
+
+    base = _job_dir(sf_dir, "remaprt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    docs = f"{sf_dir}/documents.parquet"
+
+    def subset(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.select(["doc_id", "text", "source"]).filter(
+            pa.array(n % 3 == 0)
+        )
+
+    sub_dir = os.path.join(base, "subset")
+    os.makedirs(sub_dir)
+    rd.read_parquet(docs).map_batches(
+        subset, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(sub_dir)
+
+    vocab_path = os.path.join(base, "target_vocab.json")
+    full_vocab = build_vocab_distributed(rd.read_parquet(docs, columns=["text"]))
+    with open(vocab_path, "w") as f:
+        json.dump(full_vocab, f)
+
+    store_b = os.path.join(base, "storeB")
+    remapped = os.path.join(base, "storeB_remapped")
+    run_ingest([sub_dir], store_b, staged_dir=os.path.join(base, "stg1"))
+    run_remap(store_b, remapped, vocab=vocab_path,
+              staged_dir=os.path.join(base, "stg2"))
+
+    words = pa.array(list(full_vocab) + ["<unk>"], type=pa.string())
+
+    def detok(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens").combine_chunks()
+        ids = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        np.clip(ids, 0, len(words) - 1, out=ids)
+        lists = pa.ListArray.from_arrays(toks.offsets, words.take(pa.array(ids)))
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+            "text": pc.binary_join(lists, " "),
+            "source": pc.cast(batch.column("source"), pa.string()),
+        })
+
+    return decode_dataset(remapped, columns=["doc_id", "tokens", "source"]).map_batches(
+        detok, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_feather_roundtrip(sf_dir: str):
     """Feather / Arrow-IPC sink+source fidelity with a VALUE oracle:
     documents -> write_feather_dataset (one IPC file per block,
@@ -8057,6 +8126,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "csv_export_roundtrip": q_csv_export_roundtrip,
     "tokenize_roundtrip": q_tokenize_roundtrip,
+    "remap_roundtrip": q_remap_roundtrip,
     "jsonl_export_roundtrip": q_jsonl_export_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
     "bpe_merge_rounds": q_bpe_merge_rounds,
@@ -8999,6 +9069,10 @@ ORACLE_SQL = {
     """,
     "tokenize_roundtrip": """
         select cast(doc_id as varchar) as doc_id, text, source from documents
+    """,
+    "remap_roundtrip": """
+        select cast(doc_id as varchar) as doc_id, text, source
+        from documents where n_chars % 3 = 0
     """,
     "jsonl_export_roundtrip": """
         select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id, event_type

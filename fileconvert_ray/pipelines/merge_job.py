@@ -147,8 +147,10 @@ def _check_vocab_compat(dest_dir: str, src_dir: str) -> None:
             "merge refused: the stores' token id spaces are incompatible "
             f"(dest vocab: {'absent' if dv is None else len(dv)} words, "
             f"src vocab: {'absent' if sv is None else len(sv)} words, "
-            "unequal). Re-tokenize one side against the other's vocab "
-            "(decode -> detokenize -> ingest with --vocab) instead."
+            "unequal). Remap one side into the other's id space first: "
+            "`remap-vocab SRC --out SRC_REMAPPED --vocab DEST` "
+            "(pipelines/remap_job.py — one integer gather per token, no "
+            "string round-trip), then merge the remapped store."
         )
 
 
