@@ -295,6 +295,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     mg.add_argument("src_dir", help="the encode out dir to import FROM (unchanged)")
     mg.add_argument("--out", required=True, help="the encode out dir to merge INTO")
+    mg.add_argument("--dedup-exact", action="store_true",
+                    help="tombstone imported rows whose token sequence already "
+                    "exists in the destination (cross-store exact dedup; "
+                    "purge reclaims the bytes)")
 
     rm = sub.add_parser(
         "remap-vocab",
@@ -852,7 +856,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "merge":
             from fileconvert_ray.pipelines.merge_job import run_merge
 
-            print(json.dumps(run_merge(args.out, args.src_dir)))
+            print(json.dumps(run_merge(
+                args.out, args.src_dir,
+                dedup="exact" if args.dedup_exact else None,
+            )))
         elif args.cmd == "remap-vocab":
             from fileconvert_ray.pipelines.remap_job import run_remap
 

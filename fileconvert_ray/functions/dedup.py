@@ -36,6 +36,39 @@ def add_content_hash(batch: pa.Table, key: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h.view(np.int64)))
 
 
+def token_content_hashes(t: pa.Table) -> np.ndarray:
+    """One uint64 content hash per row over the TOKEN SEQUENCE alone
+    (position-mixed splitmix64, the verify_job row-digest token term) —
+    doc_id and source are deliberately EXCLUDED, so a re-crawled
+    duplicate carrying a fresh id under a different source still
+    collides.  Used by merge's cross-store exact dedup.  64-bit hash:
+    expected false collisions ~ n^2 / 2^65 (≈0.03 at 10^9 docs) —
+    acceptable for corpus curation; an exact payload re-check would
+    need the candidate token payloads shipped (exact_dedup's two-phase
+    pattern) and is not worth it at that rate."""
+    from ..stages.encoder import flat_tokens
+    from ..util.hashing import splitmix64
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    gold2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    n_tok = t.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+    with np.errstate(over="ignore"):
+        flat = flat_tokens(t).to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False
+        )
+        starts = np.concatenate(([0], np.cumsum(n_tok)))
+        pos = np.arange(len(flat), dtype=np.uint64)
+        pos -= np.repeat(starts[:-1].astype(np.uint64), n_tok)
+        pos *= gold2
+        pos += flat * gold
+        th = splitmix64(pos)
+        seg = np.zeros(t.num_rows, dtype=np.uint64)
+        nonempty = n_tok > 0
+        if nonempty.any():
+            seg[nonempty] = np.add.reduceat(th, starts[:-1][nonempty])
+        return splitmix64(seg ^ splitmix64(n_tok.astype(np.uint64) * gold))
+
+
 PAIR_SCHEMA = pa.schema([("content_hash", pa.int64()), ("_id", pa.string())])
 
 

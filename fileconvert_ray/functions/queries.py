@@ -3008,6 +3008,71 @@ def q_remap_roundtrip(sf_dir: str):
     )
 
 
+def q_merge_dedup_scan(sf_dir: str):
+    """Cross-store exact dedup on merge, VALUE-oracled: store A holds
+    the full tokseq corpus; store B holds, for every doc with
+    doc_id % 3 == 0, (a) an exact token-sequence copy under a fresh
+    'dup-' id and (b) a near-copy under 'nv-' with one token appended.
+    run_merge(A, B, dedup="exact") must tombstone exactly the (a) rows
+    — identical content, different id — and keep the (b) rows, so the
+    merged decode equals documents UNION ALL the modified subset.
+    Exercises token_content_hashes + the key-only semi hash_join +
+    distributed per-partition tombstone writes end to end."""
+    import numpy as np
+
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..pipelines.merge_job import run_merge
+    from ..sources.tokseq import tokseq_table
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, "mergededup")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    t = tokseq_table(sf_dir)
+    ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+    sub = t.filter(pa.array(ids % 3 == 0))
+
+    toks = sub.column("tokens").combine_chunks()
+    vals = toks.values.to_numpy(zero_copy_only=False)
+    lens = sub.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+    # append one token (id 0) per row, vectorized: old values scatter to
+    # their shifted slots, the per-row gap stays 0 (the appended token)
+    new_vals = np.zeros(len(vals) + sub.num_rows, dtype=np.int32)
+    new_vals[np.arange(len(vals)) + np.repeat(np.arange(sub.num_rows), lens)] = vals
+    new_off = np.concatenate(([0], np.cumsum(lens + 1)))
+    novel_tokens = pa.ListArray.from_arrays(
+        pa.array(new_off, type=pa.int32()), pa.array(new_vals, type=pa.int32())
+    )
+
+    def tagged(prefix: str, tokens, n_tok) -> pa.Table:
+        did = pc.binary_join_element_wise(
+            pa.array([prefix] * sub.num_rows),
+            pc.cast(sub.column("doc_id"), pa.string()).combine_chunks(),
+            "",
+        )
+        return pa.Table.from_arrays(
+            [did, tokens, n_tok, sub.column("source").combine_chunks()],
+            names=["doc_id", "tokens", "n_tok", "source"],
+        )
+
+    b_tab = pa.concat_tables([
+        tagged("dup-", toks, sub.column("n_tok").combine_chunks()),
+        tagged("nv-", novel_tokens, pa.array((lens + 1).astype(np.int32))),
+    ])
+
+    sh_a, sh_b = os.path.join(base, "a.parquet"), os.path.join(base, "b.parquet")
+    pq.write_table(t, sh_a)
+    pq.write_table(b_tab, sh_b)
+    A, B = os.path.join(base, "A"), os.path.join(base, "B")
+    run_encode_files([sh_a], EncodeConfig(
+        out_dir=A, staged_dir=os.path.join(base, "stg1"))).materialize()
+    run_encode_files([sh_b], EncodeConfig(
+        out_dir=B, staged_dir=os.path.join(base, "stg2"))).materialize()
+    run_merge(A, B, dedup="exact")
+    return decode_dataset(A, columns=["doc_id", "source", "n_tok"])
+
+
 def q_feather_roundtrip(sf_dir: str):
     """Feather / Arrow-IPC sink+source fidelity with a VALUE oracle:
     documents -> write_feather_dataset (one IPC file per block,
@@ -8127,6 +8192,7 @@ QUERIES = {
     "csv_export_roundtrip": q_csv_export_roundtrip,
     "tokenize_roundtrip": q_tokenize_roundtrip,
     "remap_roundtrip": q_remap_roundtrip,
+    "merge_dedup_scan": q_merge_dedup_scan,
     "jsonl_export_roundtrip": q_jsonl_export_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
     "bpe_merge_rounds": q_bpe_merge_rounds,
@@ -9073,6 +9139,15 @@ ORACLE_SQL = {
     "remap_roundtrip": """
         select cast(doc_id as varchar) as doc_id, text, source
         from documents where n_chars % 3 = 0
+    """,
+    "merge_dedup_scan": """
+        select cast(doc_id as varchar) as doc_id, source,
+               cast(len(string_split(text, ' ')) as int) as n_tok
+        from documents
+        union all
+        select 'nv-' || cast(doc_id as varchar), source,
+               cast(len(string_split(text, ' ')) + 1 as int)
+        from documents where cast(doc_id as bigint) % 3 = 0
     """,
     "jsonl_export_roundtrip": """
         select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id, event_type

@@ -214,11 +214,106 @@ def _prior_base(dest_gens: list[dict], src_gens: list[dict], src_abs: str):
     return None
 
 
-def run_merge(dest_dir: str, src_dir: str) -> dict:
+def _dedup_against_dest(dest_dir: str, new_pids: set, old_pids: set) -> dict:
+    """Cross-store exact dedup for ``run_merge(dedup="exact")``:
+    tombstone every row of the NEW partitions whose token sequence
+    already exists in the OLD partitions (the continuous-crawl ingest
+    case — don't re-add what the corpus already holds).
+
+    Scale shape: both sides stream one decode task per container
+    projecting only (n_tok, tokens[, doc_id]); the only thing that
+    crosses the exchange is (content_hash[, doc_id, pid]) — ~8-40
+    B/row, never the payload — through the key-only semi hash_join.
+    Tombstone files are written by one task per affected partition
+    (distinct files, no write conflicts).  Identity is the TOKEN
+    SEQUENCE alone (see token_content_hashes: a re-crawled dup with a
+    fresh doc_id/source still collides; 64-bit hash, false-collision
+    odds documented there).  Intra-src duplicates are NOT touched —
+    run exact_dedup upstream for those.  Already-tombstoned rows on
+    either side are excluded (a deleted dest doc does not block its
+    own re-ingest; a deleted src doc stays deleted)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.dedup import token_content_hashes
+    from ..functions.joins import hash_join
+    from ..stages.decoder import iter_partition_chunks
+
+    if not old_pids or not new_pids:
+        return {"duplicates_tombstoned": 0, "partitions_tombstoned": 0}
+    dirs = JobDirs(dest_dir)
+
+    def _chunks(pid: str, with_doc_id: bool):
+        cols = ["doc_id", "n_tok", "tokens"] if with_doc_id else ["n_tok", "tokens"]
+        tomb = read_tombstones(dest_dir, pid)
+        cols_p = cols if (not tomb or "doc_id" in cols) else cols + ["doc_id"]
+        for t in iter_partition_chunks(dirs.container_path(pid), cols_p):
+            if tomb:
+                keep = pc.invert(pc.is_in(
+                    t.column("doc_id"),
+                    value_set=pa.array(sorted(tomb), type=pa.string()),
+                ))
+                t = t.filter(keep)
+            yield t
+
+    def old_hashes(batch: pa.Table):
+        for pid in batch.column("pid").to_pylist():
+            for t in _chunks(pid, with_doc_id=False):
+                h = token_content_hashes(t)
+                yield pa.table({"content_hash": pa.array(h.view(np.int64))})
+
+    def new_hashes(batch: pa.Table):
+        for pid in batch.column("pid").to_pylist():
+            for t in _chunks(pid, with_doc_id=True):
+                h = token_content_hashes(t)
+                yield pa.table({
+                    "content_hash": pa.array(h.view(np.int64)),
+                    "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                    "pid": pa.array([pid] * t.num_rows, type=pa.string()),
+                })
+
+    left = rd.from_items([{"pid": p} for p in sorted(new_pids)]).map_batches(
+        new_hashes, batch_format="pyarrow"
+    )
+    right = rd.from_items([{"pid": p} for p in sorted(old_pids)]).map_batches(
+        old_hashes, batch_format="pyarrow"
+    )
+    dups = hash_join(
+        left, right, left_on="content_hash", right_on="content_hash",
+        right_cols=[], mode="semi",
+    )
+
+    def tombstone_group(group: pa.Table) -> pa.Table:
+        pid = group.column("pid")[0].as_py()
+        ids = pc.unique(group.column("doc_id").combine_chunks()).to_pylist()
+        write_tombstones(dest_dir, pid, ids)
+        return pa.table({"pid": [pid], "n": [len(ids)]})
+
+    summary = (
+        dups.groupby("pid")
+        .map_groups(tombstone_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "duplicates_tombstoned": int(summary["n"].sum()) if len(summary) else 0,
+        "partitions_tombstoned": int(len(summary)),
+    }
+
+
+def run_merge(dest_dir: str, src_dir: str, dedup: str | None = None) -> dict:
     """Import every completed partition of ``src_dir`` into
     ``dest_dir`` as new ingest generations.  Idempotent: a re-run (or
     a crash-interrupted run re-run) skips partitions already landed
-    with the same digest and refuses on digest conflicts."""
+    with the same digest and refuses on digest conflicts.
+
+    ``dedup="exact"`` additionally tombstones every imported row whose
+    token sequence already exists in the pre-merge corpus (see
+    _dedup_against_dest) — merge stays a cheap hardlink union, the
+    duplicates are dropped logically and reclaimed by ``run_purge``."""
+    if dedup not in (None, "exact"):
+        raise ValueError(f"run_merge: unknown dedup mode {dedup!r}")
     if os.path.realpath(dest_dir) == os.path.realpath(src_dir):
         raise ValueError("merge: dest and src are the same directory")
     dest_plan = read_plan(dest_dir)  # FileNotFoundError: not an encode dir
@@ -296,9 +391,18 @@ def run_merge(dest_dir: str, src_dir: str) -> dict:
         }
         write_plan(dest_dir, doc)
 
+    dedup_stats = {}
+    if dedup == "exact":
+        dedup_stats = _dedup_against_dest(
+            dest_dir,
+            new_pids=set(lbl.values()),
+            old_pids=set(dest_entries) - set(lbl.values()),
+        )
+
     n_rows = sum(int(src_entries[o].get("n_rows", 0)) for o in lbl)
     n_tokens = sum(int(src_entries[o].get("n_tokens", 0)) for o in lbl)
     return {
+        **dedup_stats,
         "ok": True,
         "merged_partitions": landed,
         "skipped_partitions": skipped,

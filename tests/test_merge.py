@@ -215,3 +215,113 @@ def test_merge_refuses_vocab_mismatch(ray_session, sf_dir, tmp_path):
     run_encode_files([sh], EncodeConfig(out_dir=P, target_partition_tokens=3_000)).materialize()
     with pytest.raises(RuntimeError, match="incompatible"):
         run_merge(P, A)
+
+
+# ---------------------------------------------------------- merge dedup
+
+
+def test_token_content_hashes_identity():
+    """Identity is the token sequence alone: doc_id/source-independent,
+    position-sensitive, empty rows mutually equal."""
+    import numpy as np
+
+    from fileconvert_ray.functions.dedup import token_content_hashes
+
+    def tab(rows, ids=None):
+        n = [len(r) for r in rows]
+        return pa.table({
+            "doc_id": ids or [f"d{i}" for i in range(len(rows))],
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+            "n_tok": pa.array(n, type=pa.int32()),
+            "source": [f"s{i}" for i in range(len(rows))],
+        })
+
+    h = token_content_hashes(tab([[1, 2, 3], [1, 2, 3], [3, 2, 1], [], []]))
+    assert h[0] == h[1]          # same content, different id+source
+    assert h[0] != h[2]          # reorder changes the hash
+    assert h[3] == h[4]          # empty == empty
+    assert h[0] != h[3]
+
+
+def test_merge_dedup_exact_end_to_end(two_stores, tmp_path):
+    """dedup='exact' tombstones exactly the imported rows whose token
+    sequence pre-exists in dest: a re-idd exact copy is dropped, a
+    one-token-modified copy survives; re-running is idempotent and
+    purge physically reclaims the duplicates."""
+    import numpy as np
+
+    a, _, t, shards = two_stores
+    pre_ids = set(_decoded_ids(a))
+
+    # build a src store from A's OWN half: every row duplicated under a
+    # fresh id (dup-*) plus a modified copy (nv-*, one token appended)
+    half = pq.read_table(shards[0])
+    toks = half.column("tokens").combine_chunks()
+    vals = toks.values.to_numpy(zero_copy_only=False)
+    lens = half.column("n_tok").to_numpy(zero_copy_only=False).astype("int64")
+    new_vals = np.zeros(len(vals) + half.num_rows, dtype=np.int32)
+    new_vals[np.arange(len(vals)) + np.repeat(np.arange(half.num_rows), lens)] = vals
+    novel = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(lens + 1))), type=pa.int32()),
+        pa.array(new_vals, type=pa.int32()),
+    )
+    ids = pc.cast(half.column("doc_id"), pa.string()).combine_chunks()
+    src_tab = pa.concat_tables([
+        pa.Table.from_arrays(
+            [pc.binary_join_element_wise(pa.array(["dup-"] * half.num_rows), ids, ""),
+             toks, half.column("n_tok").combine_chunks(),
+             half.column("source").combine_chunks()],
+            names=["doc_id", "tokens", "n_tok", "source"]),
+        pa.Table.from_arrays(
+            [pc.binary_join_element_wise(pa.array(["nv-"] * half.num_rows), ids, ""),
+             novel, pa.array((lens + 1).astype(np.int32)),
+             half.column("source").combine_chunks()],
+            names=["doc_id", "tokens", "n_tok", "source"]),
+    ])
+    sh = str(tmp_path / "dupsrc.parquet")
+    pq.write_table(src_tab, sh)
+    S = str(tmp_path / "S")
+    run_encode_files([sh], EncodeConfig(out_dir=S, target_partition_tokens=2_000)).materialize()
+
+    r = run_merge(a, S, dedup="exact")
+    assert r["ok"] and r["duplicates_tombstoned"] == half.num_rows
+    got = set(_decoded_ids(a))
+    assert got == pre_ids | {f"nv-{i}" for i in ids.to_pylist()}
+
+    # idempotent: same tombstones, nothing double-counted
+    r2 = run_merge(a, S, dedup="exact")
+    assert r2["skipped_partitions"] == r["merged_partitions"]
+    assert set(_decoded_ids(a)) == got
+
+    # purge physically drops the tombstoned rows; decode unchanged
+    from fileconvert_ray.pipelines.delete_job import run_purge
+
+    run_purge(a)
+    assert set(_decoded_ids(a)) == got
+
+
+def test_merge_dedup_ignores_tombstoned_dest_rows(two_stores, tmp_path):
+    """A dest doc that was DELETED must not block re-ingest of the
+    same content — the takedown removed it, the new copy is new data."""
+    from fileconvert_ray.pipelines.delete_job import run_delete
+
+    a, _, t, shards = two_stores
+    half = pq.read_table(shards[0])
+    victim = str(half.column("doc_id")[0].as_py())
+    run_delete(a, [victim])
+    assert victim not in set(_decoded_ids(a))
+
+    one = half.slice(0, 1)
+    src_tab = pa.Table.from_arrays(
+        [pa.array([f"re-{victim}"]),
+         one.column("tokens").combine_chunks(),
+         one.column("n_tok").combine_chunks(),
+         one.column("source").combine_chunks()],
+        names=["doc_id", "tokens", "n_tok", "source"])
+    sh = str(tmp_path / "re.parquet")
+    pq.write_table(src_tab, sh)
+    S = str(tmp_path / "S2")
+    run_encode_files([sh], EncodeConfig(out_dir=S, target_partition_tokens=2_000)).materialize()
+    r = run_merge(a, S, dedup="exact")
+    assert r["duplicates_tombstoned"] == 0
+    assert f"re-{victim}" in set(_decoded_ids(a))
