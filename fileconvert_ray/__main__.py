@@ -299,6 +299,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tombstone imported rows whose token sequence already "
                     "exists in the destination (cross-store exact dedup; "
                     "purge reclaims the bytes)")
+    mg.add_argument("--dedup-minhash", action="store_true",
+                    help="NEAR variant: tombstone imported rows whose "
+                    "token-shingle MinHash agreement with a destination row "
+                    "reaches --dedup-threshold")
+    mg.add_argument("--dedup-threshold", type=float, default=0.7)
 
     rm = sub.add_parser(
         "remap-vocab",
@@ -856,9 +861,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "merge":
             from fileconvert_ray.pipelines.merge_job import run_merge
 
+            if args.dedup_exact and args.dedup_minhash:
+                raise SystemExit("merge: pass at most one of --dedup-exact / --dedup-minhash")
             print(json.dumps(run_merge(
                 args.out, args.src_dir,
-                dedup="exact" if args.dedup_exact else None,
+                dedup=("exact" if args.dedup_exact
+                       else "minhash" if args.dedup_minhash else None),
+                dedup_threshold=args.dedup_threshold,
             )))
         elif args.cmd == "remap-vocab":
             from fileconvert_ray.pipelines.remap_job import run_remap

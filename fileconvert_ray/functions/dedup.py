@@ -229,18 +229,12 @@ def _exact_dedup_join(ds, cand, key: str, id_col: str):
 _MERSENNE = (1 << 61) - 1
 
 
-def _word_kgram_hashes(texts: pa.Array, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """All word k-gram hashes per doc -> (flat shingle hashes, doc lengths)."""
-    words = pc.split_pattern(texts, " ")
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = words.flatten()
-    wh = hash_strings_u64(flat, seed=seed)
+def _rolling_kgram(wh: np.ndarray, lens: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling combine of k consecutive element hashes, masked at doc
+    bounds -> (flat shingle hashes, per-doc shingle counts)."""
     n_sh = np.maximum(lens - k + 1, 0)
     if len(wh) == 0 or n_sh.sum() == 0:
         return np.zeros(0, dtype=np.uint64), n_sh
-    # rolling combine of k consecutive word hashes, masked at doc bounds
     comb = np.zeros(len(wh), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):
@@ -253,6 +247,35 @@ def _word_kgram_hashes(texts: pa.Array, k: int, seed: int) -> tuple[np.ndarray, 
     pos_in_doc = np.arange(len(wh)) - np.repeat(starts[:-1], lens)
     valid = pos_in_doc < np.repeat(n_sh, lens)
     return comb[valid], n_sh
+
+
+def _word_kgram_hashes(texts: pa.Array, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word k-gram hashes per doc -> (flat shingle hashes, doc lengths)."""
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    wh = hash_strings_u64(flat, seed=seed)
+    return _rolling_kgram(wh, lens, k)
+
+
+def _token_kgram_hashes(tokens, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Token-id k-gram shingle hashes — the tokseq-store analogue of
+    _word_kgram_hashes (merge's cross-store near-dup runs over encoded
+    stores whose rows carry token ids, not text; ids are comparable
+    across stores by merge's id-space contract).  Same rolling combine,
+    element hashes from splitmix64 over the ids."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        wh = splitmix64(
+            (flat + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+            ^ splitmix64(np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))
+        )
+    return _rolling_kgram(wh, lens, k)
 
 
 class MinHasher:
@@ -270,6 +293,17 @@ class MinHasher:
 
     def signatures(self, texts: pa.Array) -> np.ndarray:
         sh, n_sh = _word_kgram_hashes(texts, self.k, self.seed)
+        return self._sig_from_shingles(sh, n_sh)
+
+    def token_signatures(self, tokens) -> tuple[np.ndarray, np.ndarray]:
+        """Signatures over token-id shingles (encoded-store rows).
+        Also returns the per-doc shingle counts so callers can exclude
+        sub-k-token docs (their all-sentinel signatures would make
+        every short doc a 'duplicate' of every other short doc)."""
+        sh, n_sh = _token_kgram_hashes(tokens, self.k, self.seed)
+        return self._sig_from_shingles(sh, n_sh), n_sh
+
+    def _sig_from_shingles(self, sh: np.ndarray, n_sh: np.ndarray) -> np.ndarray:
         n_docs = len(n_sh)
         sig = np.full((n_docs, self.num_perm), _MASK, dtype=np.uint64)
         if len(sh):

@@ -3073,6 +3073,66 @@ def q_merge_dedup_scan(sf_dir: str):
     return decode_dataset(A, columns=["doc_id", "source", "n_tok"])
 
 
+def q_merge_near_dedup_scan(sf_dir: str):
+    """Cross-store NEAR dedup on merge, VALUE-oracled on its
+    deterministic envelope: store B holds, per doc with doc_id % 3 ==
+    0, (a) an exact token copy under 'dup-' (identical shingle sets ->
+    identical signatures -> est 1.0, caught regardless of banding
+    luck) and (b) a content-disjoint copy under 'fz-' (every token id
+    shifted by +1e6 -> zero shingle overlap -> never reaches the 0.7
+    agreement bar).  run_merge(A, B, dedup="minhash") must drop
+    exactly the (a) rows.  The probabilistic mid-range (one-token
+    drift) is pinned by tests/test_merge.py instead — its detection
+    probability depends on banding, so it has no SQL-expressible
+    truth.  Exercises token-shingle MinHash signatures + _banded_pairs
+    cross-side matching + distributed tombstone writes end to end."""
+    import numpy as np
+
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..pipelines.merge_job import run_merge
+    from ..sources.tokseq import tokseq_table
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, "mergenear")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    t = tokseq_table(sf_dir)
+    ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+    sub = t.filter(pa.array(ids % 3 == 0))
+    toks = sub.column("tokens").combine_chunks()
+    far = pa.ListArray.from_arrays(
+        toks.offsets,
+        pa.array(
+            toks.values.to_numpy(zero_copy_only=False) + 1_000_000,
+            type=pa.int32(),
+        ),
+    )
+
+    def tagged(prefix: str, tokens) -> pa.Table:
+        did = pc.binary_join_element_wise(
+            pa.array([prefix] * sub.num_rows),
+            pc.cast(sub.column("doc_id"), pa.string()).combine_chunks(),
+            "",
+        )
+        return pa.Table.from_arrays(
+            [did, tokens, sub.column("n_tok").combine_chunks(),
+             sub.column("source").combine_chunks()],
+            names=["doc_id", "tokens", "n_tok", "source"],
+        )
+
+    sh_a, sh_b = os.path.join(base, "a.parquet"), os.path.join(base, "b.parquet")
+    pq.write_table(t, sh_a)
+    pq.write_table(pa.concat_tables([tagged("dup-", toks), tagged("fz-", far)]), sh_b)
+    A, B = os.path.join(base, "A"), os.path.join(base, "B")
+    run_encode_files([sh_a], EncodeConfig(
+        out_dir=A, staged_dir=os.path.join(base, "stg1"))).materialize()
+    run_encode_files([sh_b], EncodeConfig(
+        out_dir=B, staged_dir=os.path.join(base, "stg2"))).materialize()
+    run_merge(A, B, dedup="minhash")
+    return decode_dataset(A, columns=["doc_id", "source", "n_tok"])
+
+
 def q_feather_roundtrip(sf_dir: str):
     """Feather / Arrow-IPC sink+source fidelity with a VALUE oracle:
     documents -> write_feather_dataset (one IPC file per block,
@@ -8193,6 +8253,7 @@ QUERIES = {
     "tokenize_roundtrip": q_tokenize_roundtrip,
     "remap_roundtrip": q_remap_roundtrip,
     "merge_dedup_scan": q_merge_dedup_scan,
+    "merge_near_dedup_scan": q_merge_near_dedup_scan,
     "jsonl_export_roundtrip": q_jsonl_export_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
     "bpe_merge_rounds": q_bpe_merge_rounds,
@@ -9147,6 +9208,15 @@ ORACLE_SQL = {
         union all
         select 'nv-' || cast(doc_id as varchar), source,
                cast(len(string_split(text, ' ')) + 1 as int)
+        from documents where cast(doc_id as bigint) % 3 = 0
+    """,
+    "merge_near_dedup_scan": """
+        select cast(doc_id as varchar) as doc_id, source,
+               cast(len(string_split(text, ' ')) as int) as n_tok
+        from documents
+        union all
+        select 'fz-' || cast(doc_id as varchar), source,
+               cast(len(string_split(text, ' ')) as int)
         from documents where cast(doc_id as bigint) % 3 = 0
     """,
     "jsonl_export_roundtrip": """

@@ -214,6 +214,53 @@ def _prior_base(dest_gens: list[dict], src_gens: list[dict], src_abs: str):
     return None
 
 
+def _live_chunks(dest_dir: str, pid: str, with_doc_id: bool):
+    """Stream a partition's decoded chunks projected to (n_tok, tokens
+    [, doc_id]) with tombstoned rows filtered out — the per-container
+    read both merge-dedup variants share."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.decoder import iter_partition_chunks
+
+    dirs = JobDirs(dest_dir)
+    cols = ["doc_id", "n_tok", "tokens"] if with_doc_id else ["n_tok", "tokens"]
+    tomb = read_tombstones(dest_dir, pid)
+    cols_p = cols if (not tomb or "doc_id" in cols) else cols + ["doc_id"]
+    for t in iter_partition_chunks(dirs.container_path(pid), cols_p):
+        if tomb:
+            keep = pc.invert(pc.is_in(
+                t.column("doc_id"),
+                value_set=pa.array(sorted(tomb), type=pa.string()),
+            ))
+            t = t.filter(keep)
+        yield t
+
+
+def _tombstone_dups(dest_dir: str, dups) -> dict:
+    """(doc_id, pid) duplicate rows -> per-partition tombstone files,
+    one write task per affected partition (distinct files, no write
+    conflicts); summary is O(partitions)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def tombstone_group(group: pa.Table) -> pa.Table:
+        pid = group.column("pid")[0].as_py()
+        ids = pc.unique(group.column("doc_id").combine_chunks()).to_pylist()
+        write_tombstones(dest_dir, pid, ids)
+        return pa.table({"pid": [pid], "n": [len(ids)]})
+
+    summary = (
+        dups.groupby("pid")
+        .map_groups(tombstone_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "duplicates_tombstoned": int(summary["n"].sum()) if len(summary) else 0,
+        "partitions_tombstoned": int(len(summary)),
+    }
+
+
 def _dedup_against_dest(dest_dir: str, new_pids: set, old_pids: set) -> dict:
     """Cross-store exact dedup for ``run_merge(dedup="exact")``:
     tombstone every row of the NEW partitions whose token sequence
@@ -243,30 +290,16 @@ def _dedup_against_dest(dest_dir: str, new_pids: set, old_pids: set) -> dict:
 
     if not old_pids or not new_pids:
         return {"duplicates_tombstoned": 0, "partitions_tombstoned": 0}
-    dirs = JobDirs(dest_dir)
-
-    def _chunks(pid: str, with_doc_id: bool):
-        cols = ["doc_id", "n_tok", "tokens"] if with_doc_id else ["n_tok", "tokens"]
-        tomb = read_tombstones(dest_dir, pid)
-        cols_p = cols if (not tomb or "doc_id" in cols) else cols + ["doc_id"]
-        for t in iter_partition_chunks(dirs.container_path(pid), cols_p):
-            if tomb:
-                keep = pc.invert(pc.is_in(
-                    t.column("doc_id"),
-                    value_set=pa.array(sorted(tomb), type=pa.string()),
-                ))
-                t = t.filter(keep)
-            yield t
 
     def old_hashes(batch: pa.Table):
         for pid in batch.column("pid").to_pylist():
-            for t in _chunks(pid, with_doc_id=False):
+            for t in _live_chunks(dest_dir, pid, with_doc_id=False):
                 h = token_content_hashes(t)
                 yield pa.table({"content_hash": pa.array(h.view(np.int64))})
 
     def new_hashes(batch: pa.Table):
         for pid in batch.column("pid").to_pylist():
-            for t in _chunks(pid, with_doc_id=True):
+            for t in _live_chunks(dest_dir, pid, with_doc_id=True):
                 h = token_content_hashes(t)
                 yield pa.table({
                     "content_hash": pa.array(h.view(np.int64)),
@@ -284,25 +317,100 @@ def _dedup_against_dest(dest_dir: str, new_pids: set, old_pids: set) -> dict:
         left, right, left_on="content_hash", right_on="content_hash",
         right_cols=[], mode="semi",
     )
-
-    def tombstone_group(group: pa.Table) -> pa.Table:
-        pid = group.column("pid")[0].as_py()
-        ids = pc.unique(group.column("doc_id").combine_chunks()).to_pylist()
-        write_tombstones(dest_dir, pid, ids)
-        return pa.table({"pid": [pid], "n": [len(ids)]})
-
-    summary = (
-        dups.groupby("pid")
-        .map_groups(tombstone_group, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return {
-        "duplicates_tombstoned": int(summary["n"].sum()) if len(summary) else 0,
-        "partitions_tombstoned": int(len(summary)),
-    }
+    return _tombstone_dups(dest_dir, dups)
 
 
-def run_merge(dest_dir: str, src_dir: str, dedup: str | None = None) -> dict:
+def _near_dedup_against_dest(dest_dir: str, new_pids: set, old_pids: set, *,
+                             threshold: float = 0.7, num_perm: int = 64,
+                             bands: int = 16, shingle_k: int = 3,
+                             seed: int = 1) -> dict:
+    """Cross-store NEAR dedup for ``run_merge(dedup="minhash")``:
+    tombstone every imported row whose token-shingle MinHash signature
+    agrees with some pre-merge row's on >= ``threshold`` of the
+    permutations (the standard biased Jaccard estimate) — the crawl
+    re-fetch with boilerplate drift that exact hashing misses.
+
+    Scale shape mirrors the within-store minhash_dedup: one decode
+    task per container computes signatures over token-id k-gram
+    shingles (_token_kgram_hashes — ids are cross-store comparable by
+    merge's vocab contract), only (doc_id, band_key, sig, side, pid)
+    rows cross the exchange, and _banded_pairs touches exclusively the
+    band buckets where BOTH stores collide (the LSH premise keeps
+    those rare).  Asymmetric by construction: only NEW rows are
+    tombstoned, dest is never touched; intra-src near-dups survive
+    (run minhash_dedup upstream for those).  Docs with fewer than
+    ``shingle_k`` tokens carry no shingles and are never near-dropped
+    (their all-sentinel signatures would otherwise declare every short
+    doc a duplicate of every other) — exact dedup covers them."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.dedup import MinHasher, _banded_pairs
+
+    if not old_pids or not new_pids:
+        return {"duplicates_tombstoned": 0, "partitions_tombstoned": 0}
+
+    mh = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed)
+    n_bands = mh.bands
+
+    def band_rows(batch: pa.Table):
+        for pid, side in zip(batch.column("pid").to_pylist(),
+                             batch.column("side").to_pylist()):
+            for t in _live_chunks(dest_dir, pid, with_doc_id=True):
+                sig, n_sh = mh.token_signatures(t.column("tokens"))
+                keep = n_sh > 0
+                if not keep.any():
+                    continue
+                sig = sig[keep]
+                keys = mh.band_keys(sig)  # (n, bands) int64
+                doc_id = pc.cast(t.column("doc_id"), pa.string())
+                if isinstance(doc_id, pa.ChunkedArray):
+                    doc_id = doc_id.combine_chunks()
+                doc_id = doc_id.filter(pa.array(keep))
+                n = len(doc_id)
+                sig_bytes = [sig[i].tobytes() for i in range(n)]
+                yield pa.table({
+                    "doc_id": pa.concat_arrays([doc_id] * n_bands),
+                    "band_key": pa.array(keys.T.ravel()),  # band-major
+                    "sig": pa.array(sig_bytes * n_bands, type=pa.binary()),
+                    "side": pa.array([side] * (n * n_bands), type=pa.int8()),
+                    "pid": pa.array([pid] * (n * n_bands), type=pa.string()),
+                })
+
+    _EMPTY = pa.schema([("doc_id", pa.string()), ("pid", pa.string())])
+
+    def cross_pairs(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        new_idx = np.flatnonzero(side == 1)
+        old_idx = np.flatnonzero(side == 0)
+        if len(new_idx) == 0 or len(old_idx) == 0:
+            return pa.Table.from_pydict({"doc_id": [], "pid": []}, schema=_EMPTY)
+        raw = b"".join(group.column("sig").to_pylist())
+        sigs = np.frombuffer(raw, dtype=np.uint64).reshape(group.num_rows, num_perm)
+        hit = np.zeros(len(new_idx), dtype=bool)
+        # tile the old side so peak memory stays bounded in hot buckets
+        for o0 in range(0, len(old_idx), 1024):
+            osl = old_idx[o0 : o0 + 1024]
+            est = (sigs[new_idx][:, None, :] == sigs[osl][None, :, :]).mean(axis=2)
+            hit |= (est >= threshold).any(axis=1)
+        sel = pa.array(new_idx[hit].astype(np.int64))
+        return pa.Table.from_arrays(
+            [group.column("doc_id").take(sel), group.column("pid").take(sel)],
+            schema=_EMPTY,
+        )
+
+    exploded = rd.from_items(
+        [{"pid": p, "side": 0} for p in sorted(old_pids)]
+        + [{"pid": p, "side": 1} for p in sorted(new_pids)]
+    ).map_batches(band_rows, batch_format="pyarrow")
+    dups = _banded_pairs(exploded, cross_pairs)
+    return _tombstone_dups(dest_dir, dups)
+
+
+def run_merge(dest_dir: str, src_dir: str, dedup: str | None = None,
+              dedup_threshold: float = 0.7) -> dict:
     """Import every completed partition of ``src_dir`` into
     ``dest_dir`` as new ingest generations.  Idempotent: a re-run (or
     a crash-interrupted run re-run) skips partitions already landed
@@ -311,8 +419,11 @@ def run_merge(dest_dir: str, src_dir: str, dedup: str | None = None) -> dict:
     ``dedup="exact"`` additionally tombstones every imported row whose
     token sequence already exists in the pre-merge corpus (see
     _dedup_against_dest) — merge stays a cheap hardlink union, the
-    duplicates are dropped logically and reclaimed by ``run_purge``."""
-    if dedup not in (None, "exact"):
+    duplicates are dropped logically and reclaimed by ``run_purge``.
+    ``dedup="minhash"`` does the NEAR variant: imported rows whose
+    token-shingle MinHash agreement with some pre-merge row reaches
+    ``dedup_threshold`` (see _near_dedup_against_dest)."""
+    if dedup not in (None, "exact", "minhash"):
         raise ValueError(f"run_merge: unknown dedup mode {dedup!r}")
     if os.path.realpath(dest_dir) == os.path.realpath(src_dir):
         raise ValueError("merge: dest and src are the same directory")
@@ -397,6 +508,13 @@ def run_merge(dest_dir: str, src_dir: str, dedup: str | None = None) -> dict:
             dest_dir,
             new_pids=set(lbl.values()),
             old_pids=set(dest_entries) - set(lbl.values()),
+        )
+    elif dedup == "minhash":
+        dedup_stats = _near_dedup_against_dest(
+            dest_dir,
+            new_pids=set(lbl.values()),
+            old_pids=set(dest_entries) - set(lbl.values()),
+            threshold=dedup_threshold,
         )
 
     n_rows = sum(int(src_entries[o].get("n_rows", 0)) for o in lbl)

@@ -325,3 +325,61 @@ def test_merge_dedup_ignores_tombstoned_dest_rows(two_stores, tmp_path):
     r = run_merge(a, S, dedup="exact")
     assert r["duplicates_tombstoned"] == 0
     assert f"re-{victim}" in set(_decoded_ids(a))
+
+
+def test_merge_dedup_minhash_near_copies(two_stores, tmp_path):
+    """dedup='minhash' drops imported near-copies (one token changed
+    mid-doc, shingle Jaccard >= ~0.85) and keeps content-disjoint rows
+    (all token ids shifted out of the dest id range); short docs
+    (< shingle_k tokens) are never near-dropped."""
+    import numpy as np
+
+    a, _, t, shards = two_stores
+    pre_ids = set(_decoded_ids(a))
+
+    half = pq.read_table(shards[0])
+    keep = half.column("n_tok").to_numpy(zero_copy_only=False) >= 40
+    big = half.filter(pa.array(keep))
+    assert big.num_rows >= 20, "fixture needs enough long docs"
+
+    toks = big.column("tokens").combine_chunks()
+    vals = toks.values.to_numpy(zero_copy_only=False).copy()
+    lens = big.column("n_tok").to_numpy(zero_copy_only=False).astype("int64")
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    vals[starts + lens // 2] += 1  # one token changed per doc
+    near = pa.ListArray.from_arrays(toks.offsets, pa.array(vals, type=pa.int32()))
+    far = pa.ListArray.from_arrays(
+        toks.offsets,
+        pa.array(
+            toks.values.to_numpy(zero_copy_only=False) + 1_000_000, type=pa.int32()
+        ),
+    )
+    # plus one sub-shingle doc (2 tokens): must never be near-dropped
+    tiny = pa.table({
+        "doc_id": ["tiny-1"],
+        "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2], type=pa.int32()),
+        "source": [str(big.column("source")[0].as_py())],
+    })
+
+    ids = pc.cast(big.column("doc_id"), pa.string()).combine_chunks()
+
+    def tagged(prefix, tokens):
+        return pa.Table.from_arrays(
+            [pc.binary_join_element_wise(pa.array([prefix] * big.num_rows), ids, ""),
+             tokens, big.column("n_tok").combine_chunks(),
+             big.column("source").combine_chunks()],
+            names=["doc_id", "tokens", "n_tok", "source"])
+
+    sh = str(tmp_path / "nearsrc.parquet")
+    pq.write_table(
+        pa.concat_tables([tagged("nd-", near), tagged("fz-", far), tiny]), sh
+    )
+    S = str(tmp_path / "NS")
+    run_encode_files([sh], EncodeConfig(out_dir=S, target_partition_tokens=2_000)).materialize()
+
+    r = run_merge(a, S, dedup="minhash")
+    assert r["ok"] and r["duplicates_tombstoned"] == big.num_rows
+    got = set(_decoded_ids(a))
+    id_list = ids.to_pylist()
+    assert got == pre_ids | {f"fz-{i}" for i in id_list} | {"tiny-1"}
