@@ -305,6 +305,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "reaches --dedup-threshold")
     mg.add_argument("--dedup-threshold", type=float, default=0.7)
 
+    dg = sub.add_parser(
+        "drop-gen",
+        help="retire an entire ingest generation (the merge inverse / "
+        "provenance takedown): O(partitions) unlinks, survivors untouched",
+    )
+    dg.add_argument("out_dir", help="the encode out dir")
+    dg.add_argument("--gen", type=int, required=True,
+                    help="ingest generation number to drop (see inspect)")
+
     rm = sub.add_parser(
         "remap-vocab",
         help="re-express a store's token ids in a TARGET vocabulary "
@@ -428,7 +437,8 @@ def build_parser() -> argparse.ArgumentParser:
     # mutating commands hold out_dir/.lock (state/lock.py); this flag
     # steals a lock whose owner is known dead (crashed job, lost host)
     for _name in ("encode", "encode-inc", "compact", "delete", "purge",
-                  "upsert", "table-encode", "merge", "ingest", "remap-vocab"):
+                  "upsert", "table-encode", "merge", "ingest", "remap-vocab",
+                  "drop-gen"):
         sub.choices[_name].add_argument(
             "--break-lock", action="store_true",
             help="steal out_dir/.lock from a dead job")
@@ -459,7 +469,7 @@ def main(argv: list[str] | None = None) -> int:
     _MUTATORS = {"encode": "out", "encode-inc": "out", "compact": "out_dir",
                  "delete": "out_dir", "purge": "out_dir", "upsert": "out",
                  "table-encode": "out", "merge": "out", "ingest": "out",
-                 "remap-vocab": "out"}
+                 "remap-vocab": "out", "drop-gen": "out_dir"}
     _stack = ExitStack()
     if args.cmd in _MUTATORS:
         from fileconvert_ray.state.lock import LockHeldError, job_lock
@@ -869,6 +879,10 @@ def main(argv: list[str] | None = None) -> int:
                        else "minhash" if args.dedup_minhash else None),
                 dedup_threshold=args.dedup_threshold,
             )))
+        elif args.cmd == "drop-gen":
+            from fileconvert_ray.pipelines.merge_job import run_drop_generation
+
+            print(json.dumps(run_drop_generation(args.out_dir, args.gen)))
         elif args.cmd == "remap-vocab":
             from fileconvert_ray.pipelines.remap_job import run_remap
 

@@ -125,6 +125,102 @@ def _label_map(src_dir: str, src_gens: list[dict], base: int) -> dict[str, str]:
     return out
 
 
+def run_drop_generation(out_dir: str, gen: int) -> dict:
+    """Retire an ENTIRE ingest generation — the inverse of merge and
+    the provenance-takedown op (drop everything that came from corpus
+    X / ingest batch N without touching anything else).  Cost is
+    O(partitions of that generation) unlinks — no decode, no shuffle,
+    no rewrite of surviving data; at 100 TB this is the same
+    metadata-only profile as merge itself.
+
+    Safety rails: refuses a non-generational store, an unknown or
+    unsealed generation, the LAST generation (delete the store
+    directory instead — an empty generational plan is meaningless),
+    and any store whose partition labels cannot all be attributed to
+    generations (cross-generation compaction output: dropping by label
+    would be guesswork there).
+
+    Crash safety: per partition, the manifest entry is unlinked FIRST
+    (readers stop serving it at that instant — the completion marker
+    is the unit of truth everywhere in this store), then the
+    container, tombstone file and annotation sidecars.  plan.json is
+    rewritten LAST, so an interrupted drop leaves the generation
+    listed with fewer partitions and a re-run converges (already-gone
+    partitions simply aren't attributed anymore).  Dropped shards can
+    be legitimately re-ingested later — the generation's file lineage
+    leaves the plan with it."""
+    plan = read_plan(out_dir)
+    gens = plan.get("generations")
+    if not gens:
+        raise RuntimeError(
+            f"{out_dir} has no generational plan (run_encode output); "
+            "drop-generation needs ingest/merge lineage."
+        )
+    gen = int(gen)
+    rec = next((g for g in gens if int(g["gen"]) == gen), None)
+    if rec is None:
+        raise ValueError(
+            f"drop-generation: unknown generation {gen}; plan.json records "
+            f"{sorted(int(g['gen']) for g in gens)}."
+        )
+    if not rec.get("sealed", True):
+        raise RuntimeError(
+            f"drop-generation refused: generation {gen} is unsealed (encode "
+            "in progress or interrupted) — finish or reseal it first."
+        )
+    if len(gens) == 1:
+        raise RuntimeError(
+            "drop-generation refused: this is the store's last generation — "
+            "delete the store directory instead."
+        )
+    from ..stages.decoder import label_generations
+
+    gen_of = label_generations(out_dir)
+    entries = read_manifest_entries(out_dir)
+    unexplained = sorted(set(entries) - set(gen_of))
+    if unexplained:
+        raise RuntimeError(
+            "drop-generation refused: partitions not attributable to any "
+            f"generation (cross-generation compaction output): "
+            f"{unexplained[:3]}{'...' if len(unexplained) > 3 else ''}."
+        )
+    victims = sorted(p for p, g in gen_of.items() if g == gen)
+
+    from ..state.manifest import tombstone_path
+
+    dirs = JobDirs(out_dir)
+    ann_root = os.path.join(out_dir, "ann")
+    ann_names = sorted(os.listdir(ann_root)) if os.path.isdir(ann_root) else []
+    n_rows = sum(int(entries[p].get("n_rows", 0)) for p in victims)
+    n_tokens = sum(int(entries[p].get("n_tokens", 0)) for p in victims)
+    for pid in victims:
+        os.unlink(dirs.manifest_path(pid))  # readers stop serving FIRST
+        for path in (
+            [dirs.container_path(pid), tombstone_path(out_dir, pid)]
+            + [os.path.join(ann_root, nm, f"{pid}.parquet") for nm in ann_names]
+        ):
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+    new_gens = [g for g in gens if int(g["gen"]) != gen]
+    write_plan(out_dir, {
+        "buckets": dict(new_gens[0]["buckets"]),
+        "source_tokens": dict(new_gens[0]["source_tokens"]),
+        "target_partition_tokens": plan.get("target_partition_tokens"),
+        "generations": new_gens,
+    })
+    return {
+        "ok": True,
+        "dropped_generation": gen,
+        "dropped_partitions": len(victims),
+        "n_rows": int(n_rows),
+        "n_tokens": int(n_tokens),
+        "remaining_generations": sorted(int(g["gen"]) for g in new_gens),
+    }
+
+
 def _check_vocab_compat(dest_dir: str, src_dir: str) -> None:
     """Document-ingested stores (pipelines/ingest_job.py) bake token
     ids that only decode against THEIR vocab.json.  Merging two stores

@@ -383,3 +383,55 @@ def test_merge_dedup_minhash_near_copies(two_stores, tmp_path):
     got = set(_decoded_ids(a))
     id_list = ids.to_pylist()
     assert got == pre_ids | {f"fz-{i}" for i in id_list} | {"tiny-1"}
+
+
+# ------------------------------------------------------ drop-generation
+
+
+def test_drop_generation_is_merge_inverse(two_stores):
+    """merge A<-B then drop the merged generations: decode returns to
+    exactly A's pre-merge rows, hash verify stays green on the
+    survivors, and a re-merge of B lands cleanly afterwards."""
+    from fileconvert_ray.pipelines.merge_job import run_drop_generation
+
+    a, b, t, shards = two_stores
+    pre = set(_decoded_ids(a))
+    r = run_merge(a, b)
+    assert r["ok"] and r["generations_added"] == 2
+    base = r["first_new_generation"]
+
+    for g in (base, base + 1):
+        d = run_drop_generation(a, g)
+        assert d["ok"] and d["dropped_partitions"] > 0
+    assert set(_decoded_ids(a)) == pre
+
+    v = run_verify(
+        None, a, mode="hash", by="partition",
+    ).to_pandas()
+    assert len(v) > 0 and bool(v["ok"].all())
+
+    r2 = run_merge(a, b)  # dropped lineage left the plan: fresh re-merge
+    assert r2["ok"] and r2["merged_partitions"] > 0
+    assert len(_decoded_ids(a)) == t.num_rows
+
+
+def test_drop_generation_refusals(two_stores, tmp_path):
+    from fileconvert_ray.pipelines.merge_job import run_drop_generation
+
+    import ray.data as rd
+
+    a, b, t, shards = two_stores
+    with pytest.raises(ValueError, match="unknown generation"):
+        run_drop_generation(a, 99)
+    # B has exactly 2 gens; drop one, then the last is refused
+    run_drop_generation(b, 1)
+    with pytest.raises(RuntimeError, match="last generation"):
+        run_drop_generation(b, 0)
+    # non-generational store refused
+    sh = str(tmp_path / "p.parquet")
+    pq.write_table(t, sh)
+    P = str(tmp_path / "Pd")
+    run_encode(lambda: rd.read_parquet(sh),
+               EncodeConfig(out_dir=P, target_partition_tokens=3_000)).materialize()
+    with pytest.raises(RuntimeError, match="no generational plan"):
+        run_drop_generation(P, 0)
