@@ -204,6 +204,41 @@ def run_drop_generation(out_dir: str, gen: int) -> dict:
             except FileNotFoundError:
                 pass
 
+    # sidecar sweep by LABEL PATTERN, before the plan write: a crash
+    # between a pid's manifest unlink and its sidecar unlinks leaves
+    # orphan tombstone/ann files the per-pid loop can no longer find
+    # (no manifest entry -> not attributed).  The gen's label space is
+    # reconstructible from its own plan record, so sweep any
+    # manifest-less sidecar matching it; a crash anywhere before the
+    # plan write re-runs this whole path and converges.
+    san = sanitized_names(rec["buckets"])
+    tag = gen_tag(gen)
+    prefixes = tuple(
+        f"{san[src]}{tag}{kind}" for src in rec["buckets"] for kind in ("-b", "-c")
+    )
+
+    victim_set = set(victims)
+
+    def _of_gen(pid: str) -> bool:
+        if pid in victim_set:
+            return True  # re-sweep of a dropped pid's sidecars: no-op
+        return pid not in entries and any(
+            pid.startswith(p) and pid[len(p):].isdigit() for p in prefixes
+        )
+
+    for root, suffix in (
+        [(os.path.join(out_dir, "deletes"), ".json")]
+        + [(os.path.join(ann_root, nm), ".parquet") for nm in ann_names]
+    ):
+        if not os.path.isdir(root):
+            continue
+        for fn in os.listdir(root):
+            if fn.endswith(suffix) and _of_gen(fn[: -len(suffix)]):
+                try:
+                    os.unlink(os.path.join(root, fn))
+                except FileNotFoundError:
+                    pass
+
     new_gens = [g for g in gens if int(g["gen"]) != gen]
     write_plan(out_dir, {
         "buckets": dict(new_gens[0]["buckets"]),

@@ -435,3 +435,36 @@ def test_drop_generation_refusals(two_stores, tmp_path):
                EncodeConfig(out_dir=P, target_partition_tokens=3_000)).materialize()
     with pytest.raises(RuntimeError, match="no generational plan"):
         run_drop_generation(P, 0)
+
+
+def test_drop_generation_sweeps_orphan_sidecars(two_stores):
+    """Crash window: a pid whose manifest was unlinked but whose
+    tombstone survived is invisible to the per-pid loop — the label-
+    pattern sweep must still remove it, and fsck must be clean after."""
+    from fileconvert_ray.pipelines.merge_job import run_drop_generation
+    from fileconvert_ray.state.fsck import fsck
+    from fileconvert_ray.state.manifest import (
+        JobDirs,
+        read_manifest_entries,
+        tombstone_path,
+        write_tombstones,
+    )
+    from fileconvert_ray.stages.decoder import label_generations
+
+    a, b, t, shards = two_stores
+    r = run_merge(a, b)
+    base = r["first_new_generation"]
+    gen_of = label_generations(a)
+    victims = sorted(p for p, g in gen_of.items() if g == base)
+    crashed = victims[0]
+    # simulate the interrupted drop: manifest gone, tombstone left
+    write_tombstones(a, crashed, ["ghost-id"])
+    os.unlink(JobDirs(a).manifest_path(crashed))
+
+    d = run_drop_generation(a, base)
+    assert d["ok"] and d["dropped_partitions"] == len(victims) - 1
+    assert not os.path.exists(tombstone_path(a, crashed))
+    run_drop_generation(a, base + 1)
+    rep = fsck(a, reclaim=True)  # reclaims the crashed pid's container
+    assert rep["ok"], rep["errors"]
+    assert crashed not in read_manifest_entries(a)
