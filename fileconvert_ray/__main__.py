@@ -930,6 +930,8 @@ def main(argv: list[str] | None = None) -> int:
                             "planned_partitions": int(sum(g["buckets"].values())),
                             "tokens": int(sum(g["source_tokens"].values())),
                             "sealed": bool(g.get("sealed")),
+                            **({"merged_from": g["merged_from"]}
+                               if g.get("merged_from") else {}),
                         }
                         for g in gdocs
                     ]

@@ -208,3 +208,49 @@ def test_merge_cost_is_metadata_only_at_scale(ray_session, tmp_path):
     assert total == tok_a + tok_b > 100_000_000
     for d in ("/dev/shm/slow_mg_a", "/dev/shm/slow_mg_b"):
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_merge_dedup_exact_cost_at_scale(ray_session, tmp_path):
+    """Cross-store exact dedup at ~60M-token scale: merging a fully
+    re-idd copy of a 50k-doc store must tombstone all 50k rows with a
+    wall bounded by ~two projected decodes + a key-only join — pinned
+    at <= 120 s @4cpus (measured ~35 s; a payload-shuffling or
+    driver-collecting design would be several times that)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.pipelines.encode_job import EncodeConfig, run_encode_files
+    from fileconvert_ray.pipelines.merge_job import run_merge
+    from fileconvert_ray.sources.tokseq import synth_rows
+
+    base = str(tmp_path / "sh")
+    os.makedirs(base)
+    t = synth_rows(0, 50_000)
+    pq.write_table(t, f"{base}/a.parquet")
+    reid = t.set_column(
+        t.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.binary_join_element_wise(
+            pa.array(["re-"] * t.num_rows),
+            pc.cast(t.column("doc_id"), pa.string()).combine_chunks(),
+            "",
+        ),
+    )
+    pq.write_table(reid, f"{base}/b.parquet")
+    A, B = str(tmp_path / "A"), str(tmp_path / "B")
+    run_encode_files([f"{base}/a.parquet"],
+                     EncodeConfig(out_dir=A, staged_dir="/dev/shm/slow_md_a")).materialize()
+    run_encode_files([f"{base}/b.parquet"],
+                     EncodeConfig(out_dir=B, staged_dir="/dev/shm/slow_md_b")).materialize()
+
+    t0 = time.perf_counter()
+    r = run_merge(A, B, dedup="exact")
+    wall = time.perf_counter() - t0
+    assert r["ok"] and r["duplicates_tombstoned"] == t.num_rows
+    assert wall <= 120.0, f"exact merge-dedup of ~120M tokens took {wall:.1f}s"
+    for d in ("/dev/shm/slow_md_a", "/dev/shm/slow_md_b"):
+        shutil.rmtree(d, ignore_errors=True)
