@@ -287,6 +287,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rebuild from scratch (clears containers, lineage AND vocab)")
     ig.add_argument("--reduce-buckets", type=int, default=None)
     ig.add_argument("--staged-dir", default=None)
+    ig.add_argument("--dedup-exact", action="store_true",
+                    help="tombstone newly-ingested rows whose token content "
+                    "already exists in the pre-existing corpus")
+    ig.add_argument("--dedup-minhash", action="store_true",
+                    help="NEAR variant of --dedup-exact (token-shingle "
+                    "MinHash agreement >= --dedup-threshold)")
+    ig.add_argument("--dedup-threshold", type=float, default=0.7)
 
     mg = sub.add_parser(
         "merge",
@@ -867,6 +874,9 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
                 reduce_buckets=args.reduce_buckets,
                 staged_dir=args.staged_dir,
+                dedup=("exact" if args.dedup_exact
+                       else "minhash" if args.dedup_minhash else None),
+                dedup_threshold=args.dedup_threshold,
             )))
         elif args.cmd == "merge":
             from fileconvert_ray.pipelines.merge_job import run_merge

@@ -101,13 +101,26 @@ def _stats_reader(files):
 
 def run_ingest(inputs, out_dir: str, *, target_partition_tokens: int = 4_000_000,
                codec_overrides=None, zstd: bool = True, resume: bool = True,
-               reduce_buckets=None, staged_dir=None) -> dict:
+               reduce_buckets=None, staged_dir=None, dedup: str | None = None,
+               dedup_threshold: float = 0.7) -> dict:
     """Documents parquet shards -> encoded containers, incrementally.
     Re-running with a grown file list ingests ONLY the new shards (a
     new generation, frozen vocab); see run_encode_files for the
-    lineage/resume/refusal semantics."""
+    lineage/resume/refusal semantics.
+
+    ``dedup="exact"`` / ``"minhash"`` additionally tombstones rows of
+    the NEWLY-ingested generations whose token content already exists
+    in the pre-existing corpus (cross-generation dedup — the
+    continuous-crawl loop: ingest the new batch, drop re-fetches,
+    never touch what's already curated).  Same machinery and shape as
+    ``run_merge(dedup=...)``: projected decodes, key-only exchange,
+    per-partition tombstone writes; exact is the token-sequence hash,
+    minhash the shingle-agreement >= ``dedup_threshold`` near variant."""
     from ..pipelines.encode_job import EncodeConfig, run_encode_files
     from ..state.manifest import read_manifest_entries
+
+    if dedup not in (None, "exact", "minhash"):
+        raise ValueError(f"run_ingest: unknown dedup mode {dedup!r}")
 
     files = _doc_files(inputs)
     if not files:
@@ -156,14 +169,43 @@ def run_ingest(inputs, out_dir: str, *, target_partition_tokens: int = 4_000_000
             json.dump({"tokenizer": "whitespace-vocab", "vocab": "vocab.json"}, f)
         os.replace(tmp, marker)
 
+    from ..state.manifest import read_plan
+
+    try:
+        pre_gens = {
+            int(g["gen"]) for g in (read_plan(out_dir).get("generations") or [])
+        } if resume else set()
+    except FileNotFoundError:
+        pre_gens = set()
+
     m = run_encode_files(
         files, cfg,
         ds_from_files=tokenizing_reader(vocab, frozen=frozen),
         stats_from_files=_stats_reader,
     ).to_pandas()
 
+    dedup_stats = {}
+    if dedup is not None and pre_gens:
+        # dedup the generations THIS call added against everything that
+        # predates them; a pure resume (no new gens) has nothing to do
+        from ..pipelines.merge_job import (
+            _dedup_against_dest,
+            _near_dedup_against_dest,
+        )
+        from ..stages.decoder import label_generations
+
+        gen_of = label_generations(out_dir)
+        new_pids = {p for p, g in gen_of.items() if g not in pre_gens}
+        old_pids = {p for p, g in gen_of.items() if g in pre_gens}
+        if new_pids:
+            fn = (_dedup_against_dest if dedup == "exact"
+                  else lambda *a, **k: _near_dedup_against_dest(
+                      *a, threshold=dedup_threshold, **k))
+            dedup_stats = fn(out_dir, new_pids=new_pids, old_pids=old_pids)
+
     ents = read_manifest_entries(out_dir)
     return {
+        **dedup_stats,
         "ok": True,
         "ingested_partitions": int(len(m)),
         "total_partitions": int(len(ents)),

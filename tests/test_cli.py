@@ -573,6 +573,43 @@ def test_cli_ingest_incremental(tmp_path):
     )
 
 
+def test_cli_ingest_dedup_against_corpus(tmp_path):
+    """Continuous-crawl loop: the appended shard carries re-fetches of
+    already-ingested docs (same text, fresh doc_ids) plus novel docs —
+    ingest --dedup-exact must tombstone exactly the re-fetches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    docs = docs.set_column(
+        0, "doc_id", pc.cast(docs.column("doc_id"), pa.string())
+    )
+    h = docs.num_rows // 2
+    s1, s2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    pq.write_table(docs.slice(0, h), s1)
+    refetch = docs.slice(0, 25).set_column(
+        0, "doc_id",
+        pc.binary_join_element_wise(
+            pa.array(["rf-"] * 25),
+            docs.slice(0, 25).column("doc_id").combine_chunks(),
+            "",
+        ),
+    )
+    pq.write_table(pa.concat_tables([docs.slice(h), refetch]), s2)
+    enc = str(tmp_path / "enc")
+    r1 = run_cli("ingest", s1, "--out", enc, "--target-partition-tokens", "3000")
+    assert r1["ok"]
+    r2 = run_cli("ingest", s1, s2, "--out", enc,
+                 "--target-partition-tokens", "3000", "--dedup-exact")
+    assert r2["ok"] and r2["duplicates_tombstoned"] == 25
+    dec = str(tmp_path / "dec")
+    assert run_cli("decode", enc, "--to", dec, "--columns", "doc_id")["ok"]
+    got = set(pq.read_table(dec).column("doc_id").to_pylist())
+    want = {str(d) for d in docs.column("doc_id").to_pylist()}
+    assert got == want  # all originals present, zero rf-* survivors
+
+
 def test_cli_annotate_attach(tmp_path):
     """annotate writes co-partitioned side tables; decode --with-ann
     attaches them; idempotent re-run skips; stale-after-purge raises."""
