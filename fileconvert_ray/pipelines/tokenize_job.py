@@ -119,9 +119,11 @@ def run_tokenize(
 def run_detokenize(input_path: str, out_dir: str, *, vocab_path: str | None = None) -> dict:
     """tokseq parquet shards + vocab -> documents parquet (doc_id,
     text, source).  ``input_path`` may be a run_tokenize out_dir (the
-    vocab and ``shards/`` are found in place) or any tokseq shard
-    dir/file with an explicit ``vocab_path``.  Ids beyond the vocab
-    (the frozen-vocab OOV id) render as ``<unk>``."""
+    vocab and ``shards/`` are found in place), any tokseq shard
+    dir/file with an explicit ``vocab_path``, or an ENCODED STORE
+    (ingest/encode out dir with plan.json — its containers stream
+    through the decoder directly, vocab.json found in place).  Ids
+    beyond the vocab (the frozen-vocab OOV id) render as ``<unk>``."""
     import numpy as np
     import ray.data as rd
 
@@ -150,9 +152,16 @@ def run_detokenize(input_path: str, out_dir: str, *, vocab_path: str | None = No
             }
         )
 
-    ds = rd.read_parquet(
-        input_path, columns=["doc_id", "tokens", "source"]
-    ).map_batches(detok, batch_format="pyarrow", zero_copy_batch=True)
+    if os.path.exists(os.path.join(input_path, "plan.json")):
+        # input is an ENCODED STORE (ingest/encode out dir): stream the
+        # container decode straight into detok — no intermediate decode
+        # step, tombstones honored, chunk-granular memory
+        from ..stages.decoder import decode_dataset
+
+        src = decode_dataset(input_path, columns=["doc_id", "tokens", "source"])
+    else:
+        src = rd.read_parquet(input_path, columns=["doc_id", "tokens", "source"])
+    ds = src.map_batches(detok, batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir)
     return {"ok": True, "vocab_size": len(vocab), "out": out_dir}
