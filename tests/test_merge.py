@@ -468,3 +468,52 @@ def test_drop_generation_sweeps_orphan_sidecars(two_stores):
     rep = fsck(a, reclaim=True)  # reclaims the crashed pid's container
     assert rep["ok"], rep["errors"]
     assert crashed not in read_manifest_entries(a)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_dedup_exact_randomized(ray_session, tmp_path, seed):
+    """Randomized oracle: B docs copy a random A doc's token sequence
+    with p=0.4 (fresh ids, random source); merge dedup must drop
+    exactly the B docs whose sequence exists in A — including empty
+    docs (empty == empty) and B-internal duplicates of non-A content
+    (which must all survive)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def rand_doc():
+        n = int(rng.integers(0, 12))
+        return list(rng.integers(0, 50, n).astype("int32"))
+
+    a_docs = [rand_doc() for _ in range(40)]
+    b_docs = []
+    for _ in range(40):
+        if rng.random() < 0.4:
+            b_docs.append(list(a_docs[int(rng.integers(0, 40))]))
+        else:
+            b_docs.append(rand_doc())
+
+    def tab(docs, prefix):
+        return pa.table({
+            "doc_id": [f"{prefix}{i}" for i in range(len(docs))],
+            "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(d) for d in docs], type=pa.int32()),
+            "source": [f"s{int(rng.integers(0, 3))}" for _ in docs],
+        })
+
+    sh_a, sh_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(tab(a_docs, "a"), sh_a)
+    pq.write_table(tab(b_docs, "b"), sh_b)
+    A, B = str(tmp_path / "A"), str(tmp_path / "B")
+    run_encode_files([sh_a], EncodeConfig(out_dir=A, target_partition_tokens=100)).materialize()
+    run_encode_files([sh_b], EncodeConfig(out_dir=B, target_partition_tokens=100)).materialize()
+
+    r = run_merge(A, B, dedup="exact")
+    a_set = {tuple(d) for d in a_docs}
+    expected_dropped = {f"b{i}" for i, d in enumerate(b_docs) if tuple(d) in a_set}
+    assert r["duplicates_tombstoned"] == len(expected_dropped)
+    got = set(_decoded_ids(A))
+    want = {f"a{i}" for i in range(40)} | (
+        {f"b{i}" for i in range(40)} - expected_dropped
+    )
+    assert got == want
