@@ -312,6 +312,23 @@ def build_parser() -> argparse.ArgumentParser:
                     "reaches --dedup-threshold")
     mg.add_argument("--dedup-threshold", type=float, default=0.7)
 
+    bp = sub.add_parser(
+        "bpe-reencode",
+        help="train N BPE merges over a store and re-encode it with "
+        "them: fewer tokens, bigger vocab, exactly invertible "
+        "(detokenize expands the merges transparently)",
+    )
+    bp.add_argument("src_dir", help="the encoded store to re-encode FROM (unchanged)")
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--rounds", type=int, default=16, help="merge rules to train")
+    bp.add_argument("--sample-frac", type=float, default=None,
+                    help="train merges on a sample (the 100-TB path)")
+    bp.add_argument("--target-partition-tokens", type=int, default=4_000_000)
+    bp.add_argument("--no-zstd", action="store_true")
+    bp.add_argument("--no-resume", action="store_true")
+    bp.add_argument("--reduce-buckets", type=int, default=None)
+    bp.add_argument("--staged-dir", default=None)
+
     dg = sub.add_parser(
         "drop-gen",
         help="retire an entire ingest generation (the merge inverse / "
@@ -445,7 +462,7 @@ def build_parser() -> argparse.ArgumentParser:
     # steals a lock whose owner is known dead (crashed job, lost host)
     for _name in ("encode", "encode-inc", "compact", "delete", "purge",
                   "upsert", "table-encode", "merge", "ingest", "remap-vocab",
-                  "drop-gen"):
+                  "drop-gen", "bpe-reencode"):
         sub.choices[_name].add_argument(
             "--break-lock", action="store_true",
             help="steal out_dir/.lock from a dead job")
@@ -476,7 +493,8 @@ def main(argv: list[str] | None = None) -> int:
     _MUTATORS = {"encode": "out", "encode-inc": "out", "compact": "out_dir",
                  "delete": "out_dir", "purge": "out_dir", "upsert": "out",
                  "table-encode": "out", "merge": "out", "ingest": "out",
-                 "remap-vocab": "out", "drop-gen": "out_dir"}
+                 "remap-vocab": "out", "drop-gen": "out_dir",
+                 "bpe-reencode": "out"}
     _stack = ExitStack()
     if args.cmd in _MUTATORS:
         from fileconvert_ray.state.lock import LockHeldError, job_lock
@@ -647,6 +665,12 @@ def main(argv: list[str] | None = None) -> int:
                 from fileconvert_ray.pipelines.remap_job import remap_verify_reader
 
                 factory = remap_verify_reader(args.out)
+            if factory is None and dff is None:
+                # BPE-re-encoded stores re-decode the src and re-apply
+                # the recorded rules (merges.json)
+                from fileconvert_ray.pipelines.bpe_job import bpe_verify_reader
+
+                factory = bpe_verify_reader(args.out)
             v = run_verify(
                 factory, args.out, mode=args.mode, by=args.by, gens=gens,
                 ds_from_files=dff,
@@ -888,6 +912,17 @@ def main(argv: list[str] | None = None) -> int:
                 dedup=("exact" if args.dedup_exact
                        else "minhash" if args.dedup_minhash else None),
                 dedup_threshold=args.dedup_threshold,
+            )))
+        elif args.cmd == "bpe-reencode":
+            from fileconvert_ray.pipelines.bpe_job import run_bpe_reencode
+
+            print(json.dumps(run_bpe_reencode(
+                args.src_dir, args.out, rounds=args.rounds,
+                sample_frac=args.sample_frac,
+                target_partition_tokens=args.target_partition_tokens,
+                zstd=not args.no_zstd, resume=not args.no_resume,
+                reduce_buckets=args.reduce_buckets,
+                staged_dir=args.staged_dir,
             )))
         elif args.cmd == "drop-gen":
             from fileconvert_ray.pipelines.merge_job import run_drop_generation

@@ -147,6 +147,61 @@ def apply_merge_batch(batch: pa.Table, *, left: int, right: int, new_id: int) ->
     return t
 
 
+def expand_merge_batch(batch: pa.Table, *, left: int, right: int, new_id: int) -> pa.Table:
+    """Inverse of apply_merge_batch: every ``new_id`` expands back to
+    the (left, right) pair.  Exact inverse of the greedy apply — the
+    merged symbol is a bijection with the pair, so expansion needs no
+    parity logic.  Vectorized scatter: each original element lands at
+    its index plus the number of expansions before it."""
+    flat, starts = _flat_tokens(batch)
+    n = len(flat)
+    if n == 0:
+        return batch
+    pos = np.flatnonzero(flat == new_id)
+    if len(pos) == 0:
+        return batch
+    ins = np.zeros(n, dtype=np.int64)
+    ins[pos] = 1
+    before = np.concatenate(([0], np.cumsum(ins)[:-1]))  # expansions before i
+    target = np.arange(n, dtype=np.int64) + before
+    out = np.empty(n + len(pos), dtype=np.int64)
+    out[target] = flat
+    out[target[pos]] = left
+    out[target[pos] + 1] = right
+    lens = np.diff(starts)
+    doc_of_pos = np.searchsorted(starts, pos, side="right") - 1
+    new_lens = lens + np.bincount(doc_of_pos, minlength=len(lens))
+    tokens = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(new_lens))), type=pa.int32()),
+        pa.array(out.astype(np.int32)),
+    )
+    arrays = [tokens if c == "tokens" else batch.column(c) for c in batch.column_names]
+    t = pa.Table.from_arrays(arrays, names=batch.column_names)
+    if "n_tok" in batch.column_names:
+        t = t.set_column(
+            t.column_names.index("n_tok"), "n_tok", pa.array(new_lens, type=pa.int32())
+        )
+    return t
+
+
+def apply_rules_batch(batch: pa.Table, *, rules: list) -> pa.Table:
+    """Apply an ordered merge-rule list [(left, right, new_id), ...]
+    (training order) in one map stage."""
+    for left, right, new_id in rules:
+        batch = apply_merge_batch(batch, left=int(left), right=int(right),
+                                  new_id=int(new_id))
+    return batch
+
+
+def expand_rules_batch(batch: pa.Table, *, rules: list) -> pa.Table:
+    """Undo an ordered merge-rule list: expand in REVERSE training
+    order (later rules may reference earlier new_ids)."""
+    for left, right, new_id in reversed(rules):
+        batch = expand_merge_batch(batch, left=int(left), right=int(right),
+                                   new_id=int(new_id))
+    return batch
+
+
 def bpe_merge_rounds(ds, *, rounds: int = 4, vocab_base: int | None = None,
                      sample_frac: float | None = None) -> pa.Table:
     """Train ``rounds`` BPE merges over a tokseq Dataset; returns the

@@ -3008,6 +3008,35 @@ def q_remap_roundtrip(sf_dir: str):
     )
 
 
+def q_bpe_reencode_roundtrip(sf_dir: str):
+    """BPE corpus re-encoding fidelity with a VALUE oracle: documents
+    -> ingest (word-level store) -> run_bpe_reencode (train 6 merges
+    over the decoded corpus, apply them, land a smaller store) ->
+    run_detokenize (transparently expands the merges in reverse order,
+    then maps word ids) -> (doc_id, text, source), hash-compared
+    against plain SQL over the original parquet.  Any non-invertible
+    merge, wrong rule order, offsets bug in apply/expand, or container
+    round-trip loss breaks value parity."""
+    import ray.data as rd
+
+    from ..pipelines.bpe_job import run_bpe_reencode
+    from ..pipelines.ingest_job import run_ingest
+    from ..pipelines.tokenize_job import run_detokenize
+
+    base = _job_dir(sf_dir, "bpert")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    store = os.path.join(base, "store")
+    bpe_store = os.path.join(base, "bpe")
+    back = os.path.join(base, "back")
+    run_ingest([f"{sf_dir}/documents.parquet"], store,
+               staged_dir=os.path.join(base, "stg1"))
+    run_bpe_reencode(store, bpe_store, rounds=6,
+                     staged_dir=os.path.join(base, "stg2"))
+    run_detokenize(bpe_store, back)
+    return rd.read_parquet(back)
+
+
 def q_merge_dedup_scan(sf_dir: str):
     """Cross-store exact dedup on merge, VALUE-oracled: store A holds
     the full tokseq corpus; store B holds, for every doc with
@@ -8254,6 +8283,7 @@ QUERIES = {
     "remap_roundtrip": q_remap_roundtrip,
     "merge_dedup_scan": q_merge_dedup_scan,
     "merge_near_dedup_scan": q_merge_near_dedup_scan,
+    "bpe_reencode_roundtrip": q_bpe_reencode_roundtrip,
     "jsonl_export_roundtrip": q_jsonl_export_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
     "bpe_merge_rounds": q_bpe_merge_rounds,
@@ -9218,6 +9248,9 @@ ORACLE_SQL = {
         select 'fz-' || cast(doc_id as varchar), source,
                cast(len(string_split(text, ' ')) as int)
         from documents where cast(doc_id as bigint) % 3 = 0
+    """,
+    "bpe_reencode_roundtrip": """
+        select cast(doc_id as varchar) as doc_id, text, source from documents
     """,
     "jsonl_export_roundtrip": """
         select event_id, cast(epoch_us(ts) as bigint) as ts_us, user_id, event_type

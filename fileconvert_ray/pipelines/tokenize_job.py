@@ -161,6 +161,18 @@ def run_detokenize(input_path: str, out_dir: str, *, vocab_path: str | None = No
         src = decode_dataset(input_path, columns=["doc_id", "tokens", "source"])
     else:
         src = rd.read_parquet(input_path, columns=["doc_id", "tokens", "source"])
+    from ..pipelines.bpe_job import read_rules
+
+    rules = read_rules(input_path)
+    if rules:
+        # BPE-re-encoded store: expand merged symbols back to base ids
+        # (reverse training order) before the word mapping
+        from ..functions.bpe import expand_rules_batch
+
+        src = src.map_batches(
+            expand_rules_batch, batch_format="pyarrow",
+            zero_copy_batch=True, fn_kwargs={"rules": rules},
+        )
     ds = src.map_batches(detok, batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir)
