@@ -195,6 +195,14 @@ def run_ingest(inputs, out_dir: str, *, target_partition_tokens: int = 4_000_000
         from ..stages.decoder import label_generations
 
         gen_of = label_generations(out_dir)
+        unexplained = sorted(set(read_manifest_entries(out_dir)) - set(gen_of))
+        if unexplained:
+            raise RuntimeError(
+                "ingest dedup refused: partitions not attributable to any "
+                f"generation (cross-generation compaction output): "
+                f"{unexplained[:3]} — deduping against an incomplete "
+                "reference set would silently miss duplicates."
+            )
         new_pids = {p for p, g in gen_of.items() if g not in pre_gens}
         old_pids = {p for p, g in gen_of.items() if g in pre_gens}
         if new_pids:
