@@ -331,6 +331,29 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     if mode in ("semi", "anti"):
         right_cols = [right_on]  # membership only — prune the exchange
 
+    # An all-empty side has NO schema in Ray Data (empty output batches
+    # are dropped), so the tag/union path below cannot type the
+    # exchange.  Every such case has a trivial answer in terms of the
+    # non-empty side alone — resolve it here instead of crashing.
+    # schema() costs nothing extra: the non-degenerate path fetches the
+    # same schemas two statements down.
+    if left_ds.schema() is None:
+        if mode == "full":
+            raise ValueError(
+                "hash_join: full join with a schema-less (all-empty) left "
+                "side — the right-side padding columns cannot be typed."
+            )
+        return left_ds  # inner/semi/anti/left of nothing = nothing
+    if right_ds.schema() is None:
+        if mode in ("inner", "semi"):
+            return left_ds.limit(0)
+        if mode == "anti":
+            return left_ds  # nothing to subtract
+        raise ValueError(
+            f"hash_join: {mode} join with a schema-less (all-empty) right "
+            "side — the null padding columns cannot be typed."
+        )
+
     def tag_left(batch: pa.Table) -> pa.Table:
         if mode in ("inner", "semi"):
             # null keys can't match and aren't emitted — drop before the exchange
@@ -349,10 +372,13 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
     right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
 
-    lschema = left_tagged.schema().base_schema
-    rschema = right_tagged.schema().base_schema
-    lnames = [n for n in lschema.names if n != "_side"]
-    rnames = [n for n in rschema.names if n != "_side"]
+    # union schema from the INPUT datasets (guarded non-None above) —
+    # the tagged datasets can be schema-less when every tagged block is
+    # empty (Ray drops empty map outputs), e.g. a fully-filtered side
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+    lnames = list(lschema.names)
+    rnames = [right_on] + [c for c in right_cols if c != right_on]
     union_fields = [(n, lschema.field(n).type) for n in lnames]
     union_fields += [("_r" + n, rschema.field(n).type) for n in rnames]
     union_fields += [("_jb", pa.int64()), ("_side", pa.int8())]

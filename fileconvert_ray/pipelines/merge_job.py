@@ -375,6 +375,11 @@ def _tombstone_dups(dest_dir: str, dups) -> dict:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if dups.schema() is None:
+        # all-empty duplicate stream (e.g. the left side itself was
+        # schema-less): nothing to tombstone
+        return {"duplicates_tombstoned": 0, "partitions_tombstoned": 0}
+
     def tombstone_group(group: pa.Table) -> pa.Table:
         pid = group.column("pid")[0].as_py()
         ids = pc.unique(group.column("doc_id").combine_chunks()).to_pylist()
@@ -429,6 +434,9 @@ def _dedup_against_dest(dest_dir: str, new_pids: set, old_pids: set) -> dict:
                 yield pa.table({"content_hash": pa.array(h.view(np.int64))})
 
     def new_hashes(batch: pa.Table):
+        # NOTE: when every row is tombstoned (fully-dup re-run) this
+        # yields nothing and Ray leaves the dataset schema-less —
+        # hash_join and _tombstone_dups resolve that degenerate case
         for pid in batch.column("pid").to_pylist():
             for t in _live_chunks(dest_dir, pid, with_doc_id=True):
                 h = token_content_hashes(t)
@@ -536,6 +544,11 @@ def _near_dedup_against_dest(dest_dir: str, new_pids: set, old_pids: set, *,
         [{"pid": p, "side": 0} for p in sorted(old_pids)]
         + [{"pid": p, "side": 1} for p in sorted(new_pids)]
     ).map_batches(band_rows, batch_format="pyarrow")
+    if exploded.schema() is None:
+        # every row tombstoned or sub-shingle on both sides: Ray drops
+        # empty batches, leaving a schema-less dataset the banded
+        # groupby cannot type — and there is nothing to dedup anyway
+        return {"duplicates_tombstoned": 0, "partitions_tombstoned": 0}
     dups = _banded_pairs(exploded, cross_pairs)
     return _tombstone_dups(dest_dir, dups)
 

@@ -517,3 +517,32 @@ def test_merge_dedup_exact_randomized(ray_session, tmp_path, seed):
         {f"b{i}" for i in range(40)} - expected_dropped
     )
     assert got == want
+
+
+def test_merge_dedup_rerun_after_full_dup(two_stores, tmp_path):
+    """A src that is ENTIRELY duplicate content gets fully tombstoned;
+    re-running the dedup merge then sees zero live imported rows and
+    must converge cleanly (schema-less-dataset regression), for both
+    the exact and the minhash variant."""
+    a, _, t, shards = two_stores
+    pre = set(_decoded_ids(a))
+    half = pq.read_table(shards[0])
+    src_tab = half.set_column(
+        half.schema.get_field_index("doc_id"), "doc_id",
+        pc.binary_join_element_wise(
+            pa.array(["cp-"] * half.num_rows),
+            pc.cast(half.column("doc_id"), pa.string()).combine_chunks(), ""),
+    )
+    sh = str(tmp_path / "alldup.parquet")
+    pq.write_table(src_tab, sh)
+    S = str(tmp_path / "AD")
+    run_encode_files([sh], EncodeConfig(out_dir=S, target_partition_tokens=2_000)).materialize()
+
+    r1 = run_merge(a, S, dedup="exact")
+    assert r1["duplicates_tombstoned"] == half.num_rows
+    assert set(_decoded_ids(a)) == pre
+    r2 = run_merge(a, S, dedup="exact")   # all imported rows tombstoned
+    assert r2["ok"] and r2["duplicates_tombstoned"] == 0
+    r3 = run_merge(a, S, dedup="minhash")  # near variant over zero live rows
+    assert r3["ok"] and r3["duplicates_tombstoned"] == 0
+    assert set(_decoded_ids(a)) == pre
