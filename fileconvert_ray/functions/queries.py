@@ -10438,6 +10438,94 @@ QUERIES["table_container_roundtrip"] = q_table_container_roundtrip
 ORACLE_SQL["table_container_roundtrip"] = "select * from orders"
 
 
+def q_struct_container_roundtrip(sf_dir: str):
+    """Nested-type container round-trip under the oracle gate: orders
+    columns are packed into a struct (shredded as ``s.price`` /
+    ``s.prio`` streams, NULL every 10th row to exercise the ``s#null``
+    validity stream) plus a deterministic ``list<list<int64>>``
+    ([[k], [k, k+1]] — the recursive ``#val#len``/``#val#val`` split),
+    container-encoded, decoded, and FLATTENED back to scalars so DuckDB
+    can hash every value: a wrong child, lost struct null, or
+    mis-nested offset breaks parity."""
+    import ray.data as rd
+
+    from ..sources.tablecontainer import read_container_table, write_container_table
+
+    out = _job_dir(sf_dir, "structcont")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def to_nested(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").combine_chunks()
+        kv = np.asarray(k, dtype=np.int64)
+        null_mask = pa.array(kv % 10 == 0)  # True = struct is null
+        s = pa.StructArray.from_arrays(
+            [b.column("o_totalprice").combine_chunks(),
+             b.column("o_orderpriority").combine_chunks()],
+            names=["price", "prio"],
+            mask=null_mask,
+        )
+        # [[k], [k, k+1]] per row: inner lengths 1,2 — flat values k,k,k+1
+        n = len(kv)
+        flat = np.empty(3 * n, dtype=np.int64)
+        flat[0::3] = kv
+        flat[1::3] = kv
+        flat[2::3] = kv + 1
+        inner_off = np.concatenate(
+            [[0], np.cumsum(np.tile([1, 2], n)).astype(np.int32)]
+        )
+        inner = pa.ListArray.from_arrays(pa.array(inner_off), pa.array(flat))
+        outer = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32)), inner
+        )
+        return pa.table({"o_orderkey": k, "s": s, "nested": outer})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(to_nested, batch_format="pyarrow")
+    write_container_table(ds, out).materialize()
+
+    def flatten(b: pa.Table) -> pa.Table:
+        s = b.column("s").combine_chunks()
+        nested = b.column("nested").combine_chunks()
+        inner = nested.flatten()
+        n_inner = pc.list_value_length(nested).cast(pa.int64())
+        # per-row sum over the flattened values: segment by outer row
+        lens_outer = np.asarray(pc.list_value_length(nested), dtype=np.int64)
+        inner_lens = np.asarray(pc.list_value_length(inner), dtype=np.int64)
+        vals = np.asarray(inner.flatten(), dtype=np.int64)
+        row_of_inner = np.repeat(np.arange(len(lens_outer)), lens_outer)
+        row_of_val = np.repeat(row_of_inner, inner_lens)
+        flat_sum = np.zeros(len(lens_outer), dtype=np.int64)
+        np.add.at(flat_sum, row_of_val, vals)
+        # nulls surface as an explicit indicator + sentinel-coalesced
+        # values (the comparator's float path treats NaN as unequal)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "s_null": pc.cast(s.is_null(), pa.int64()),
+                "price": pc.fill_null(pc.struct_field(s, "price"), -1.0),
+                "prio": pc.fill_null(pc.struct_field(s, "prio"), ""),
+                "n_inner": n_inner,
+                "flat_sum": pa.array(flat_sum),
+            }
+        )
+
+    return read_container_table(out).map_batches(flatten, batch_format="pyarrow")
+
+
+QUERIES["struct_container_roundtrip"] = q_struct_container_roundtrip
+ORACLE_SQL["struct_container_roundtrip"] = """
+    select o_orderkey,
+           cast(case when o_orderkey % 10 = 0 then 1 else 0 end as bigint) as s_null,
+           case when o_orderkey % 10 = 0 then -1.0 else o_totalprice end as price,
+           case when o_orderkey % 10 = 0 then '' else o_orderpriority end as prio,
+           cast(2 as bigint) as n_inner,
+           cast(3 * o_orderkey + 1 as bigint) as flat_sum
+    from orders
+"""
+
+
 def q_container_predicate_scan(sf_dir: str):
     """Zone-map-pruned container scan: orders is container-encoded
     SORTED by o_totalprice so each container's footer [min, max] is a

@@ -10,7 +10,13 @@ RLE / FOR-bitpack / FSST / rANS / ALP / ALP-RD / plane) participates
 through the measured-size auto-selector.  List columns split into a
 lengths stream and a flattened values stream (``name#len`` /
 ``name#val``), each encoded independently — the exact trick the
-flagship uses for ``tokens`` — and are re-assembled on decode.
+flagship uses for ``tokens`` — and are re-assembled on decode.  The
+split RECURSES: ``list<list<T>>`` nests as ``name#val#len`` /
+``name#val#val``; ``struct`` columns shred per child as
+``name.child`` (the Dremel/Parquet column-striping idea, re-expressed
+over this registry); nullable lists/structs carry a ``name#null``
+validity stream (scalar leaves persist validity inside their codec
+params instead, so they pay nothing extra here).
 
 Container rows are written one ROW GROUP each (row_group_size=1) so a
 projected read (``columns=[...]``) prunes other columns' payloads at
@@ -64,24 +70,50 @@ _ROW_SCHEMA = pa.schema(
 SCHEMA_FILE = "_schema.json"
 
 
+def _validity_row(name: str, arr: pa.Array) -> list[dict]:
+    """One `{name}#null` stream (int8 0/1 is-valid) when `arr` has
+    nulls at THIS nesting level; empty otherwise.  Scalar leaves don't
+    need it (encode_array persists their validity in params["valid"]);
+    list/struct parents do, because their children are encoded with
+    null slots flattened away / filled."""
+    if not arr.null_count:
+        return []
+    valid = pa.array(np.asarray(arr.is_valid()).astype(np.int8))
+    return _encode_one(f"{name}#null", valid)
+
+
 def _encode_one(name: str, arr) -> list[dict]:
-    """One column -> one or two container rows (#len/#val for lists)."""
+    """One column -> its container rows: scalars are one row;
+    ``list<T>`` splits into ``name#len`` / ``name#val`` (recursing, so
+    ``list<list<T>>`` nests as ``name#val#len`` / ``name#val#val``);
+    ``struct`` recurses per child as ``name.child``; nullable
+    lists/structs add a ``name#null`` validity stream."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        if arr.null_count:
-            raise CodecError(
-                f"column {name}: null list values are not supported by the "
-                "container encoder (store an empty list or drop the rows)"
-            )
+        rows = _validity_row(name, arr)
         lengths = pa.array(
-            np.asarray(pa.compute.list_value_length(arr)).astype(np.int64)
+            np.asarray(
+                pa.compute.list_value_length(arr).fill_null(0)
+            ).astype(np.int64)
         )
-        values = arr.flatten()
-        if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
-            raise CodecError(f"column {name}: nested lists are not supported")
-        return _encode_one(f"{name}#len", lengths) + _encode_one(f"{name}#val", values)
+        values = arr.flatten()  # null slots contribute zero values
+        return (
+            rows
+            + _encode_one(f"{name}#len", lengths)
+            + _encode_one(f"{name}#val", values)
+        )
+    if pa.types.is_struct(t):
+        if t.num_fields == 0:
+            raise CodecError(
+                f"column {name}: empty struct{{}} has no child streams to "
+                "carry its length; add a field or drop the column"
+            )
+        rows = _validity_row(name, arr)
+        for i, child in enumerate(t):
+            rows.extend(_encode_one(f"{name}.{child.name}", arr.field(i)))
+        return rows
     enc = encode_array(arr, name, codec="auto", zstd=True)
     return [
         {
@@ -97,17 +129,54 @@ def _encode_one(name: str, arr) -> list[dict]:
     ]
 
 
+def stream_names(name: str, t: pa.DataType) -> set[str]:
+    """Every container row name a column of type `t` MAY occupy (the
+    ``#null`` stream is written only when nulls exist, but projection
+    must always ask for it)."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return (
+            {f"{name}#null", f"{name}#len"}
+            | stream_names(f"{name}#val", t.value_type)
+        )
+    if pa.types.is_struct(t):
+        out = {f"{name}#null"}
+        for child in t:
+            out |= stream_names(f"{name}.{child.name}", child.type)
+        return out
+    return {name}
+
+
+def _mask_from(rows: dict[str, dict], name: str) -> pa.Array | None:
+    """is-NULL boolean mask for from_arrays(mask=...), or None."""
+    row = rows.get(f"{name}#null")
+    if row is None:
+        return None
+    return pa.array(~np.asarray(_dec(row)).astype(bool))
+
+
 def _decode_rows(rows: dict[str, dict], field: pa.Field) -> pa.Array:
-    """Container rows -> one fully-typed column of `field`'s type."""
+    """Container rows -> one fully-typed column of `field`'s type
+    (inverse of _encode_one, recursing through lists and structs)."""
     t = field.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         lengths = _dec(rows[f"{field.name}#len"])
-        values = _dec(rows[f"{field.name}#val"])
+        values = _decode_rows(rows, pa.field(f"{field.name}#val", t.value_type))
         off_dtype = np.int64 if pa.types.is_large_list(t) else np.int32
         lens = np.asarray(lengths, dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)]).astype(off_dtype)
         cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
-        out = cls.from_arrays(pa.array(offsets), values)
+        out = cls.from_arrays(
+            pa.array(offsets), values, mask=_mask_from(rows, field.name)
+        )
+        return out.cast(t) if out.type != t else out
+    if pa.types.is_struct(t):
+        children = [
+            _decode_rows(rows, pa.field(f"{field.name}.{c.name}", c.type))
+            for c in t
+        ]
+        out = pa.StructArray.from_arrays(
+            children, fields=list(t), mask=_mask_from(rows, field.name)
+        )
         return out.cast(t) if out.type != t else out
     out = _dec(rows[field.name])
     return out.cast(t) if out.type != t else out
@@ -226,6 +295,14 @@ def write_container_table(
         rows: list[dict] = []
         for name in batch.column_names:
             rows.extend(_encode_one(name, batch.column(name)))
+        names = [r["column"] for r in rows]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise CodecError(
+                f"stream-name collision {dupes}: a top-level column named "
+                "like a nested stream (e.g. 'a.b' next to struct 'a'.'b', "
+                "or containing '#') is ambiguous in the container layout"
+            )
         t = pa.Table.from_pylist(rows, schema=_ROW_SCHEMA)
         # per-column zone map (numeric/temporal min-max) in the footer:
         # a predicate read checks ~100 footer bytes per container and
@@ -312,8 +389,14 @@ def read_container_table(
         present = {f.name for f in fields}
         for pcol, lo, hi in plist:
             pfield = schema.field(pcol)  # raises KeyError for unknown columns
-            if pa.types.is_list(pfield.type) or pa.types.is_large_list(pfield.type):
-                raise ValueError(f"predicate column {pcol} is a list; ranges need scalars")
+            if (
+                pa.types.is_list(pfield.type)
+                or pa.types.is_large_list(pfield.type)
+                or pa.types.is_struct(pfield.type)
+            ):
+                raise ValueError(
+                    f"predicate column {pcol} is a {pfield.type}; ranges need scalars"
+                )
             if pcol not in present:
                 # decode the key just for trimming, drop it from the
                 # result (the read_range extra-column pattern,
@@ -331,10 +414,7 @@ def read_container_table(
 
     wanted: set[str] = set()
     for f in fields:
-        if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
-            wanted |= {f"{f.name}#len", f"{f.name}#val"}
-        else:
-            wanted.add(f.name)
+        wanted |= stream_names(f.name, f.type)
 
     out_schema = pa.schema([f for f in fields if f.name not in drop_cols])
     files = _container_files(dir_or_paths)
