@@ -436,6 +436,17 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--boundaries", action="store_true",
                     help="add doc_starts: within-chunk offsets where a "
                          "document begins (attention-reset positions)")
+    xp.add_argument("--ann-filter", action="append", default=None,
+                    metavar="NAME:COL:LO:HI",
+                    help="keep docs whose annotation col is in [LO, HI] "
+                         "(empty bound = open; repeatable, ANDed); "
+                         "run `annotate` first")
+    xp.add_argument("--weights", default=None, metavar="SRC=RATE,...",
+                    help="per-source keep rate (domain mixture); "
+                         "unlisted sources keep everything")
+    xp.add_argument("--weight-hash", choices=["fnv", "md5"], default="fnv",
+                    help="mixture threshold hash (fnv = vectorized "
+                         "scale default, md5 = oracle-parity)")
 
     f = sub.add_parser("profile", help="per-column stats of a parquet table")
     f.add_argument("input", help="parquet file or directory")
@@ -1053,6 +1064,30 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "export-packed":
             from fileconvert_ray.pipelines.pack_job import run_export_packed
 
+            ann_filter = None
+            if args.ann_filter:
+                ann_filter = []
+                for spec in args.ann_filter:
+                    parts = spec.split(":")
+                    if len(parts) != 4:
+                        raise SystemExit(
+                            f"--ann-filter wants NAME:COL:LO:HI, got {spec!r}"
+                        )
+                    name, col, lo, hi = parts
+                    ann_filter.append(
+                        (
+                            name,
+                            col,
+                            float(lo) if lo else None,
+                            float(hi) if hi else None,
+                        )
+                    )
+            weights = None
+            if args.weights:
+                weights = {}
+                for kv in args.weights.split(","):
+                    k, _, v = kv.partition("=")
+                    weights[k] = float(v)
             res = run_export_packed(
                 args.out_dir,
                 args.to,
@@ -1063,6 +1098,9 @@ def main(argv: list[str] | None = None) -> int:
                 sources=args.sources.split(",") if args.sources else None,
                 max_gen=args.max_gen,
                 n_buckets=args.buckets,
+                ann_filter=ann_filter,
+                weights=weights,
+                weight_hash=args.weight_hash,
             )
             print(json.dumps({"ok": True, "out": args.to, **res}))
         elif args.cmd == "profile":

@@ -3792,6 +3792,82 @@ def q_packed_boundaries_scan(sf_dir: str):
     return packed.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _packed_digest(packed):
+    """Per-chunk (n_tok, sum, position-weighted sum) digest — shared by
+    the packed_* oracle queries; pins values AND within-chunk order."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        cum = np.concatenate(([0], np.cumsum(flat)))
+        wcum = np.concatenate(([0], np.cumsum(flat * pos)))
+        return pa.Table.from_pydict({
+            "chunk_id": pc.cast(batch.column("chunk_id"), pa.int64()),
+            "n_tok": pa.array(lens),
+            "tok_sum": pa.array(cum[offs[1:]] - cum[offs[:-1]]),
+            "tok_wsum": pa.array(wcum[offs[1:]] - wcum[offs[:-1]]),
+        })
+
+    return packed.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_packed_filtered_scan(sf_dir: str):
+    """Quality-gated packed export (pack_job ann_filter): the corpus
+    encodes, `annotate` lands co-partitioned token_stats side tables,
+    and the export keeps only docs with n_distinct >= 24 — the filter
+    attaches per partition inside the decode task (zero shuffle, no
+    re-encode), drops the score columns, and packs the survivors.  The
+    digest covers encode -> annotate -> filter -> pack end to end: a
+    wrong annotation value, a mis-attached row, or a filter off-by-one
+    changes which docs pack and breaks the value hash."""
+    from ..pipelines.annotate_job import run_annotate
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..pipelines.pack_job import packed_dataset
+
+    out = _job_dir(sf_dir, "packf")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=200_000),
+    ).materialize()
+    run_annotate(out, "token_stats")
+    packed = packed_dataset(
+        out, 256, order="int", n_buckets=8,
+        ann_filter=("token_stats", "n_distinct", 24, None),
+    )
+    return _packed_digest(packed)
+
+
+def q_packed_mixture_scan(sf_dir: str):
+    """Domain-mixture packed export (pack_job weights): per-source keep
+    rates (src0 35%, src5 60%, src9 dropped, everything else kept) are
+    applied at export by the sampling family's deterministic md5
+    content-hash threshold — the SQL reproduces the exact same rule, so
+    the digest pins which docs each rate keeps, not just how many.
+    ``weight_hash="md5"`` is the oracle-parity mode; fnv is the scale
+    default (same contract as seeded_sample)."""
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..pipelines.pack_job import packed_dataset
+
+    out = _job_dir(sf_dir, "packm")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=200_000),
+    ).materialize()
+    packed = packed_dataset(
+        out, 256, order="int", n_buckets=8,
+        weights={"src0": 0.35, "src5": 0.6, "src9": 0.0},
+        weight_hash="md5",
+    )
+    return _packed_digest(packed)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -8352,6 +8428,8 @@ QUERIES = {
     "annotate_scan": q_annotate_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
+    "packed_filtered_scan": q_packed_filtered_scan,
+    "packed_mixture_scan": q_packed_mixture_scan,
 }
 
 _VOCAB_CTE = """
@@ -9376,6 +9454,49 @@ ORACLE_SQL = {
     "packed_export_scan": _VOCAB_CTE
     + """,
     d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    o as (select doc_id,
+                 coalesce(sum(len(ws)) over (order by doc_id
+                          rows between unbounded preceding and 1 preceding), 0) as base
+          from d),
+    p as (select v.token as token, o.base + u.i - 1 as gpos
+          from u join v on u.w1 = v.word join o on u.doc_id = o.doc_id)
+    select cast(gpos // 256 as bigint) as chunk_id,
+           cast(count(*) as bigint) as n_tok,
+           cast(sum(token) as bigint) as tok_sum,
+           cast(sum(token * (gpos % 256 + 1)) as bigint) as tok_wsum
+    from p group by 1
+    """,
+    "packed_filtered_scan": _VOCAB_CTE
+    + """,
+    d0 as (select doc_id, string_split(text, ' ') as ws from documents),
+    u0 as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d0),
+    nd as (select doc_id, count(distinct w1) as ndist from u0 group by doc_id),
+    d as (select d0.doc_id, d0.ws from d0 join nd using (doc_id)
+          where nd.ndist >= 24),
+    u as (select u0.* from u0 join d using (doc_id)),
+    o as (select doc_id,
+                 coalesce(sum(len(ws)) over (order by doc_id
+                          rows between unbounded preceding and 1 preceding), 0) as base
+          from d),
+    p as (select v.token as token, o.base + u.i - 1 as gpos
+          from u join v on u.w1 = v.word join o on u.doc_id = o.doc_id)
+    select cast(gpos // 256 as bigint) as chunk_id,
+           cast(count(*) as bigint) as n_tok,
+           cast(sum(token) as bigint) as tok_sum,
+           cast(sum(token * (gpos % 256 + 1)) as bigint) as tok_wsum
+    from p group by 1
+    """,
+    "packed_mixture_scan": _VOCAB_CTE
+    + """,
+    cuts as (select * from (values ('src0', 0.35), ('src5', 0.6), ('src9', 0.0))
+             c(source, rate)),
+    d as (select doc.doc_id, string_split(doc.text, ' ') as ws
+          from documents doc left join cuts using (source)
+          where cuts.rate is null
+             or substr(md5(cast(doc.doc_id as varchar)), 1, 6)
+                < printf('%06x', least(cast(floor(cuts.rate * 16777216) as bigint),
+                                       16777215))),
     u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
     o as (select doc_id,
                  coalesce(sum(len(ws)) over (order by doc_id

@@ -38,6 +38,9 @@ def packed_dataset(
     max_gen: int | None = None,
     n_buckets: int = 64,
     boundaries: bool = False,
+    ann_filter=None,
+    weights: dict[str, float] | None = None,
+    weight_hash: str = "fnv",
 ):
     """Streaming Dataset of PACKED_SCHEMA rows (chunk_id, tokens,
     n_tok) from an encoded corpus.  ``max_gen`` composes with snapshot
@@ -45,20 +48,110 @@ def packed_dataset(
     anything else.  ``seed`` reseeds the hash order — a per-epoch
     deterministic global reshuffle for free (ignored by order="int").
     ``boundaries=True`` adds ``doc_starts: list<int32>`` — the
-    within-chunk attention-reset offsets (functions/packing.py)."""
+    within-chunk attention-reset offsets (functions/packing.py).
+
+    ``ann_filter=(name, col, lo, hi)`` (or a list, ANDed) keeps only
+    docs whose co-partitioned annotation value (pipelines/annotate_job)
+    lands in [lo, hi] — quality-gated training shards with NO join and
+    no re-encode: the annotation attaches per partition inside the
+    decode task, the filter runs vectorized, the score columns drop
+    before packing.
+
+    ``weights={source: rate}`` mixes domains at export: each source
+    keeps ~rate of its docs by a deterministic content-hash threshold
+    (unlisted sources keep everything; rate 0.0 drops the source).
+    Same machinery as the sampling family: ``weight_hash="fnv"`` is
+    the vectorized scale default, ``"md5"`` the DuckDB-parity mode the
+    registry oracle uses.  Deterministic across runs, partitionings and
+    cluster sizes — a re-exported epoch sees the same mixture."""
     from ..functions.packing import pack_sequences
     from ..stages.decoder import decode_dataset
     from ..util.hashing import hash_strings_u64
 
     if order not in ("hash", "int"):
         raise ValueError(f"order must be 'hash' or 'int', got {order!r}")
+    if weight_hash not in ("fnv", "md5"):
+        raise ValueError(f"weight_hash must be 'fnv' or 'md5', got {weight_hash!r}")
+    filters = (
+        []
+        if ann_filter is None
+        else ([ann_filter] if isinstance(ann_filter, tuple) else list(ann_filter))
+    )
+    ann_names = list(dict.fromkeys(f[0] for f in filters))
+    base_cols = ["doc_id", "tokens", "n_tok"]
+    cols = base_cols + (["source"] if weights is not None else [])
 
     ds = decode_dataset(
         out_dir,
         sources=sources,
         max_gen=max_gen,
-        columns=["doc_id", "tokens", "n_tok"],
+        columns=cols,
+        with_annotations=ann_names or None,
     )
+
+    if filters or weights is not None:
+        if weights is not None and weight_hash == "fnv":
+            fnv_cuts = {
+                s: np.uint64(min(int(r * float(1 << 64)), (1 << 64) - 1))
+                for s, r in weights.items()
+            }
+        elif weights is not None:
+            md5_cuts = {
+                s: format(min(int(r * 16**6), 16**6 - 1), "06x")
+                for s, r in weights.items()
+            }
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            mask = np.ones(batch.num_rows, dtype=bool)
+            for name, col, lo, hi in filters:
+                if col not in batch.column_names:
+                    raise KeyError(
+                        f"annotation {name!r} has no column {col!r}; "
+                        f"batch holds {batch.column_names}"
+                    )
+                v = batch.column(col).to_numpy(zero_copy_only=False)
+                if lo is not None:
+                    mask &= v >= lo
+                if hi is not None:
+                    mask &= v <= hi
+            if weights is not None:
+                ids = pc.cast(batch.column("doc_id"), pa.string())
+                srcs = batch.column("source")
+                if weight_hash == "fnv":
+                    hv = hash_strings_u64(ids)
+                    d = srcs.combine_chunks().dictionary_encode()
+                    codes = np.asarray(d.indices)
+                    per_src = np.array(
+                        [
+                            fnv_cuts.get(v, np.uint64((1 << 64) - 1))
+                            for v in d.dictionary.to_pylist()
+                        ],
+                        dtype=np.uint64,
+                    )
+                    # a cut of 2^64-1 keeps all but 1-in-2^64; treat
+                    # unlisted sources as keep-everything exactly
+                    listed = np.array(
+                        [v in fnv_cuts for v in d.dictionary.to_pylist()]
+                    )
+                    wmask = (hv < per_src[codes]) | ~listed[codes]
+                else:
+                    import hashlib
+
+                    wmask = np.array(
+                        [
+                            md5_cuts.get(src) is None
+                            or hashlib.md5(s.encode()).hexdigest()[:6]
+                            < md5_cuts[src]
+                            for s, src in zip(
+                                ids.to_pylist(), srcs.to_pylist()
+                            )
+                        ]
+                    )
+                mask &= wmask
+            t = batch.filter(pa.array(mask)) if not mask.all() else batch
+            return t.select(base_cols)
+
+        ds = ds.map_batches(keep_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def key_int(batch: pa.Table) -> pa.Table:
         i = batch.column_names.index("doc_id")
@@ -96,6 +189,9 @@ def run_export_packed(
     max_gen: int | None = None,
     n_buckets: int = 64,
     boundaries: bool = False,
+    ann_filter=None,
+    weights: dict[str, float] | None = None,
+    weight_hash: str = "fnv",
 ) -> dict:
     """Export packed training shards to ``to_dir`` (parquet, one file
     per block).  Returns {"chunks": N, "tokens": T} from the written
@@ -109,6 +205,9 @@ def run_export_packed(
         max_gen=max_gen,
         n_buckets=n_buckets,
         boundaries=boundaries,
+        ann_filter=ann_filter,
+        weights=weights,
+        weight_hash=weight_hash,
     )
     ds.write_parquet(to_dir)
     import ray.data as rd

@@ -183,3 +183,104 @@ def test_packed_export_doc_boundaries(ray_session, tmp_path):
     # default path: schema unchanged (no doc_starts column)
     plain = pack_sequences(rd.from_arrow(t), seq_len=L, n_buckets=7)
     assert plain.schema().names == ["chunk_id", "tokens", "n_tok"]
+
+
+def test_packed_export_ann_filter_and_mixture_fnv(ray_session, sf_dir, tmp_path):
+    """ann_filter keeps exactly the docs whose annotation value
+    clears the bound (verified doc-by-doc against a direct decode);
+    weights with the fnv scale-default hash are deterministic,
+    leakage-free (a doc's fate is independent of partitioning) and
+    land near the requested rates."""
+    import ray
+
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+    from fileconvert_ray.stages.decoder import decode_dataset
+
+    out = str(tmp_path / "enc_f")
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000),
+    ).materialize()
+    run_annotate(out, "token_stats")
+
+    # reference: which docs SHOULD survive n_distinct >= 24
+    full = pa.concat_tables(
+        [ray.get(r) for r in decode_dataset(out, columns=["doc_id", "tokens"]).to_arrow_refs()]
+    )
+    nd = [
+        len(set(row)) for row in full.column("tokens").to_pylist()
+    ]
+    want_tokens = sum(
+        len(row)
+        for row, d in zip(full.column("tokens").to_pylist(), nd)
+        if d >= 24
+    )
+
+    packed = packed_dataset(
+        out, 128, order="int", n_buckets=4,
+        ann_filter=("token_stats", "n_distinct", 24, None),
+    )
+    t = pa.concat_tables([ray.get(r) for r in packed.to_arrow_refs()])
+    got_tokens = int(
+        pc.sum(pc.list_value_length(t.column("tokens"))).as_py() or 0
+    )
+    assert got_tokens == want_tokens and got_tokens > 0
+    assert got_tokens < int(pc.sum(pc.list_value_length(full.column("tokens"))).as_py())
+
+    # mixture: fnv path, two runs identical, rates in the ballpark
+    def run_once():
+        p = packed_dataset(
+            out, 128, order="int", n_buckets=4,
+            weights={"src0": 0.5, "src1": 0.0},
+        )
+        tt = pa.concat_tables([ray.get(r) for r in p.to_arrow_refs()]).sort_by("chunk_id")
+        return pc.list_flatten(tt.column("tokens")).to_numpy(zero_copy_only=False)
+
+    a, b = run_once(), run_once()
+    assert np.array_equal(a, b)
+    # src1 fully dropped, src0 halved: total strictly between the
+    # no-mixture total minus both sources and minus src1 only
+    full_ds = decode_dataset(out, columns=["source", "n_tok"])
+    per_src = {}
+    for r in full_ds.to_arrow_refs():
+        tt = ray.get(r)
+        for s, n in zip(tt.column("source").to_pylist(), tt.column("n_tok").to_pylist()):
+            per_src[s] = per_src.get(s, 0) + int(n)
+    total = sum(per_src.values())
+    hi = total - per_src["src1"]          # src0 kept whole
+    lo = total - per_src["src1"] - per_src["src0"]  # src0 fully dropped
+    assert lo < len(a) < hi
+
+    # unknown annotation column fails loudly
+    with pytest.raises(Exception, match="no column"):
+        packed_dataset(
+            out, 128, order="int", n_buckets=4,
+            ann_filter=("token_stats", "nope", 1, None),
+        ).materialize()
+
+
+def test_packed_export_cli_filters(ray_session, sf_dir, tmp_path):
+    """CLI --ann-filter / --weights parse and land shards."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "enc_cli")
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000),
+    ).materialize()
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+
+    run_annotate(out, "token_stats")
+    to = str(tmp_path / "shards")
+    r = subprocess.run(
+        [sys.executable, "-m", "fileconvert_ray", "export-packed", out,
+         "--to", to, "--seq-len", "128", "--order", "int",
+         "--ann-filter", "token_stats:n_distinct:24:",
+         "--weights", "src0=0.5,src1=0.0", "--weight-hash", "md5"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["ok"] and res["chunks"] > 0 and res["tokens"] > 0
