@@ -447,6 +447,9 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--weight-hash", choices=["fnv", "md5"], default="fnv",
                     help="mixture threshold hash (fnv = vectorized "
                          "scale default, md5 = oracle-parity)")
+    xp.add_argument("--narrow", action="store_true",
+                    help="write tokens as list<uint16> (half the shard "
+                         "bytes; fails loudly if any id exceeds 65535)")
 
     f = sub.add_parser("profile", help="per-column stats of a parquet table")
     f.add_argument("input", help="parquet file or directory")
@@ -1101,6 +1104,7 @@ def main(argv: list[str] | None = None) -> int:
                 ann_filter=ann_filter,
                 weights=weights,
                 weight_hash=args.weight_hash,
+                narrow=args.narrow,
             )
             print(json.dumps({"ok": True, "out": args.to, **res}))
         elif args.cmd == "profile":

@@ -284,3 +284,39 @@ def test_packed_export_cli_filters(ray_session, sf_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = _json.loads(r.stdout.strip().splitlines()[-1])
     assert res["ok"] and res["chunks"] > 0 and res["tokens"] > 0
+
+
+def test_packed_export_narrow_uint16(ray_session, sf_dir, tmp_path):
+    """narrow=True halves token bytes (list<uint16>), values identical;
+    out-of-range ids fail loudly instead of wrapping."""
+    import ray
+
+    out = str(tmp_path / "enc_n")
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000),
+    ).materialize()
+    wide, narrow = str(tmp_path / "w"), str(tmp_path / "n")
+    rw = run_export_packed(out, wide, 128, order="int")
+    rn = run_export_packed(out, narrow, 128, order="int", narrow=True)
+    assert rw == rn
+    tw = pq.read_table(wide).sort_by("chunk_id")
+    tn = pq.read_table(narrow).sort_by("chunk_id")
+    assert tn.schema.field("tokens").type == pa.list_(pa.uint16())
+    fw = pc.list_flatten(tw.column("tokens")).to_numpy(zero_copy_only=False)
+    fn = pc.list_flatten(tn.column("tokens")).to_numpy(zero_copy_only=False)
+    assert np.array_equal(fw.astype(np.int64), fn.astype(np.int64))
+
+    # out-of-range ids refuse: synthesize a store with a big vocab id
+    out2 = str(tmp_path / "enc_big")
+    shard = str(tmp_path / "big.parquet")
+    t = pa.table({
+        "doc_id": pa.array(["1", "2"]),
+        "tokens": pa.array([[70000, 1, 2], [3, 4]], pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 2], pa.int32()),
+        "source": pa.array(["s", "s"]),
+    })
+    pq.write_table(t, shard)
+    run_encode_files([shard], EncodeConfig(out_dir=out2, target_partition_tokens=100)).materialize()
+    with pytest.raises(Exception, match="uint16"):
+        run_export_packed(out2, str(tmp_path / "n2"), 8, order="int", narrow=True)
