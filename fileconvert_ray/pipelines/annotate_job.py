@@ -89,9 +89,36 @@ def _token_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+def _content_hash(batch: pa.Table) -> pa.Table:
+    """Per-doc uint64 content hash over the TOKEN SEQUENCE alone
+    (functions/dedup.token_content_hashes — the same identity merge's
+    cross-store exact dedup uses, id/source excluded on purpose).
+    Stored as int64 bit-pattern (parquet has no uint64).  Use cases:
+    audit joins between stores, grouping re-crawled copies, and
+    export-packed ann_filter carve-outs by known-content lists."""
+    from ..functions.dedup import token_content_hashes
+
+    n_tok = pc.list_value_length(batch.column("tokens")).cast(pa.int64())
+    t = pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "tokens": batch.column("tokens"),
+            "n_tok": n_tok,
+        }
+    )
+    h = token_content_hashes(t).view(np.int64)
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+            "content_hash": pa.array(h),
+        }
+    )
+
+
 # name -> (columns needed from the container, batch fn)
 ANNOTATORS = {
     "token_stats": (["doc_id", "tokens"], _token_stats),
+    "content_hash": (["doc_id", "tokens"], _content_hash),
 }
 
 

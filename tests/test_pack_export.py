@@ -320,3 +320,44 @@ def test_packed_export_narrow_uint16(ray_session, sf_dir, tmp_path):
     run_encode_files([shard], EncodeConfig(out_dir=out2, target_partition_tokens=100)).materialize()
     with pytest.raises(Exception, match="uint16"):
         run_export_packed(out2, str(tmp_path / "n2"), 8, order="int", narrow=True)
+
+
+def test_content_hash_annotator(ray_session, tmp_path):
+    """content_hash annotation == token_content_hashes of the decoded
+    corpus; identical token sequences under different ids collide,
+    different sequences don't; composes with export ann_filter."""
+    import ray
+    import ray.data as rd
+
+    from fileconvert_ray.functions.dedup import token_content_hashes
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+    from fileconvert_ray.stages.decoder import decode_dataset
+
+    t = pa.table({
+        "doc_id": pa.array([str(i) for i in range(60)]),
+        "tokens": pa.array(
+            [[1, 2, 3] if i % 2 else [int(i), 5] for i in range(60)],
+            pa.list_(pa.int32()),
+        ),
+        "n_tok": pa.array([3 if i % 2 else 2 for i in range(60)], pa.int32()),
+        "source": pa.array(["s"] * 60),
+    })
+    sh = str(tmp_path / "in.parquet")
+    pq.write_table(t, sh)
+    out = str(tmp_path / "enc")
+    run_encode_files([sh], EncodeConfig(out_dir=out, target_partition_tokens=50)).materialize()
+    run_annotate(out, "content_hash")
+
+    got = pa.concat_tables([
+        ray.get(r)
+        for r in decode_dataset(
+            out, columns=["doc_id", "tokens", "n_tok"],
+            with_annotations=["content_hash"],
+        ).to_arrow_refs()
+    ]).sort_by("doc_id")
+    want = token_content_hashes(got.select(["doc_id", "tokens", "n_tok"])).view(np.int64)
+    assert np.array_equal(got.column("content_hash").to_numpy(zero_copy_only=False), want)
+    h = got.column("content_hash").to_numpy(zero_copy_only=False)
+    odd = np.array([int(d) % 2 == 1 for d in got.column("doc_id").to_pylist()])
+    assert len(set(h[odd])) == 1          # all [1,2,3] docs collide
+    assert len(set(h[~odd])) == len(h[~odd])  # distinct contents differ
