@@ -312,6 +312,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "reaches --dedup-threshold")
     mg.add_argument("--dedup-threshold", type=float, default=0.7)
 
+    cd = sub.add_parser(
+        "corpus-diff",
+        help="content-level diff of two encoded stores: distinct token "
+        "contents removed/common/added (doc ids and sources ignored — "
+        "re-idd copies compare as unchanged)",
+    )
+    cd.add_argument("a_dir", help="the 'before' store")
+    cd.add_argument("b_dir", help="the 'after' store")
+
     bp = sub.add_parser(
         "bpe-reencode",
         help="train N BPE merges over a store and re-encode it with "
@@ -927,6 +936,13 @@ def main(argv: list[str] | None = None) -> int:
                        else "minhash" if args.dedup_minhash else None),
                 dedup_threshold=args.dedup_threshold,
             )))
+        elif args.cmd == "corpus-diff":
+            from fileconvert_ray.pipelines.diff_job import corpus_diff
+
+            rows = corpus_diff(args.a_dir, args.b_dir).take_all()  # 3 rows
+            print(json.dumps(
+                {"ok": True, **{r["status"]: int(r["n_contents"]) for r in rows}}
+            ))
         elif args.cmd == "bpe-reencode":
             from fileconvert_ray.pipelines.bpe_job import run_bpe_reencode
 

@@ -3868,6 +3868,37 @@ def q_packed_mixture_scan(sf_dir: str):
     return _packed_digest(packed)
 
 
+def q_corpus_diff_scan(sf_dir: str):
+    """Content-level store diff (pipelines/diff_job.py): docs with
+    doc_id%3 in {0,1} encode as store A, {1,2} as store B; the diff
+    counts distinct token CONTENTS only-in-A (removed), shared
+    (common) and only-in-B (added) — identity is the token sequence
+    alone, so the SQL side is a full outer join of distinct TEXTS
+    (tokenization is bijective: tokenize_roundtrip pins it)."""
+    from ..pipelines.diff_job import corpus_diff
+    from ..pipelines.encode_job import EncodeConfig, run_encode_files
+    from ..sources.tokseq import tokseq_table
+
+    base = _job_dir(sf_dir, "cdiff")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    t = tokseq_table(sf_dir)
+    ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+    m = ids % 3
+    sh_a = os.path.join(base, "a.parquet")
+    sh_b = os.path.join(base, "b.parquet")
+    pq.write_table(t.filter(pa.array(m <= 1)), sh_a)
+    pq.write_table(t.filter(pa.array(m >= 1)), sh_b)
+    a_dir, b_dir = os.path.join(base, "enc_a"), os.path.join(base, "enc_b")
+    run_encode_files(
+        [sh_a], EncodeConfig(out_dir=a_dir, target_partition_tokens=100_000)
+    ).materialize()
+    run_encode_files(
+        [sh_b], EncodeConfig(out_dir=b_dir, target_partition_tokens=100_000)
+    ).materialize()
+    return corpus_diff(a_dir, b_dir)
+
+
 def q_orc_scan(sf_dir: str):
     """R4 conformance: documents -> ORC fixture -> stripe-parallel Ray
     read -> projected columns.  Values oracle-checked against the
@@ -8430,6 +8461,7 @@ QUERIES = {
     "packed_boundaries_scan": q_packed_boundaries_scan,
     "packed_filtered_scan": q_packed_filtered_scan,
     "packed_mixture_scan": q_packed_mixture_scan,
+    "corpus_diff_scan": q_corpus_diff_scan,
 }
 
 _VOCAB_CTE = """
@@ -9466,6 +9498,21 @@ ORACLE_SQL = {
            cast(sum(token) as bigint) as tok_sum,
            cast(sum(token * (gpos % 256 + 1)) as bigint) as tok_wsum
     from p group by 1
+    """,
+    "corpus_diff_scan": """
+        with a as (select distinct text from documents where doc_id % 3 <= 1),
+             b as (select distinct text from documents where doc_id % 3 >= 1),
+        j as (
+          select case when b.text is null then 'removed'
+                      when a.text is null then 'added'
+                      else 'common' end as status,
+                 count(*) as n
+          from a full outer join b on a.text = b.text
+          group by 1
+        ),
+        s(status) as (values ('removed'), ('common'), ('added'))
+        select s.status, cast(coalesce(j.n, 0) as bigint) as n_contents
+        from s left join j using (status)
     """,
     "packed_filtered_scan": _VOCAB_CTE
     + """,
