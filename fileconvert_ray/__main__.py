@@ -165,6 +165,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="file with one doc_id per line (takedown list)")
     dl.add_argument("--sources", default=None,
                     help="comma-separated source filter (narrows the candidate set)")
+    dl.add_argument("--where-ann", default=None, metavar="NAME:COL:LO:HI",
+                    help="predicate delete: tombstone docs whose annotation "
+                         "value lands in [LO, HI] (empty bound = open; run "
+                         "`annotate` over every partition first)")
 
     pg = sub.add_parser(
         "purge",
@@ -717,8 +721,24 @@ def main(argv: list[str] | None = None) -> int:
                 "n_rows": int(m["n_rows"].sum()) if len(m) else 0,
             }))
         elif args.cmd == "delete":
-            from fileconvert_ray.pipelines.delete_job import run_delete
+            from fileconvert_ray.pipelines.delete_job import run_delete, run_delete_where
 
+            if args.where_ann:
+                if args.ids or args.ids_file:
+                    raise SystemExit("delete: --where-ann excludes --ids/--ids-file")
+                parts = args.where_ann.split(":")
+                if len(parts) != 4:
+                    raise SystemExit(
+                        f"--where-ann wants NAME:COL:LO:HI, got {args.where_ann!r}"
+                    )
+                name, col, lo, hi = parts
+                res = run_delete_where(
+                    args.out_dir, name, col,
+                    lo=float(lo) if lo else None,
+                    hi=float(hi) if hi else None,
+                )
+                print(json.dumps({"ok": True, **res}))
+                return 0
             ids: list[str] = []
             if args.ids:
                 ids.extend(args.ids.split(","))
@@ -726,7 +746,7 @@ def main(argv: list[str] | None = None) -> int:
                 with open(args.ids_file) as f:
                     ids.extend(ln.strip() for ln in f if ln.strip())
             if not ids:
-                print(json.dumps({"ok": False, "error": "no ids given (--ids / --ids-file)"}))
+                print(json.dumps({"ok": False, "error": "no ids given (--ids / --ids-file / --where-ann)"}))
                 return 2
             res = run_delete(
                 args.out_dir, ids,

@@ -67,6 +67,91 @@ from ..state.manifest import (
 )
 
 
+def _refuse_unsealed(out_dir: str) -> None:
+    """A tombstone can only target COMPLETED partitions: an id whose
+    row sits in a not-yet-encoded partition of an unsealed generation
+    would be silently missed, then materialize later untombstoned.
+    Refuse loudly; run_upsert seals first for exactly this reason."""
+    from ..state.manifest import read_plan
+
+    try:
+        plan = read_plan(out_dir)
+    except FileNotFoundError:
+        return
+    if any(not g.get("sealed") for g in plan.get("generations", [])):
+        raise RuntimeError(
+            f"delete refused: {out_dir} has an unsealed ingest generation; "
+            "finish it first (run_encode_files over the recorded lineage "
+            "seals it), otherwise ids still being encoded would escape the "
+            "tombstone."
+        )
+
+
+def run_delete_where(
+    out_dir: str, ann_name: str, col: str, lo=None, hi=None
+) -> dict:
+    """Predicate delete: tombstone every doc whose ANNOTATION value
+    lands in ``[lo, hi]`` (either bound open) — the curation takedown
+    ("purge everything with repetition_ratio above 0.9") without a
+    takedown list and without touching any token payload.
+
+    Scale shape: the annotation side tables already inherit the corpus
+    partitioning, so this is ONE Ray task per partition reading ONLY
+    that partition's tiny ann parquet (the payload containers are never
+    opened); each task writes its own tombstone file.  No exchange of
+    any kind.  Requires ``run_annotate(out_dir, ann_name)`` to have
+    covered every partition — a missing side table raises rather than
+    silently skipping that partition's docs."""
+    import ray.data as rd
+
+    from ..pipelines.annotate_job import read_annotation
+    from ..state.manifest import completed_partitions
+
+    if lo is None and hi is None:
+        raise ValueError("delete_where needs at least one bound")
+    _refuse_unsealed(out_dir)
+    pids = sorted(completed_partitions(out_dir))
+    if not pids:
+        return {"found": 0, "partitions": 0, "scanned": 0}
+
+    def scan(batch: pa.Table):
+        for pid in batch.column("part_id").to_pylist():
+            a = read_annotation(out_dir, ann_name, pid)  # raises if absent
+            if col not in a.column_names:
+                raise KeyError(
+                    f"annotation {ann_name!r} has no column {col!r}; "
+                    f"it holds {a.column_names}"
+                )
+            v = a.column(col).to_numpy(zero_copy_only=False)
+            mask = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                mask &= v >= lo
+            if hi is not None:
+                mask &= v <= hi
+            n = int(mask.sum())
+            if n:
+                ids = (
+                    pc.cast(a.column("doc_id"), pa.string())
+                    .filter(pa.array(mask))
+                    .to_pylist()
+                )
+                write_tombstones(out_dir, pid, ids)
+            yield pa.Table.from_pydict(
+                {"part_id": pa.array([pid]), "n": pa.array([n], pa.int64())}
+            )
+
+    res = (
+        rd.from_items([{"part_id": p} for p in pids])
+        .map_batches(scan, batch_format="pyarrow", batch_size=1)
+        .to_pandas()  # O(partitions) rows
+    )
+    return {
+        "found": int(res["n"].sum()),
+        "partitions": int((res["n"] > 0).sum()),
+        "scanned": len(res),
+    }
+
+
 def run_delete(
     out_dir: str, doc_ids, sources: list[str] | None = None
 ) -> dict:
@@ -82,26 +167,8 @@ def run_delete(
     import ray.data as rd
 
     from ..stages.decoder import candidate_partitions, iter_partition_chunks
-    from ..state.manifest import read_plan
 
-    # a tombstone can only target COMPLETED partitions: an id whose row
-    # sits in a not-yet-encoded partition of an unsealed generation
-    # would be silently missed, then materialize later untombstoned.
-    # Refuse loudly; run_upsert seals first for exactly this reason.
-    try:
-        plan = read_plan(out_dir)
-    except FileNotFoundError:
-        plan = None
-    if plan is not None and any(
-        not g.get("sealed") for g in plan.get("generations", [])
-    ):
-        raise RuntimeError(
-            f"delete refused: {out_dir} has an unsealed ingest generation; "
-            "finish it first (run_encode_files over the recorded lineage "
-            "seals it), otherwise ids still being encoded would escape the "
-            "tombstone."
-        )
-
+    _refuse_unsealed(out_dir)
     want = sorted({str(d) for d in doc_ids})
     if not want:
         return {"requested": 0, "found": 0, "partitions": 0}

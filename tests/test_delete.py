@@ -267,3 +267,73 @@ def test_delete_refuses_unsealed_generation(ray_session, sf_dir, tmp_path):
     json.dump(plan, open(plan_path, "w"))
     with pytest.raises(RuntimeError, match="unsealed"):
         run_delete(out, ["0"])
+
+
+def test_delete_where_annotation_predicate(encoded, sf_dir):
+    """run_delete_where tombstones exactly the docs whose annotation
+    value lands in the range; readers filter immediately; purge then
+    physically converges; a missing side table or column refuses."""
+    import ray
+
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+    from fileconvert_ray.pipelines.delete_job import run_delete_where
+
+    # refuses before annotation exists
+    with pytest.raises(FileNotFoundError, match="annotation"):
+        run_delete_where(encoded, "token_stats", "n_distinct", hi=23)
+    run_annotate(encoded, "token_stats")
+    with pytest.raises(KeyError, match="no column"):
+        run_delete_where(encoded, "token_stats", "nope", hi=23)
+    with pytest.raises(ValueError, match="bound"):
+        run_delete_where(encoded, "token_stats", "n_distinct")
+
+    # ground truth from the raw corpus: docs with < 24 distinct tokens
+    t = tokseq_table(sf_dir)
+    nd = np.array([len(set(v)) for v in t.column("tokens").to_pylist()])
+    all_ids = [str(d) for d in t.column("doc_id").to_pylist()]
+    drop = {i for i, d in zip(all_ids, nd) if d <= 23}
+    keep = set(all_ids) - drop
+    assert drop and keep  # the fixture must exercise both sides
+
+    res = run_delete_where(encoded, "token_stats", "n_distinct", hi=23)
+    assert res["found"] == len(drop)
+    assert _decoded_ids(encoded) == keep
+
+    # idempotent re-run finds the same docs (merge into same tombstones)
+    res2 = run_delete_where(encoded, "token_stats", "n_distinct", hi=23)
+    assert res2["found"] == res["found"]
+    assert _decoded_ids(encoded) == keep
+
+    purged = run_purge(encoded).to_pandas()
+    assert (purged["action"] != "error").all()
+    assert _decoded_ids(encoded) == keep
+    from fileconvert_ray.state.manifest import tombstoned_partitions as _tp
+
+    assert not _tp(encoded)
+
+
+def test_delete_where_cli(encoded):
+    import json as _json
+    import subprocess
+    import sys
+
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+
+    run_annotate(encoded, "token_stats")
+    before = len(_decoded_ids(encoded))
+    r = subprocess.run(
+        [sys.executable, "-m", "fileconvert_ray", "delete", encoded,
+         "--where-ann", "token_stats:n_distinct::23"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["ok"] and 0 < res["found"] < before
+    assert len(_decoded_ids(encoded)) == before - res["found"]
+    # --where-ann and --ids are mutually exclusive
+    r2 = subprocess.run(
+        [sys.executable, "-m", "fileconvert_ray", "delete", encoded,
+         "--ids", "1", "--where-ann", "token_stats:n_distinct::23"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode != 0
