@@ -169,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="predicate delete: tombstone docs whose annotation "
                          "value lands in [LO, HI] (empty bound = open; run "
                          "`annotate` over every partition first)")
+    dl.add_argument("--where-ann-quantile", default=None,
+                    metavar="NAME:COL:FRAC[:bottom|top]",
+                    help="fraction delete: tombstone ~FRAC of the corpus "
+                         "ranked by the annotation value (KLL threshold; "
+                         "cut is threshold-exact, fraction approximate)")
 
     pg = sub.add_parser(
         "purge",
@@ -721,8 +726,28 @@ def main(argv: list[str] | None = None) -> int:
                 "n_rows": int(m["n_rows"].sum()) if len(m) else 0,
             }))
         elif args.cmd == "delete":
-            from fileconvert_ray.pipelines.delete_job import run_delete, run_delete_where
+            from fileconvert_ray.pipelines.delete_job import (
+                run_delete,
+                run_delete_quantile,
+                run_delete_where,
+            )
 
+            if args.where_ann_quantile:
+                if args.ids or args.ids_file or args.where_ann:
+                    raise SystemExit(
+                        "delete: --where-ann-quantile excludes other selectors"
+                    )
+                parts = args.where_ann_quantile.split(":")
+                if len(parts) not in (3, 4):
+                    raise SystemExit(
+                        "--where-ann-quantile wants NAME:COL:FRAC[:bottom|top], "
+                        f"got {args.where_ann_quantile!r}"
+                    )
+                name, col, frac = parts[0], parts[1], float(parts[2])
+                side = parts[3] if len(parts) == 4 else "bottom"
+                res = run_delete_quantile(args.out_dir, name, col, frac, side)
+                print(json.dumps({"ok": True, **res}))
+                return 0
             if args.where_ann:
                 if args.ids or args.ids_file:
                     raise SystemExit("delete: --where-ann excludes --ids/--ids-file")

@@ -152,6 +152,60 @@ def run_delete_where(
     }
 
 
+def run_delete_quantile(
+    out_dir: str,
+    ann_name: str,
+    col: str,
+    frac: float,
+    side: str = "bottom",
+    *,
+    k: int = 256,
+) -> dict:
+    """Fraction-based predicate delete: tombstone ~``frac`` of the
+    corpus ranked by an annotation value — "drop the worst 10% by
+    distinct_ratio" without knowing the cutoff.  The threshold comes
+    from a distributed KLL sketch over the annotation side tables
+    (functions/sketches.py: rows moved are sketch-sized regardless of
+    corpus size); the delete itself is ``run_delete_where`` at that
+    threshold.  The CUT IS THRESHOLD-EXACT and the FRACTION
+    approximate (KLL rank error ~1/k, plus ties share a fate) — the
+    right contract for curation: equal scores are treated equally.
+
+    Requires ``run_annotate`` to have covered every completed
+    partition; missing side tables refuse (a silently unscanned
+    partition would skew the threshold AND leak docs)."""
+    import ray.data as rd
+
+    from ..functions.sketches import kll_quantiles
+    from ..pipelines.annotate_job import ann_dir
+    from ..state.manifest import completed_partitions
+
+    if side not in ("bottom", "top"):
+        raise ValueError(f"side must be 'bottom' or 'top', got {side!r}")
+    if not (0.0 < frac < 1.0):
+        raise ValueError(f"frac must be in (0, 1), got {frac}")
+    _refuse_unsealed(out_dir)
+    adir = ann_dir(out_dir, ann_name)
+    pids = sorted(completed_partitions(out_dir))
+    paths = [os.path.join(adir, f"{p}.parquet") for p in pids]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"annotation {ann_name!r} missing for "
+            f"{len(missing)}/{len(paths)} partitions (e.g. {missing[0]}); "
+            "re-run run_annotate first"
+        )
+    if not paths:
+        return {"found": 0, "partitions": 0, "scanned": 0, "threshold": None}
+    ann_ds = rd.read_parquet(paths, columns=[col])
+    q = frac if side == "bottom" else 1.0 - frac
+    est = kll_quantiles(ann_ds, col, [q], k=k)
+    thr = float(est.column("est")[0].as_py())
+    bounds = {"hi": thr} if side == "bottom" else {"lo": thr}
+    res = run_delete_where(out_dir, ann_name, col, **bounds)
+    return {**res, "threshold": thr, "side": side, "frac": frac}
+
+
 def run_delete(
     out_dir: str, doc_ids, sources: list[str] | None = None
 ) -> dict:

@@ -337,3 +337,35 @@ def test_delete_where_cli(encoded):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r2.returncode != 0
+
+
+def test_delete_quantile(encoded, sf_dir):
+    """run_delete_quantile drops ~frac of docs ranked by the
+    annotation: the realized fraction is near the request, the cut is
+    threshold-exact (every survivor is strictly better than every
+    victim up to ties), and 'top' flips the direction."""
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+    from fileconvert_ray.pipelines.delete_job import run_delete_quantile
+
+    run_annotate(encoded, "token_stats")
+    t = tokseq_table(sf_dir)
+    n_docs = t.num_rows
+
+    with pytest.raises(ValueError, match="frac"):
+        run_delete_quantile(encoded, "token_stats", "n_tok", 1.5)
+    with pytest.raises(ValueError, match="side"):
+        run_delete_quantile(encoded, "token_stats", "n_tok", 0.2, side="left")
+
+    res = run_delete_quantile(encoded, "token_stats", "n_tok", 0.25)
+    frac = res["found"] / n_docs
+    assert 0.10 <= frac <= 0.40  # KLL rank error + ties
+    thr = res["threshold"]
+    survivors = _decoded_ids(encoded)
+    lens = {str(d): int(n) for d, n in zip(
+        t.column("doc_id").to_pylist(), t.column("n_tok").to_pylist())}
+    assert all(lens[d] > thr for d in survivors)  # threshold-exact cut
+
+    res2 = run_delete_quantile(encoded, "token_stats", "n_tok", 0.1, side="top")
+    assert res2["found"] > 0
+    survivors2 = _decoded_ids(encoded)
+    assert all(lens[d] < res2["threshold"] for d in survivors2)
