@@ -1334,6 +1334,40 @@ def q_ivf_partitioned_knn(sf_dir: str):
     return out
 
 
+def q_ivf_pq_knn_search(sf_dir: str):
+    """IVF-PQ ANN: codes-only index partitioned by IVF list (the
+    billion-scale layout — probes prune whole lists at the read AND the
+    in-list payload is PQ codes, ~8x smaller than the vectors).
+    Exhaustive probing here so the result is bit-identical to the plain
+    ADC scan (pq_knn); the pruning path + equivalence are pinned by
+    tests/test_functions.py::test_ivf_pq_prunes_and_matches_pq_knn.
+    Rows-only driver check: PQ is lossy by construction."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .similarity import build_ivf_probes, ivf_pq_build, ivf_pq_knn, pq_train
+
+    ids, m = _load_embeddings(sf_dir)
+    order = np.argsort(ids)
+    cent = m[order[: min(IVF_NLIST, len(ids))]]
+    ds_f = lambda: rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = pq_train(ds_f(), m=32, k=32, iters=2)
+    idx_dir = _ivf_index_dir(sf_dir, len(ids)) + "_pq"
+    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
+        ivf_pq_build(ds_f(), cent, ray.put(cb), idx_dir)
+        open(os.path.join(idx_dir, "_DONE"), "w").write("ok")
+    qsel = np.isin(ids, KNN_QIDS)
+    probes = build_ivf_probes(m[qsel], cent, nprobe=len(cent))
+    out, _ = ivf_pq_knn(
+        idx_dir, cb, (list(np.asarray(ids)[qsel]), m[qsel]), probes, k=KNN_K
+    )
+    return out
+
+
 def q_approx_distinct_docs(sf_dir: str):
     """HyperLogLog approximate distinct doc_id per source (p=14, ~0.8%
     std error).  Rows-only check (an approximate answer cannot
@@ -8313,6 +8347,7 @@ QUERIES = {
     "knn_search": q_knn_search,
     "ivf_knn_search": q_ivf_knn_search,
     "ivf_partitioned_knn": q_ivf_partitioned_knn,
+    "ivf_pq_knn_search": q_ivf_pq_knn_search,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_verified_pairs": q_simhash_verified_pairs,

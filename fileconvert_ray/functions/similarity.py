@@ -593,3 +593,134 @@ def pq_knn(ds, cb_ref, query_ref, k: int = 5, *, id_col: str = "vec_id",
         .groupby("qid")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def ivf_pq_build(ds, centroids_ref, cb_ref, out_dir: str, *,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """Codes-only IVF-PQ index (the billion-scale ANN layout: IVF gives
+    list pruning, PQ gives in-list compression — Jégou et al. 2011 §IV,
+    combined here as an original Ray Data pipeline): each vector lands
+    in its nearest-centroid hive directory carrying ONLY
+    ``(vec_id, codes list<int8>, lid)`` — the raw embedding never enters
+    the index, so at m=32/dim=64-float32 the index is ~8x smaller than
+    the vectors and a probe reads just its lists' files.  ``lid``
+    duplicates the hive key INSIDE the data files so per-query probe
+    masking needs no re-derivation at search time (the raw vector that
+    ivf_knn_partitioned re-derives from is gone by design).
+
+    Build is one stateless map_batches pass (two matmuls per batch:
+    centroid assign + code assign) + a partitioned write; no shuffle."""
+    import ray
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = (
+            ray.get(centroids_ref)
+            if isinstance(centroids_ref, ray.ObjectRef)
+            else centroids_ref
+        )
+        cb = ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) else cb_ref
+        m_sub, _, dsub = cb.shape
+        raw = _emb_matrix(batch, emb_col)
+        lid = np.argmax(_normalize(raw) @ _normalize(
+            np.asarray(cents, dtype=np.float64)).T, axis=1).astype(np.int64)
+        codes = pq_assign(raw.reshape(-1, m_sub, dsub), cb).astype(np.int8)
+        n = len(codes)
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m_sub, m_sub, dtype=np.int32)),
+            pa.array(codes.ravel()),
+        )
+        return pa.Table.from_pydict(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "codes": arr,
+                "lid": pa.array(lid, type=pa.int64()),
+                "list_id": pa.array(lid, type=pa.int64()),
+            }
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["list_id"]
+    )
+    return out_dir
+
+
+def ivf_pq_knn(index_dir: str, cb_ref, query_ref, probes, k: int = 5, *,
+               id_col: str = "vec_id"):
+    """ADC top-k over an ``ivf_pq_build`` layout: only the probed lists'
+    code files are read (partition pruning at the read), each query
+    masks candidates to ITS probe set via the stored ``lid``, and
+    scoring is m LUT gathers per point — never a full-dimension product,
+    never a raw-vector read.  With nprobe == nlist the result is
+    bit-identical to ``pq_knn`` over the raw dataset (equivalence
+    property-tested); smaller nprobe trades recall for reading
+    ~nprobe/nlist of the index.
+
+    Returns (Dataset of (qid, nid, adc_dist), n_lists_read)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    qids, qm = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+    cb = ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef) else cb_ref
+    m_sub, _, dsub = cb.shape
+    needed = sorted({int(l) for p in probes for l in np.asarray(p).tolist()})
+    paths, lists_read = [], 0
+    for l in needed:
+        d = os.path.join(index_dir, f"list_id={l}")
+        if os.path.isdir(d):
+            lists_read += 1
+            paths.extend(
+                sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+            )
+    if not paths:
+        return rd.from_items([]), 0
+    ds = rd.read_parquet(paths, columns=[id_col, "codes", "lid"])
+
+    qm3 = np.asarray(qm, dtype=np.float64).reshape(len(qids), m_sub, dsub)
+    lut = ((qm3[:, :, None, :] - cb[None]) ** 2).sum(-1)
+    lut = np.floor(lut * 1e6 + 0.5) / 1e6  # pq_assign's rounding contract
+    probe_sets = [
+        np.asarray(sorted(int(x) for x in np.asarray(p).tolist()), dtype=np.int64)
+        for p in probes
+    ]
+    lut_ref = ray.put((lut, probe_sets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut_, psets = ray.get(lut_ref)
+        col = batch.column("codes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.int64).reshape(batch.num_rows, m_sub)
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lids = batch.column("lid").to_numpy(zero_copy_only=False)
+        nq = len(qids)
+        adc = np.zeros((nq, len(ids)), dtype=np.float64)
+        for s in range(m_sub):  # same gather order as pq_knn -> identical sums
+            adc += lut_[:, s, codes[:, s]]
+        out_q, out_n, out_s = [], [], []
+        for j in range(nq):
+            in_probe = np.isin(lids, psets[j], assume_unique=False)
+            cand = np.flatnonzero(in_probe & (ids != qids[j]))
+            if len(cand) > k:
+                cand = cand[np.argpartition(adc[j, cand], k)[:k]]
+            out_q.extend([qids[j]] * len(cand))
+            out_n.extend(ids[cand].tolist())
+            out_s.extend(adc[j, cand].tolist())
+        return pa.Table.from_pydict(
+            {"qid": pa.array(out_q, type=pa.int64()), "nid": pa.array(out_n, type=pa.int64()),
+             "adc_dist": pa.array(np.round(out_s, 6), type=pa.float64())}
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        return _topk_group(group, k, score_col="adc_dist", descending=False)
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+    return out, lists_read

@@ -2206,3 +2206,74 @@ def test_integer_threshold_equivalence():
         assert (v * n > mult * total) == (v > (mult * total) // n)
 
     check()
+
+
+def test_ivf_pq_prunes_and_matches_pq_knn(ray_session, tmp_path):
+    """IVF-PQ index: exhaustive probing must be bit-identical to the
+    plain ADC scan (pq_knn); partial probing must read fewer lists and
+    only emit candidates from the probed lists."""
+    import ray
+    import ray.data as rd
+
+    from fileconvert_ray.functions.similarity import (
+        build_ivf_probes,
+        ivf_pq_build,
+        ivf_pq_knn,
+        pq_knn,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim, nlist, m_sub = 400, 16, 8, 4
+    m = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(m), type=pa.list_(pa.float64())),
+    })
+    cb = pq_train(rd.from_arrow(t), m=m_sub, k=16, iters=2)
+    cents = m[:nlist]
+    idx_dir = str(tmp_path / "ivfpq")
+    ivf_pq_build(rd.from_arrow(t), cents, ray.put(cb), idx_dir)
+
+    # index carries codes + lid only — never the raw embedding
+    import pyarrow.parquet as pq
+    import glob
+    one = glob.glob(f"{idx_dir}/list_id=*/*.parquet")[0]
+    assert set(pq.read_schema(one).names) == {"vec_id", "codes", "lid"}
+
+    qm = m[:3]
+    qids = [0, 1, 2]
+    k = 5
+
+    # exhaustive: nprobe = nlist -> identical to the plain ADC scan
+    probes = build_ivf_probes(qm, cents, nprobe=nlist)
+    got, nread = ivf_pq_knn(idx_dir, cb, (qids, qm), probes, k=k)
+    assert nread == nlist
+    got = got.to_pandas().sort_values(["qid", "nid"], ignore_index=True)
+    ref = (
+        pq_knn(rd.from_arrow(t), ray.put(cb), ray.put((qids, qm)), k=k)
+        .to_pandas().sort_values(["qid", "nid"], ignore_index=True)
+    )
+    assert got.equals(ref), (got, ref)
+
+    # partial probing: fewer lists read, candidates confined to probes
+    probes2 = build_ivf_probes(qm, cents, nprobe=2)
+    got2, nread2 = ivf_pq_knn(idx_dir, cb, (qids, qm), probes2, k=k)
+    assert nread2 < nlist
+    df2 = got2.to_pandas()
+    assert len(df2) > 0
+    from fileconvert_ray.functions.similarity import _normalize as _nz
+    lid_all = np.argmax(_nz(m) @ _nz(cents).T, axis=1)
+    lid_of = dict(zip(ids.tolist(), lid_all.tolist()))
+    pset = {q: set(int(x) for x in p) for q, p in zip(qids, probes2)}
+    for q, nid in zip(df2.qid, df2.nid):
+        assert lid_of[int(nid)] in pset[int(q)]
+
+
+def test_ivf_pq_query_entry(ray_session):
+    from fileconvert_ray.functions.queries import KNN_K, KNN_QIDS, q_ivf_pq_knn_search
+
+    df = q_ivf_pq_knn_search("/root/testdata/sf0.001").to_pandas()
+    assert set(df.groupby("qid").size()) == {KNN_K}
+    assert set(df.qid.unique()) == set(KNN_QIDS)
