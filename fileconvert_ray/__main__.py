@@ -441,9 +441,11 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("out_dir", help="the encode out dir")
     xp.add_argument("--to", required=True, help="destination shard directory")
     xp.add_argument("--seq-len", type=int, default=2048)
-    xp.add_argument("--order", choices=["hash", "int"], default="hash",
-                    help="concat order: 63-bit doc_id hash (any id type) or "
-                         "ascending integer doc_id")
+    xp.add_argument("--order", default="hash", metavar="hash|int|ann:NAME:COL",
+                    help="concat order: 63-bit doc_id hash (any id type), "
+                         "ascending integer doc_id, or curriculum order by an "
+                         "annotation column (ann:token_stats:n_distinct — "
+                         "run `annotate` first; ties break by doc_id)")
     xp.add_argument("--sources", default=None, help="comma-separated source filter")
     xp.add_argument("--max-gen", type=int, default=None,
                     help="snapshot export: ingest generations <= N")
@@ -1152,11 +1154,24 @@ def main(argv: list[str] | None = None) -> int:
                 for kv in args.weights.split(","):
                     k, _, v = kv.partition("=")
                     weights[k] = float(v)
+            order, ann_order = args.order, None
+            if order.startswith("ann:"):
+                parts = order.split(":")
+                if len(parts) != 3:
+                    raise SystemExit(
+                        f"--order ann wants ann:NAME:COL, got {args.order!r}"
+                    )
+                order, ann_order = "ann", (parts[1], parts[2])
+            elif order not in ("hash", "int"):
+                raise SystemExit(
+                    f"--order wants hash, int or ann:NAME:COL, got {args.order!r}"
+                )
             res = run_export_packed(
                 args.out_dir,
                 args.to,
                 args.seq_len,
-                order=args.order,
+                order=order,
+                ann_order=ann_order,
                 seed=args.seed,
                 boundaries=args.boundaries,
                 sources=args.sources.split(",") if args.sources else None,

@@ -3902,6 +3902,33 @@ def q_packed_mixture_scan(sf_dir: str):
     return _packed_digest(packed)
 
 
+def q_packed_curriculum_scan(sf_dir: str):
+    """Curriculum-ordered packed export (pack_job order="ann"): docs
+    concatenate in ascending annotation order (token_stats.n_distinct,
+    ties by doc_id) — easy-first curriculum shards with NO sort stage:
+    the key is (score << 32) | doc_id and the usual range-bucketed
+    prefix-sum exchange orders it.  The digest pins the WHOLE chain:
+    encode -> annotate -> curriculum key -> pack; a wrong score, a
+    broken tie-break, or a packing off-by-one lands tokens in the wrong
+    chunk and breaks the value hash."""
+    from ..pipelines.annotate_job import run_annotate
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..pipelines.pack_job import packed_dataset
+
+    out = _job_dir(sf_dir, "packc")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=200_000),
+    ).materialize()
+    run_annotate(out, "token_stats")
+    packed = packed_dataset(
+        out, 256, order="ann", ann_order=("token_stats", "n_distinct"),
+        n_buckets=8,
+    )
+    return _packed_digest(packed)
+
+
 def q_corpus_diff_scan(sf_dir: str):
     """Content-level store diff (pipelines/diff_job.py): docs with
     doc_id%3 in {0,1} encode as store A, {1,2} as store B; the diff
@@ -8494,6 +8521,7 @@ QUERIES = {
     "annotate_scan": q_annotate_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
+    "packed_curriculum_scan": q_packed_curriculum_scan,
     "packed_filtered_scan": q_packed_filtered_scan,
     "packed_mixture_scan": q_packed_mixture_scan,
     "corpus_diff_scan": q_corpus_diff_scan,
@@ -9584,6 +9612,23 @@ ORACLE_SQL = {
                  coalesce(sum(len(ws)) over (order by doc_id
                           rows between unbounded preceding and 1 preceding), 0) as base
           from d),
+    p as (select v.token as token, o.base + u.i - 1 as gpos
+          from u join v on u.w1 = v.word join o on u.doc_id = o.doc_id)
+    select cast(gpos // 256 as bigint) as chunk_id,
+           cast(count(*) as bigint) as n_tok,
+           cast(sum(token) as bigint) as tok_sum,
+           cast(sum(token * (gpos % 256 + 1)) as bigint) as tok_wsum
+    from p group by 1
+    """,
+    "packed_curriculum_scan": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    nd as (select doc_id, count(distinct w1) as ndist from u group by doc_id),
+    o as (select d.doc_id,
+                 coalesce(sum(len(d.ws)) over (order by nd.ndist, d.doc_id
+                          rows between unbounded preceding and 1 preceding), 0) as base
+          from d join nd using (doc_id)),
     p as (select v.token as token, o.base + u.i - 1 as gpos
           from u join v on u.w1 = v.word join o on u.doc_id = o.doc_id)
     select cast(gpos // 256 as bigint) as chunk_id,

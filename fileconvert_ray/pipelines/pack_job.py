@@ -19,6 +19,14 @@ FNV hash of doc_id — deterministic, uniform across buckets (no key-
 space skew), but not SQL-reproducible; a hash tie between distinct
 ids (~n^2/2^63) would merge their order slot, so the digest tests pin
 the int mode and property tests cover hash mode.
+``order="ann"`` (curriculum export) orders by an annotation score with
+doc_id as the tie-break: key = (score_int << 32) | doc_id — easy-first
+(or, negated upstream, hard-first) curriculum shards with no sort
+stage: the range-bucketed prefix-sum exchange that orders hash keys
+orders curriculum keys identically.  Requires integer doc_ids in
+[0, 2^32) and non-negative scores (< 2^31 after 1e-6 fixed-pointing
+for float columns) — refused loudly otherwise; SQL-reproducible, so
+the digest oracle pins it.
 """
 
 from __future__ import annotations
@@ -41,6 +49,7 @@ def packed_dataset(
     ann_filter=None,
     weights: dict[str, float] | None = None,
     weight_hash: str = "fnv",
+    ann_order: tuple[str, str] | None = None,
 ):
     """Streaming Dataset of PACKED_SCHEMA rows (chunk_id, tokens,
     n_tok) from an encoded corpus.  ``max_gen`` composes with snapshot
@@ -68,8 +77,10 @@ def packed_dataset(
     from ..stages.decoder import decode_dataset
     from ..util.hashing import hash_strings_u64
 
-    if order not in ("hash", "int"):
-        raise ValueError(f"order must be 'hash' or 'int', got {order!r}")
+    if order not in ("hash", "int", "ann"):
+        raise ValueError(f"order must be 'hash', 'int' or 'ann', got {order!r}")
+    if (order == "ann") != (ann_order is not None):
+        raise ValueError("order='ann' requires ann_order=(name, col) and vice versa")
     if weight_hash not in ("fnv", "md5"):
         raise ValueError(f"weight_hash must be 'fnv' or 'md5', got {weight_hash!r}")
     filters = (
@@ -77,8 +88,15 @@ def packed_dataset(
         if ann_filter is None
         else ([ann_filter] if isinstance(ann_filter, tuple) else list(ann_filter))
     )
-    ann_names = list(dict.fromkeys(f[0] for f in filters))
+    ann_names = list(
+        dict.fromkeys(
+            [f[0] for f in filters] + ([ann_order[0]] if ann_order else [])
+        )
+    )
     base_cols = ["doc_id", "tokens", "n_tok"]
+    # the curriculum score column must survive the filter stage so the
+    # key builder can read it; it drops with the other extras there
+    keep_cols = base_cols + ([ann_order[1]] if ann_order else [])
     cols = base_cols + (["source"] if weights is not None else [])
 
     ds = decode_dataset(
@@ -149,7 +167,7 @@ def packed_dataset(
                     )
                 mask &= wmask
             t = batch.filter(pa.array(mask)) if not mask.all() else batch
-            return t.select(base_cols)
+            return t.select(keep_cols)
 
         ds = ds.map_batches(keep_rows, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -168,8 +186,39 @@ def packed_dataset(
         i = batch.column_names.index("doc_id")
         return batch.set_column(i, "doc_id", pa.array(h))
 
+    def key_ann(batch: pa.Table) -> pa.Table:
+        _, col = ann_order
+        if col not in batch.column_names:
+            raise KeyError(
+                f"curriculum column {col!r} missing; batch holds "
+                f"{batch.column_names}"
+            )
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.floating):
+            vi = np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v).astype(np.int64)
+        else:
+            vi = v.astype(np.int64)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(vi):
+            if vi.min() < 0 or vi.max() >= (1 << 31):
+                raise ValueError(
+                    f"curriculum scores must land in [0, 2^31) after "
+                    f"fixed-pointing; {col!r} spans "
+                    f"[{vi.min()}, {vi.max()}]"
+                )
+            if ids.min() < 0 or ids.max() >= (1 << 32):
+                raise ValueError(
+                    "order='ann' needs integer doc_ids in [0, 2^32); got "
+                    f"[{ids.min()}, {ids.max()}]"
+                )
+        key = (vi << np.int64(32)) | ids
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pa.array(key)).select(base_cols)
+
     keyed = ds.map_batches(
-        key_int if order == "int" else key_hash,
+        {"int": key_int, "hash": key_hash, "ann": key_ann}[order],
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -192,6 +241,7 @@ def run_export_packed(
     ann_filter=None,
     weights: dict[str, float] | None = None,
     weight_hash: str = "fnv",
+    ann_order: tuple[str, str] | None = None,
     narrow: bool = False,
 ) -> dict:
     """Export packed training shards to ``to_dir`` (parquet, one file
@@ -214,6 +264,7 @@ def run_export_packed(
         ann_filter=ann_filter,
         weights=weights,
         weight_hash=weight_hash,
+        ann_order=ann_order,
     )
     if narrow:
 

@@ -361,3 +361,67 @@ def test_content_hash_annotator(ray_session, tmp_path):
     odd = np.array([int(d) % 2 == 1 for d in got.column("doc_id").to_pylist()])
     assert len(set(h[odd])) == 1          # all [1,2,3] docs collide
     assert len(set(h[~odd])) == len(h[~odd])  # distinct contents differ
+
+
+def test_packed_export_curriculum_order(ray_session, sf_dir, tmp_path):
+    """order='ann': the packed stream equals the corpus concatenated by
+    (annotation score asc, doc_id asc), bit for bit; score/id domain
+    violations refuse loudly; CLI --order ann:NAME:COL parses."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import ray
+
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+
+    out = str(tmp_path / "enc")
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000),
+    ).materialize()
+    run_annotate(out, "token_stats")
+
+    L = 128
+    packed = packed_dataset(
+        out, L, order="ann", ann_order=("token_stats", "n_distinct"),
+        n_buckets=4,
+    ).to_arrow_refs()
+    blocks = [ray.get(r) for r in packed]
+    t = pa.concat_tables([b for b in blocks if b.num_rows]).sort_by("chunk_id")
+
+    # ground truth: per-doc distinct-token count over the raw corpus
+    orig = tokseq_table(sf_dir)
+    ids = pc.cast(orig.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+    toks = orig.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    ndist = np.array([len(set(x)) for x in toks.to_pylist()], dtype=np.int64)
+    order = np.lexsort((ids, ndist))
+    expect = _flat(orig.take(pa.array(order.astype(np.int64))))
+    got = _flat(t)
+    assert len(got) == len(expect)
+    assert (got == expect).all()
+
+    # a missing curriculum column refuses loudly at execution
+    with pytest.raises(Exception, match="nope"):
+        packed_dataset(
+            out, L, order="ann", ann_order=("token_stats", "nope"),
+            n_buckets=4,
+        ).materialize()
+
+    with pytest.raises(ValueError, match="requires ann_order"):
+        packed_dataset(out, L, order="ann")
+    with pytest.raises(ValueError, match="requires ann_order"):
+        packed_dataset(out, L, ann_order=("token_stats", "n_distinct"))
+
+    to = str(tmp_path / "shards_cur")
+    r = subprocess.run(
+        [sys.executable, "-m", "fileconvert_ray", "export-packed", out,
+         "--to", to, "--seq-len", "128",
+         "--order", "ann:token_stats:n_distinct"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["ok"] and res["tokens"] == len(expect)
