@@ -441,11 +441,13 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("out_dir", help="the encode out dir")
     xp.add_argument("--to", required=True, help="destination shard directory")
     xp.add_argument("--seq-len", type=int, default=2048)
-    xp.add_argument("--order", default="hash", metavar="hash|int|ann:NAME:COL",
+    xp.add_argument("--order", default="hash",
+                    metavar="hash|int|ann:NAME:COL[:asc|desc]",
                     help="concat order: 63-bit doc_id hash (any id type), "
                          "ascending integer doc_id, or curriculum order by an "
                          "annotation column (ann:token_stats:n_distinct — "
-                         "run `annotate` first; ties break by doc_id)")
+                         "run `annotate` first; ties break by doc_id; "
+                         ":desc = hard-first)")
     xp.add_argument("--sources", default=None, help="comma-separated source filter")
     xp.add_argument("--max-gen", type=int, default=None,
                     help="snapshot export: ingest generations <= N")
@@ -1157,14 +1159,18 @@ def main(argv: list[str] | None = None) -> int:
             order, ann_order = args.order, None
             if order.startswith("ann:"):
                 parts = order.split(":")
-                if len(parts) != 3:
+                if len(parts) not in (3, 4) or (
+                    len(parts) == 4 and parts[3] not in ("asc", "desc")
+                ):
                     raise SystemExit(
-                        f"--order ann wants ann:NAME:COL, got {args.order!r}"
+                        f"--order ann wants ann:NAME:COL[:asc|desc], got "
+                        f"{args.order!r}"
                     )
-                order, ann_order = "ann", (parts[1], parts[2])
+                order, ann_order = "ann", tuple(parts[1:])
             elif order not in ("hash", "int"):
                 raise SystemExit(
-                    f"--order wants hash, int or ann:NAME:COL, got {args.order!r}"
+                    f"--order wants hash, int or ann:NAME:COL[:asc|desc], "
+                    f"got {args.order!r}"
                 )
             res = run_export_packed(
                 args.out_dir,

@@ -33,10 +33,16 @@ import pyarrow.compute as pc
 
 
 def packed_shards_dataset(shard_dir: str):
-    """Dataset over a ``run_export_packed`` output directory."""
+    """Dataset over a ``run_export_packed`` output directory.  Reads
+    by extension so the ``_packed_manifest.json`` completion marker
+    (pipelines/pack_job) never parses as a shard."""
     import ray.data as rd
 
-    return rd.read_parquet(shard_dir, columns=["chunk_id", "tokens", "n_tok"])
+    return rd.read_parquet(
+        shard_dir,
+        columns=["chunk_id", "tokens", "n_tok"],
+        file_extensions=["parquet"],
+    )
 
 
 def iter_token_matrices(

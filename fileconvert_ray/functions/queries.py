@@ -3929,6 +3929,32 @@ def q_packed_curriculum_scan(sf_dir: str):
     return _packed_digest(packed)
 
 
+def q_packed_curriculum_desc_scan(sf_dir: str):
+    """Hard-first curriculum export (pack_job ann_order direction
+    "desc"): same chain as packed_curriculum_scan but docs concatenate
+    in DESCENDING annotation order (ties still ascending doc_id) — the
+    score flips inside its checked [0, 2^31) domain, so the one packing
+    exchange is unchanged.  The digest pins the flip arithmetic and the
+    preserved tie-break against a SQL window oracle."""
+    from ..pipelines.annotate_job import run_annotate
+    from ..pipelines.encode_job import EncodeConfig, run_encode
+    from ..pipelines.pack_job import packed_dataset
+
+    out = _job_dir(sf_dir, "packcd")
+    shutil.rmtree(out, ignore_errors=True)
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=200_000),
+    ).materialize()
+    run_annotate(out, "token_stats")
+    packed = packed_dataset(
+        out, 256, order="ann",
+        ann_order=("token_stats", "n_distinct", "desc"),
+        n_buckets=8,
+    )
+    return _packed_digest(packed)
+
+
 def q_corpus_diff_scan(sf_dir: str):
     """Content-level store diff (pipelines/diff_job.py): docs with
     doc_id%3 in {0,1} encode as store A, {1,2} as store B; the diff
@@ -8522,6 +8548,7 @@ QUERIES = {
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
     "packed_curriculum_scan": q_packed_curriculum_scan,
+    "packed_curriculum_desc_scan": q_packed_curriculum_desc_scan,
     "packed_filtered_scan": q_packed_filtered_scan,
     "packed_mixture_scan": q_packed_mixture_scan,
     "corpus_diff_scan": q_corpus_diff_scan,
@@ -9627,6 +9654,23 @@ ORACLE_SQL = {
     nd as (select doc_id, count(distinct w1) as ndist from u group by doc_id),
     o as (select d.doc_id,
                  coalesce(sum(len(d.ws)) over (order by nd.ndist, d.doc_id
+                          rows between unbounded preceding and 1 preceding), 0) as base
+          from d join nd using (doc_id)),
+    p as (select v.token as token, o.base + u.i - 1 as gpos
+          from u join v on u.w1 = v.word join o on u.doc_id = o.doc_id)
+    select cast(gpos // 256 as bigint) as chunk_id,
+           cast(count(*) as bigint) as n_tok,
+           cast(sum(token) as bigint) as tok_sum,
+           cast(sum(token * (gpos % 256 + 1)) as bigint) as tok_wsum
+    from p group by 1
+    """,
+    "packed_curriculum_desc_scan": _VOCAB_CTE
+    + """,
+    d as (select doc_id, string_split(text, ' ') as ws from documents),
+    u as (select doc_id, unnest(ws) as w1, generate_subscripts(ws, 1) as i from d),
+    nd as (select doc_id, count(distinct w1) as ndist from u group by doc_id),
+    o as (select d.doc_id,
+                 coalesce(sum(len(d.ws)) over (order by nd.ndist desc, d.doc_id
                           rows between unbounded preceding and 1 preceding), 0) as base
           from d join nd using (doc_id)),
     p as (select v.token as token, o.base + u.i - 1 as gpos

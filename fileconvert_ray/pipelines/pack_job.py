@@ -21,12 +21,13 @@ ids (~n^2/2^63) would merge their order slot, so the digest tests pin
 the int mode and property tests cover hash mode.
 ``order="ann"`` (curriculum export) orders by an annotation score with
 doc_id as the tie-break: key = (score_int << 32) | doc_id — easy-first
-(or, negated upstream, hard-first) curriculum shards with no sort
-stage: the range-bucketed prefix-sum exchange that orders hash keys
-orders curriculum keys identically.  Requires integer doc_ids in
-[0, 2^32) and non-negative scores (< 2^31 after 1e-6 fixed-pointing
-for float columns) — refused loudly otherwise; SQL-reproducible, so
-the digest oracle pins it.
+curriculum shards with no sort stage: the range-bucketed prefix-sum
+exchange that orders hash keys orders curriculum keys identically.
+``ann_order=(name, col, "desc")`` flips the score inside its checked
+domain (hard-first; the doc_id tie-break stays ascending).  Requires
+integer doc_ids in [0, 2^32) and non-negative scores (< 2^31 after
+1e-6 fixed-pointing for float columns) — refused loudly otherwise;
+SQL-reproducible, so the digest oracles pin both directions.
 """
 
 from __future__ import annotations
@@ -81,6 +82,20 @@ def packed_dataset(
         raise ValueError(f"order must be 'hash', 'int' or 'ann', got {order!r}")
     if (order == "ann") != (ann_order is not None):
         raise ValueError("order='ann' requires ann_order=(name, col) and vice versa")
+    ann_desc = False
+    if ann_order is not None:
+        if len(ann_order) == 3:
+            if ann_order[2] not in ("asc", "desc"):
+                raise ValueError(
+                    f"ann_order direction must be 'asc' or 'desc', got "
+                    f"{ann_order[2]!r}"
+                )
+            ann_desc = ann_order[2] == "desc"
+            ann_order = (ann_order[0], ann_order[1])
+        elif len(ann_order) != 2:
+            raise ValueError(
+                "ann_order wants (name, col) or (name, col, 'asc'|'desc')"
+            )
     if weight_hash not in ("fnv", "md5"):
         raise ValueError(f"weight_hash must be 'fnv' or 'md5', got {weight_hash!r}")
     filters = (
@@ -213,6 +228,10 @@ def packed_dataset(
                     "order='ann' needs integer doc_ids in [0, 2^32); got "
                     f"[{ids.min()}, {ids.max()}]"
                 )
+        if ann_desc:
+            # hard-first: flip the score inside its checked domain; the
+            # doc_id tie-break stays ascending in both directions
+            vi = np.int64((1 << 31) - 1) - vi
         key = (vi << np.int64(32)) | ids
         i = batch.column_names.index("doc_id")
         return batch.set_column(i, "doc_id", pa.array(key)).select(base_cols)
@@ -248,10 +267,33 @@ def run_export_packed(
     per block).  Returns {"chunks": N, "tokens": T} from the written
     data — cheap streaming aggregates, no driver materialization.
 
+    Completion contract (marker-last, same discipline as the encoder's
+    containers and tokenize's vocab.json): ``_packed_manifest.json``
+    lands via tmp+rename ONLY after every shard and the count-back
+    succeed.  A destination holding the marker is a completed export
+    and is refused (remove it or pick a new dir — silently appending
+    would double data); a destination without it is a crashed partial
+    export and is wiped and rebuilt.  Readers that want a guarantee
+    check the marker; ``iter_token_matrices`` reads shards by
+    extension so the marker never parses as data.
+
     ``narrow=True`` writes tokens as ``list<uint16>`` — half the shard
     bytes and half the loader bandwidth when the vocabulary fits 16
     bits (checked per batch; a single out-of-range id fails the export
     loudly rather than wrapping silently)."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(to_dir, "_packed_manifest.json")
+    if os.path.exists(marker):
+        raise ValueError(
+            f"{to_dir} already holds a completed packed export "
+            f"(_packed_manifest.json); remove it or export elsewhere"
+        )
+    if os.path.isdir(to_dir):
+        # no marker: a crashed partial export — rebuild from scratch
+        shutil.rmtree(to_dir)
     ds = packed_dataset(
         out_dir,
         seq_len,
@@ -293,7 +335,23 @@ def run_export_packed(
     stats = written.aggregate(
         rd.aggregate.Count(), rd.aggregate.Sum("n_tok")
     )
-    return {
+    res = {
         "chunks": int(stats["count()"]),
         "tokens": int(stats["sum(n_tok)"] or 0),
     }
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                **res,
+                "seq_len": seq_len,
+                "order": order,
+                "ann_order": list(ann_order) if ann_order else None,
+                "seed": seed,
+                "boundaries": boundaries,
+                "narrow": narrow,
+            },
+            f,
+        )
+    os.replace(tmp, marker)
+    return res

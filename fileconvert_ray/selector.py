@@ -109,7 +109,9 @@ def select_ranked(
         if candidates is not None and name not in candidates:
             continue
         if candidates is None and not getattr(codec, "auto", True):
-            continue  # opt-out codecs (e.g. fsst) need an explicit request
+            # opt-out codecs need an explicit request (none currently;
+            # fsst re-joined auto-selection in round 5)
+            continue
         try:
             s2 = _measured_size(codec, sample, zstd)
             if project:

@@ -425,3 +425,77 @@ def test_packed_export_curriculum_order(ray_session, sf_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = _json.loads(r.stdout.strip().splitlines()[-1])
     assert res["ok"] and res["tokens"] == len(expect)
+
+
+def test_packed_export_curriculum_desc_and_atomicity(ray_session, sf_dir, tmp_path):
+    """ann_order=(name, col, 'desc'): hard-first stream, ties still
+    ascending doc_id.  Export completion contract: marker lands last,
+    a completed dest refuses, a partial (marker-less) dest rebuilds."""
+    import json as _json
+
+    import ray
+
+    from fileconvert_ray.pipelines.annotate_job import run_annotate
+
+    out = str(tmp_path / "enc")
+    run_encode(
+        lambda: tokseq_dataset(sf_dir),
+        EncodeConfig(out_dir=out, target_partition_tokens=5_000),
+    ).materialize()
+    run_annotate(out, "token_stats")
+
+    L = 128
+    blocks = [
+        ray.get(r)
+        for r in packed_dataset(
+            out, L, order="ann",
+            ann_order=("token_stats", "n_distinct", "desc"), n_buckets=4,
+        ).to_arrow_refs()
+    ]
+    t = pa.concat_tables([b for b in blocks if b.num_rows]).sort_by("chunk_id")
+
+    orig = tokseq_table(sf_dir)
+    ids = pc.cast(orig.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+    toks = orig.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    ndist = np.array([len(set(x)) for x in toks.to_pylist()], dtype=np.int64)
+    order = np.lexsort((ids, -ndist))  # ndist desc, doc_id asc
+    expect = _flat(orig.take(pa.array(order.astype(np.int64))))
+    got = _flat(t)
+    assert len(got) == len(expect)
+    assert (got == expect).all()
+
+    with pytest.raises(ValueError, match="'asc' or 'desc'"):
+        packed_dataset(
+            out, L, order="ann",
+            ann_order=("token_stats", "n_distinct", "down"),
+        )
+
+    # atomic export: marker written last; completed dest refused
+    to = str(tmp_path / "shards")
+    res = run_export_packed(
+        out, to, L, order="ann",
+        ann_order=("token_stats", "n_distinct", "desc"), n_buckets=4,
+    )
+    marker = os.path.join(to, "_packed_manifest.json")
+    assert os.path.exists(marker)
+    man = _json.load(open(marker))
+    assert man["tokens"] == res["tokens"] == len(expect)
+    assert man["ann_order"] == ["token_stats", "n_distinct", "desc"]
+    with pytest.raises(ValueError, match="completed packed export"):
+        run_export_packed(out, to, L, order="int")
+
+    # a marker-less (crashed partial) dest is wiped and rebuilt
+    os.remove(marker)
+    junk = os.path.join(to, "leftover_from_crash.parquet")
+    open(junk, "wb").write(b"not parquet")
+    res2 = run_export_packed(out, to, L, order="int")
+    assert os.path.exists(marker)
+    assert res2["tokens"] == len(expect)
+    assert not os.path.exists(junk)
+
+    # the loader reads shards by extension: marker never parses as data
+    from fileconvert_ray.functions.loader import packed_shards_dataset
+
+    assert packed_shards_dataset(to).count() == res2["chunks"]
