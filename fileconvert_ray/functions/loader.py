@@ -32,16 +32,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def packed_shards_dataset(shard_dir: str):
+def packed_shards_dataset(shard_dir: str, start_chunk: int = 0):
     """Dataset over a ``run_export_packed`` output directory.  Reads
     by extension so the ``_packed_manifest.json`` completion marker
-    (pipelines/pack_job) never parses as a shard."""
+    (pipelines/pack_job) never parses as a shard.
+
+    ``start_chunk`` resumes mid-epoch: the predicate pushes into the
+    parquet scan, so shard files (one row group per block) whose
+    chunk_id range ends below the cursor are PRUNED by row-group
+    statistics, not read and dropped — resuming at 90% of a 100-TB
+    epoch reads ~10% of the shards."""
     import ray.data as rd
 
     return rd.read_parquet(
         shard_dir,
         columns=["chunk_id", "tokens", "n_tok"],
         file_extensions=["parquet"],
+        filter=(pc.field("chunk_id") >= start_chunk) if start_chunk else None,
     )
 
 
@@ -54,6 +61,7 @@ def iter_token_matrices(
     drop_last: bool = False,
     dtype=np.int32,
     prefetch_batches: int = 2,
+    start_chunk: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield ``(<=batch_rows, seq_len)`` token matrices.
 
@@ -67,11 +75,28 @@ def iter_token_matrices(
     row, if the source was packed at a different seq_len) right-pad
     with ``pad_id``; ``drop_last=True`` drops short rows instead.
     Rows LONGER than ``seq_len`` refuse loudly — that's a wrong
-    ``seq_len``, not something to truncate silently."""
+    ``seq_len``, not something to truncate silently.
+
+    ``start_chunk`` resumes a crashed training run mid-epoch: chunks
+    below the cursor never reach the trainer.  A shard-directory
+    source prunes them at the parquet scan (row-group statistics — see
+    ``packed_shards_dataset``); a Dataset source filters vectorized
+    per batch (the upstream decode/pack still runs — pass an exported
+    shard dir when resume speed matters).  The trainer's cursor is
+    just its consumed-row count: chunk_ids are consecutive from 0."""
     if isinstance(source, str):
         if not os.path.isdir(source):
             raise ValueError(f"{source} is not a shard directory")
-        source = packed_shards_dataset(source)
+        source = packed_shards_dataset(source, start_chunk=start_chunk)
+    elif start_chunk:
+        lo = int(start_chunk)
+
+        def from_cursor(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater_equal(batch.column("chunk_id"), lo))
+
+        source = source.map_batches(
+            from_cursor, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     carry: list[np.ndarray] = []
     carry_rows = 0
