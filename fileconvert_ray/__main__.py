@@ -213,7 +213,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     an.add_argument("out_dir", help="the encode out dir")
     an.add_argument("--name", default="token_stats",
-                    help="registered annotator (see pipelines/annotate_job.py)")
+                    help="registered annotator: token_stats | content_hash | "
+                    "text_quality | langid (the last two need an ingested "
+                    "store — signals are computed from token ids through the "
+                    "frozen vocab; see pipelines/annotate_job.py)")
 
     te = sub.add_parser(
         "table-encode",

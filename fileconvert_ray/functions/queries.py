@@ -3746,6 +3746,66 @@ def q_annotate_scan(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _ingested_annotation_ds(sf_dir: str, tag: str, name: str, out_cols: list[str]):
+    """Shared harness for the vocab-aware annotators: single-run ingest
+    of the whole documents table (total vocab — token ids ARE word
+    ids, no OOV), annotate over the ENCODED store (one task per
+    container, per-vocab-id property tables built once per task), and
+    a shuffle-free annotated decode projected to ``out_cols``."""
+    from ..pipelines.annotate_job import run_annotate
+    from ..pipelines.ingest_job import run_ingest
+    from ..stages.decoder import decode_dataset
+
+    base = _job_dir(sf_dir, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    enc = os.path.join(base, "enc")
+    run_ingest([f"{sf_dir}/documents.parquet"], enc, target_partition_tokens=200_000)
+    run_annotate(enc, name)
+
+    ds = decode_dataset(enc, columns=["doc_id"], with_annotations=[name])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                c: pc.cast(batch.column(c), pa.string()) if c == "doc_id"
+                else batch.column(c)
+                for c in out_cols
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_annotate_quality_scan(sf_dir: str):
+    """text_quality annotator (pipelines/annotate_job.py) under the
+    oracle gate: the five text-level quality signals (n_chars,
+    n_words, stop_ratio, punct_ratio, mean_word_len) computed FROM
+    TOKEN IDS over the encoded corpus — per-vocab-id char/stop/punct
+    tables + one gather + masked reduceat per doc, zero text bytes
+    materialized — value-hashed against the same signals DuckDB
+    derives from the ORIGINAL text.  Proves the id-level computation
+    is bit-identical to the text-level one end to end through
+    tokenize -> encode -> annotate -> attach."""
+    return _ingested_annotation_ds(
+        sf_dir, "annq", "text_quality",
+        ["doc_id", "n_chars", "n_words", "stop_ratio", "punct_ratio", "mean_word_len"],
+    )
+
+
+def q_annotate_langid_scan(sf_dir: str):
+    """langid annotator under the oracle gate: LangId's integer-exact
+    weighted char-count argmax lifted to token ids (per-vocab-id
+    per-language score table, one reduceat per doc), value-hashed
+    against the SQL mirror over the original text
+    (_lang_id_oracle_sql).  The per-language integer scores stay in
+    the side table for ann_filter thresholds; the oracle pins the
+    prediction."""
+    return _ingested_annotation_ds(
+        sf_dir, "annlang", "langid", ["doc_id", "pred_lang"]
+    )
+
+
 def q_packed_export_scan(sf_dir: str):
     """Trainer-facing packed export over the ENCODED corpus
     (pipelines/pack_job.py): tokseq -> encode -> decode (streaming) ->
@@ -8545,6 +8605,8 @@ QUERIES = {
     "merge_scan": q_merge_scan,
     "ingest_scan": q_ingest_scan,
     "annotate_scan": q_annotate_scan,
+    "annotate_quality_scan": q_annotate_quality_scan,
+    "annotate_langid_scan": q_annotate_langid_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
     "packed_curriculum_scan": q_packed_curriculum_scan,
@@ -9906,6 +9968,11 @@ def _lang_id_oracle_sql() -> str:
 
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle_sql()
+
+# the vocab-aware annotators recompute exactly these text-level
+# signals from token ids over the ENCODED corpus — same oracle
+ORACLE_SQL["annotate_quality_scan"] = ORACLE_SQL["text_quality"]
+ORACLE_SQL["annotate_langid_scan"] = _lang_id_oracle_sql()
 
 # top-K PMI contexts = the token_pmi oracle wrapped in a ranked window
 # (rank keys are the ROUNDED pmi values, t2 tiebreak — same as the

@@ -115,10 +115,169 @@ def _content_hash(batch: pa.Table) -> pa.Table:
     )
 
 
-# name -> (columns needed from the container, batch fn)
+def _load_word_vocab(out_dir: str):
+    """vocab words (+ the reserved OOV rendering) for a vocab-aware
+    annotator, or a loud refusal when token ids are not word ids:
+    plain run_encode stores carry no vocab.json, and a BPE-re-encoded
+    store's ids are merged symbols the per-word tables cannot score."""
+    import json
+
+    from ..pipelines.bpe_job import read_rules
+    from ..pipelines.tokenize_job import OOV_TOKEN
+
+    vp = os.path.join(out_dir, "vocab.json")
+    if not os.path.exists(vp):
+        raise ValueError(
+            f"annotator needs an ingested store (no vocab.json in {out_dir}); "
+            "text-level annotators score token ids through the frozen word "
+            "vocabulary — encode-only stores have no word identity to score"
+        )
+    if read_rules(out_dir):
+        raise ValueError(
+            f"store {out_dir} is BPE-re-encoded (merges.json): token ids are "
+            "merged symbols, not vocabulary words — run the annotator before "
+            "bpe-reencode, or on the source store"
+        )
+    with open(vp) as f:
+        vocab = json.load(f)
+    return pa.array(list(vocab) + [OOV_TOKEN], type=pa.string())
+
+
+def _seg_sums(per_tok: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-doc sums of a flat per-token vector (masked reduceat — the
+    empty-segment discipline quality_batch uses)."""
+    lens = np.diff(offs)
+    out = np.zeros(len(lens), dtype=per_tok.dtype)
+    if len(per_tok):
+        idx = np.minimum(offs[:-1], len(per_tok) - 1)
+        out = np.add.reduceat(per_tok, idx) * (lens > 0)
+    return out
+
+
+def _text_quality_factory(out_dir: str):
+    """Vocab-aware text-quality signals computed FROM TOKEN IDS — the
+    same five signals functions/textstats.quality_batch derives from
+    raw text (n_chars, n_words, stop_ratio, punct_ratio,
+    mean_word_len), without materializing a single byte of text.
+
+    Tokenization is whitespace-split and detokenize joins with single
+    spaces (pipelines/tokenize_job.py), so per-word properties are a
+    function of the vocabulary alone: three O(vocab) tables (char
+    length, stopword-ness, punct-char count via the same RE2 pattern
+    quality_batch counts on text) are built ONCE per task, then each
+    doc is one gather + masked reduceat.  Signals are exact w.r.t. the
+    store's own detokenization — identical to the original text
+    whenever the vocab is total (single-run ingest; OOV ids score as
+    the literal ``<unk>`` rendering, matching what detokenize emits).
+
+    Feeds the curation loop with no raw-corpus access: ``export-packed
+    --ann-filter text_quality:stop_ratio:...``, ``delete --where-ann
+    text_quality:punct_ratio:...``."""
+    from ..functions.textstats import STOPWORDS
+
+    words = _load_word_vocab(out_dir)
+    wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    stop = (
+        pc.is_in(words, value_set=pa.array(STOPWORDS))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    punct = (
+        pc.count_substring_regex(words, pattern=r"[^\w\s]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens").combine_chunks()
+        ids = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        np.clip(ids, 0, len(wlen) - 1, out=ids)  # foreign ids -> <unk>
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        n_words = np.diff(offs)
+        word_chars = _seg_sums(wlen[ids], offs)
+        # join-with-single-spaces: chars = word chars + (n_words - 1)
+        n_chars = word_chars + np.maximum(n_words - 1, 0)
+        nw = n_words.astype(np.float64)
+        nc = n_chars.astype(np.float64)
+        stop_ratio = np.where(n_words > 0, _seg_sums(stop[ids], offs) / nw, 0.0)
+        punct_ratio = np.where(n_chars > 0, _seg_sums(punct[ids], offs) / nc, 0.0)
+        mean_word_len = np.where(n_words > 0, word_chars / nw, 0.0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+                "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
+                "mean_word_len": pa.array(mean_word_len, type=pa.float64()),
+            }
+        )
+
+    return fn
+
+
+def _langid_factory(out_dir: str):
+    """Language-ID over the encoded corpus — functions/textstats.LangId
+    (integer-exact weighted char-count argmax, SQL-oracled) lifted to
+    token ids: each vocab word's per-language byte score is
+    precomputed ONCE (O(vocab x word_len)), a doc's score is the
+    masked-reduceat sum of its words' scores (spaces carry zero weight
+    in every profile, so the join separator drops out).  Output keeps
+    the integer per-language scores (``s_en``...) alongside
+    ``pred_lang`` so numeric ann_filter / delete --where-ann
+    thresholds can gate on language confidence."""
+    from ..functions.textstats import LangId
+    from ..util.hashing import _string_parts
+
+    words = _load_word_vocab(out_dir)
+    model = LangId()
+    off, buf = _string_parts(words)
+    per_byte = model.W[buf[off[0] : off[-1]]] if len(buf) else np.zeros(
+        (0, len(model.langs)), dtype=np.int64
+    )
+    starts = off[:-1] - off[0]
+    lens = np.diff(off)
+    wscore = np.zeros((len(words), len(model.langs)), dtype=np.int64)
+    ne = lens > 0
+    if per_byte.shape[0]:
+        wscore[ne] = np.add.reduceat(per_byte, starts[ne], axis=0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens").combine_chunks()
+        ids = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        np.clip(ids, 0, len(words) - 1, out=ids)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        n = len(offs) - 1
+        scores = np.zeros((n, len(model.langs)), dtype=np.int64)
+        if len(ids):
+            per_tok = wscore[ids]
+            lens_d = np.diff(offs)
+            ne_d = lens_d > 0
+            idx = np.minimum(offs[:-1], len(ids) - 1)
+            sums = np.add.reduceat(per_tok, idx, axis=0)
+            scores[ne_d] = sums[ne_d]
+        pred = [model.langs[j] for j in np.argmax(scores, axis=1)]
+        cols = {"doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+                "pred_lang": pa.array(pred, type=pa.string())}
+        for j, lang in enumerate(model.langs):
+            cols[f"s_{lang}"] = pa.array(scores[:, j])
+        return pa.table(cols)
+
+    return fn
+
+
+def _const_factory(fn):
+    return lambda out_dir: fn
+
+
+# name -> (columns needed from the container, factory(out_dir) -> batch fn)
 ANNOTATORS = {
-    "token_stats": (["doc_id", "tokens"], _token_stats),
-    "content_hash": (["doc_id", "tokens"], _content_hash),
+    "token_stats": (["doc_id", "tokens"], _const_factory(_token_stats)),
+    "content_hash": (["doc_id", "tokens"], _const_factory(_content_hash)),
+    "text_quality": (["doc_id", "tokens"], _text_quality_factory),
+    "langid": (["doc_id", "tokens"], _langid_factory),
 }
 
 
@@ -137,7 +296,8 @@ def run_annotate(out_dir: str, name: str = "token_stats") -> dict:
 
     if name not in ANNOTATORS:
         raise ValueError(f"unknown annotator {name!r}; have {sorted(ANNOTATORS)}")
-    cols, fn = ANNOTATORS[name]
+    cols, make = ANNOTATORS[name]
+    fn = make(out_dir)  # vocab-aware annotators load/refuse HERE, before any task
     dirs = JobDirs(out_dir)
     adir = ann_dir(out_dir, name)
     os.makedirs(adir, exist_ok=True)
