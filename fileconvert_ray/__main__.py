@@ -218,6 +218,27 @@ def build_parser() -> argparse.ArgumentParser:
                     "store — signals are computed from token ids through the "
                     "frozen vocab; see pipelines/annotate_job.py)")
 
+    ix = sub.add_parser(
+        "index",
+        help="build per-partition bloom sidecars (index/token_bloom/) for "
+        "phrase-search partition pruning; idempotent gap-fill",
+    )
+    ix.add_argument("out_dir", help="the encode out dir")
+
+    sr = sub.add_parser(
+        "search",
+        help="find documents containing an exact word sequence "
+        "(bloom-pruned when indexed; exact always)",
+    )
+    sr.add_argument("out_dir", help="an INGESTED encode out dir (vocab.json)")
+    sr.add_argument("--phrase", default=None, help="space-separated word sequence")
+    sr.add_argument("--token-ids", default=None,
+                    help="comma-separated token ids (plain, non-ingested stores)")
+    sr.add_argument("--no-index", action="store_true",
+                    help="force the full scan (skip bloom pruning)")
+    sr.add_argument("--limit", type=int, default=20,
+                    help="print at most N hits (counts are always total)")
+
     te = sub.add_parser(
         "table-encode",
         help="encode ANY parquet table into columnar containers (full codec registry)",
@@ -962,6 +983,35 @@ def main(argv: list[str] | None = None) -> int:
             from fileconvert_ray.pipelines.annotate_job import run_annotate
 
             print(json.dumps(run_annotate(args.out_dir, args.name)))
+        elif args.cmd == "index":
+            from fileconvert_ray.pipelines.search_job import run_build_index
+
+            print(json.dumps(run_build_index(args.out_dir)))
+        elif args.cmd == "search":
+            from fileconvert_ray.pipelines.search_job import run_search
+
+            if (args.phrase is None) == (args.token_ids is None):
+                raise SystemExit("search: pass exactly one of --phrase / --token-ids")
+            tids = (
+                [int(x) for x in args.token_ids.split(",")]
+                if args.token_ids is not None
+                else None
+            )
+            ds = run_search(
+                args.out_dir, args.phrase,
+                token_ids=tids, use_index=not args.no_index,
+            )
+            import pyarrow.compute as pc
+
+            n_docs = 0
+            n_hits = 0
+            shown = []
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                n_docs += b.num_rows
+                n_hits += pc.sum(b.column("n_hits")).as_py() or 0
+                for r in b.slice(0, max(0, args.limit - len(shown))).to_pylist():
+                    shown.append(r)
+            print(json.dumps({"docs": n_docs, "hits": int(n_hits), "sample": shown}))
         elif args.cmd == "ingest":
             from fileconvert_ray.pipelines.ingest_job import run_ingest
 

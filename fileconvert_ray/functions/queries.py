@@ -3806,6 +3806,42 @@ def q_annotate_langid_scan(sf_dir: str):
     )
 
 
+def q_phrase_search_scan(sf_dir: str):
+    """Phrase search over the ENCODED corpus (pipelines/search_job.py)
+    under the oracle gate: ingest the documents table, build the
+    per-partition bloom sidecars, search a fixed 3-word phrase
+    (exercising the unigram AND adjacent-bigram key path), and return
+    (doc_id, n_hits) — every start position counted.  Value-hashed
+    against a DuckDB list-lambda oracle that counts word-adjacency
+    positions over the ORIGINAL text, so a tokenizer drift, codec bug,
+    bloom false NEGATIVE (must never happen), or off-by-one in the
+    flat-buffer scan breaks the digest."""
+    from ..pipelines.ingest_job import run_ingest
+    from ..pipelines.search_job import run_build_index, run_search
+
+    base = _job_dir(sf_dir, "search")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    enc = os.path.join(base, "enc")
+    run_ingest([f"{sf_dir}/documents.parquet"], enc, target_partition_tokens=200_000)
+    run_build_index(enc)
+    return run_search(enc, "stream table hash")
+
+
+def _phrase_search_oracle_sql(words: list[str]) -> str:
+    cond = " AND ".join(
+        f"ws[i+{j}] = '{w}'" for j, w in enumerate(words)
+    )
+    return f"""
+SELECT doc_id, n_hits FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(list_filter(range(1, len(ws) + 1), i -> {cond})) AS BIGINT)
+             AS n_hits
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+) WHERE n_hits > 0
+"""
+
+
 def q_packed_export_scan(sf_dir: str):
     """Trainer-facing packed export over the ENCODED corpus
     (pipelines/pack_job.py): tokseq -> encode -> decode (streaming) ->
@@ -8607,6 +8643,7 @@ QUERIES = {
     "annotate_scan": q_annotate_scan,
     "annotate_quality_scan": q_annotate_quality_scan,
     "annotate_langid_scan": q_annotate_langid_scan,
+    "phrase_search_scan": q_phrase_search_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
     "packed_curriculum_scan": q_packed_curriculum_scan,
@@ -9973,6 +10010,9 @@ ORACLE_SQL["lang_id"] = _lang_id_oracle_sql()
 # signals from token ids over the ENCODED corpus — same oracle
 ORACLE_SQL["annotate_quality_scan"] = ORACLE_SQL["text_quality"]
 ORACLE_SQL["annotate_langid_scan"] = _lang_id_oracle_sql()
+ORACLE_SQL["phrase_search_scan"] = _phrase_search_oracle_sql(
+    ["stream", "table", "hash"]
+)
 
 # top-K PMI contexts = the token_pmi oracle wrapped in a ranked window
 # (rank keys are the ROUNDED pmi values, t2 tiebreak — same as the

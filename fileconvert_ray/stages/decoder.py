@@ -320,6 +320,7 @@ def decode_dataset(
     columns: list[str] | None = None,
     max_gen: int | None = None,
     with_annotations: list[str] | None = None,
+    part_ids: list[str] | None = None,
 ):
     """Completed partitions as a streaming decoded Dataset (E9).
 
@@ -350,12 +351,24 @@ def decode_dataset(
 
     dirs = JobDirs(out_dir)
     filtered = sources is not None or min_n_tok is not None or max_n_tok is not None
+    subset = set(part_ids) if part_ids is not None else None
     if filtered:
         part_ids, _ = prune_partitions(
             out_dir, sources=sources, min_n_tok=min_n_tok, max_n_tok=max_n_tok
         )
     else:
         part_ids = sorted(completed_partitions(out_dir))
+    if subset is not None:
+        # caller-side pruning (e.g. pipelines.search_job's bloom index):
+        # restrict the read to these partitions.  Intersected with the
+        # completed set, never widened — an unknown label is a caller
+        # bug, not a silent empty read.
+        unknown = subset - set(part_ids)
+        if unknown and not filtered and max_gen is None:
+            raise ValueError(
+                f"part_ids not in the completed set: {sorted(unknown)[:5]}"
+            )
+        part_ids = [p for p in part_ids if p in subset]
     if max_gen is not None:
         snap = set(partitions_for_generations(out_dir, max_gen))
         part_ids = [p for p in part_ids if p in snap]
