@@ -231,7 +231,9 @@ def build_parser() -> argparse.ArgumentParser:
         "(bloom-pruned when indexed; exact always)",
     )
     sr.add_argument("out_dir", help="an INGESTED encode out dir (vocab.json)")
-    sr.add_argument("--phrase", default=None, help="space-separated word sequence")
+    sr.add_argument("--phrase", action="append", default=None,
+                    help="space-separated word sequence (repeatable: N phrases "
+                    "share ONE decode pass and report per-phrase counts)")
     sr.add_argument("--token-ids", default=None,
                     help="comma-separated token ids (plain, non-ingested stores)")
     sr.add_argument("--no-index", action="store_true",
@@ -997,10 +999,18 @@ def main(argv: list[str] | None = None) -> int:
                 if args.token_ids is not None
                 else None
             )
-            ds = run_search(
-                args.out_dir, args.phrase,
-                token_ids=tids, use_index=not args.no_index,
-            )
+            if args.phrase is not None and len(args.phrase) > 1:
+                from fileconvert_ray.pipelines.search_job import run_search_many
+
+                ds = run_search_many(
+                    args.out_dir, args.phrase, use_index=not args.no_index
+                )
+            else:
+                ds = run_search(
+                    args.out_dir,
+                    args.phrase[0] if args.phrase else None,
+                    token_ids=tids, use_index=not args.no_index,
+                )
             import pyarrow.compute as pc
 
             n_docs = 0

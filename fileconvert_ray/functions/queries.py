@@ -3828,6 +3828,45 @@ def q_phrase_search_scan(sf_dir: str):
     return run_search(enc, "stream table hash")
 
 
+def q_corpus_grep_scan(sf_dir: str):
+    """Multi-phrase search (search_job.run_search_many) under the
+    oracle gate: three phrases of DISTINCT lengths (1, 2, 3 — the
+    2-word one self-overlapping) share one decode pass; per (phrase,
+    doc) occurrence counts are value-hashed against a UNION ALL of
+    per-phrase DuckDB list-lambda oracles over the ORIGINAL text.  A
+    rolling-hash collision mis-route, a cross-length mixup, or a lost
+    overlap breaks the digest."""
+    from ..pipelines.ingest_job import run_ingest
+    from ..pipelines.search_job import run_build_index, run_search_many
+
+    base = _job_dir(sf_dir, "grep")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    enc = os.path.join(base, "enc")
+    run_ingest([f"{sf_dir}/documents.parquet"], enc, target_partition_tokens=200_000)
+    run_build_index(enc)
+    return run_search_many(enc, ["dup", "batch batch", "stream table hash"])
+
+
+def _corpus_grep_oracle_sql(phrases: list[str]) -> str:
+    parts = []
+    for p in phrases:
+        words = p.split(" ")
+        if len(words) == 1:
+            expr = f"len(list_filter(ws, x -> x = '{words[0]}'))"
+        else:
+            cond = " AND ".join(
+                f"ws[i+{j}] = '{w}'" for j, w in enumerate(words)
+            )
+            expr = f"len(list_filter(range(1, len(ws) + 1), i -> {cond}))"
+        parts.append(f"""
+  SELECT '{p}' AS phrase, CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST({expr} AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""")
+    u = "\n  UNION ALL\n".join(parts)
+    return f"SELECT phrase, doc_id, n_hits FROM (\n{u}\n) WHERE n_hits > 0"
+
+
 def _phrase_search_oracle_sql(words: list[str]) -> str:
     cond = " AND ".join(
         f"ws[i+{j}] = '{w}'" for j, w in enumerate(words)
@@ -8644,6 +8683,7 @@ QUERIES = {
     "annotate_quality_scan": q_annotate_quality_scan,
     "annotate_langid_scan": q_annotate_langid_scan,
     "phrase_search_scan": q_phrase_search_scan,
+    "corpus_grep_scan": q_corpus_grep_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
     "packed_curriculum_scan": q_packed_curriculum_scan,
@@ -10010,6 +10050,9 @@ ORACLE_SQL["lang_id"] = _lang_id_oracle_sql()
 # signals from token ids over the ENCODED corpus — same oracle
 ORACLE_SQL["annotate_quality_scan"] = ORACLE_SQL["text_quality"]
 ORACLE_SQL["annotate_langid_scan"] = _lang_id_oracle_sql()
+ORACLE_SQL["corpus_grep_scan"] = _corpus_grep_oracle_sql(
+    ["dup", "batch batch", "stream table hash"]
+)
 ORACLE_SQL["phrase_search_scan"] = _phrase_search_oracle_sql(
     ["stream", "table", "hash"]
 )

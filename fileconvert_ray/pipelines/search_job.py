@@ -309,6 +309,123 @@ def count_occurrences_batch(batch: pa.Table, ids: np.ndarray) -> pa.Table:
     )
 
 
+def count_many_batch(
+    batch: pa.Table, by_len: dict[int, tuple[list[str], np.ndarray]]
+) -> pa.Table:
+    """Multi-phrase containment over one decoded batch: ONE rolling
+    L-gram hash pass per distinct phrase length (not per phrase), a
+    sorted-membership probe against that length's phrase hashes, and
+    an EXACT id re-check of the attributed positions (so a 64-bit
+    hash collision can mis-route nothing).  by_len maps L ->
+    (phrase names, P×L id matrix)."""
+    toks = batch.column("tokens").combine_chunks()
+    v = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    n = len(lens)
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    doc_ids = pc.cast(batch.column("doc_id"), pa.string())
+
+    out_name: list[str] = []
+    out_doc: list[int] = []
+    out_hits: list[int] = []
+    uv = v.astype(np.uint64, copy=False)
+    for L, (names, mat) in by_len.items():
+        N = len(v)
+        if N < L or n == 0:
+            continue
+        # phrase-side rolling hashes (P of them) with the same combine
+        ph = np.zeros(len(names), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(L):
+                ph = _mix(ph * _GOLD + mat[:, j].astype(np.uint64))
+            order = np.argsort(ph)
+            ph_sorted = ph[order]
+            # corpus-side rolling hashes for every start position
+            h = np.zeros(N - L + 1, dtype=np.uint64)
+            for j in range(L):
+                h = _mix(h * _GOLD + uv[j : N - L + 1 + j])
+        idx = np.searchsorted(ph_sorted, h)
+        idx[idx == len(ph_sorted)] = 0
+        cand = ph_sorted[idx] == h
+        if L > 1:
+            cand &= seg[: N - L + 1] == seg[L - 1 :]
+        pos = np.nonzero(cand)[0]
+        if not len(pos):
+            continue
+        attr = order[idx[pos]]  # phrase ordinal per candidate position
+        ok = np.ones(len(pos), dtype=bool)
+        for j in range(L):  # exact confirmation — collisions routed out
+            ok &= v[pos + j] == mat[attr, j]
+        pos, attr = pos[ok], attr[ok]
+        if not len(pos):
+            continue
+        key = attr.astype(np.int64) * n + seg[pos]
+        uniq, cnt = np.unique(key, return_counts=True)
+        out_name.extend(names[int(k // n)] for k in uniq)
+        out_doc.extend(int(k % n) for k in uniq)
+        out_hits.extend(int(c) for c in cnt)
+    return pa.table(
+        {
+            "phrase": pa.array(out_name, pa.string()),
+            "doc_id": doc_ids.take(pa.array(out_doc, pa.int64())),
+            "n_hits": pa.array(out_hits, pa.int64()),
+        }
+    )
+
+
+def run_search_many(
+    out_dir: str,
+    phrases: list[str],
+    *,
+    use_index: bool = True,
+    name: str = INDEX_NAME,
+):
+    """N phrases, ONE decode pass: streaming Dataset of (phrase,
+    doc_id, n_hits) — the decontamination-forensics shape ("which
+    eval prompts leak into which documents, how often").  Phrases
+    containing a word outside the vocab simply match nothing; bloom
+    pruning keeps a partition when ANY phrase's keys all hit, so the
+    union read stays exact.  Corpus work is one rolling-hash pass per
+    DISTINCT phrase length, not per phrase — 10 or 10,000 eval
+    prompts of the same length cost the same decode + scan."""
+    from ..stages.decoder import decode_dataset
+
+    if not phrases:
+        raise ValueError("empty phrase list")
+    if len(set(phrases)) != len(phrases):
+        raise ValueError("duplicate phrases")
+    resolved: dict[str, np.ndarray] = {}
+    for p in phrases:
+        ids = phrase_token_ids(out_dir, p)
+        if ids is not None:
+            resolved[p] = ids
+
+    by_len: dict[int, tuple[list[str], np.ndarray]] = {}
+    for L in sorted({len(i) for i in resolved.values()}):
+        names = [p for p, i in resolved.items() if len(i) == L]
+        mat = np.stack([resolved[p] for p in names])
+        by_len[L] = (names, mat)
+
+    part_ids = None
+    if resolved and use_index and os.path.isdir(index_dir(out_dir, name)):
+        cand: set[str] = set()
+        total = None
+        for ids in resolved.values():
+            c, total = candidate_partitions_for_ids(out_dir, ids, name)
+            cand.update(c)
+            if len(cand) == total:
+                break
+        part_ids = sorted(cand)
+
+    ds = decode_dataset(out_dir, columns=["doc_id", "tokens"], part_ids=part_ids)
+    return ds.map_batches(
+        lambda b: count_many_batch(b, by_len),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def run_search(
     out_dir: str,
     phrase: str | None = None,

@@ -149,6 +149,36 @@ def test_refusals_and_token_ids_path(store, tmp_path):
     assert str(t.column("doc_id")[0].as_py()) in set(df["doc_id"])
 
 
+def test_search_many_one_pass(store):
+    """N phrases of mixed lengths in one pass == N independent
+    searches; phrases with OOV words contribute nothing; duplicate /
+    empty lists refuse."""
+    from fileconvert_ray.pipelines.search_job import run_search_many
+
+    phrases = ["dup", "batch batch", PHRASE, "the zzz_not_a_word"]
+    df = run_search_many(store, phrases).to_pandas()
+    got = {
+        p: dict(zip(g["doc_id"], g["n_hits"].astype(int)))
+        for p, g in df.groupby("phrase")
+    }
+    for p in phrases[:3]:
+        assert got.get(p, {}) == _reference_hits(p), p
+    assert "the zzz_not_a_word" not in got
+    with pytest.raises(ValueError, match="empty"):
+        run_search_many(store, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        run_search_many(store, ["dup", "dup"])
+
+
+def test_search_many_matches_single(store):
+    from fileconvert_ray.pipelines.search_job import run_search_many
+
+    df = run_search_many(store, [PHRASE], use_index=False).to_pandas()
+    assert dict(zip(df["doc_id"], df["n_hits"].astype(int))) == _search_dict(
+        store, PHRASE
+    )
+
+
 def test_cli_index_and_search(store):
     from fileconvert_ray.__main__ import main
 
