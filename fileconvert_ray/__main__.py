@@ -169,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="predicate delete: tombstone docs whose annotation "
                          "value lands in [LO, HI] (empty bound = open; run "
                          "`annotate` over every partition first)")
+    dl.add_argument("--where-phrase", action="append", default=None,
+                    metavar="PHRASE",
+                    help="content takedown: tombstone every doc containing "
+                         "this exact word sequence (repeatable; ingested "
+                         "stores only — needs the frozen vocab)")
     dl.add_argument("--where-ann-quantile", default=None,
                     metavar="NAME:COL:FRAC[:bottom|top]",
                     help="fraction delete: tombstone ~FRAC of the corpus "
@@ -762,11 +767,23 @@ def main(argv: list[str] | None = None) -> int:
                 run_delete_where,
             )
 
+            n_sel = sum(
+                1 for s in (
+                    args.ids or args.ids_file, args.where_ann,
+                    args.where_ann_quantile, args.where_phrase,
+                ) if s
+            )
+            if n_sel > 1:
+                raise SystemExit("delete: pass exactly one selector "
+                                 "(--ids/--ids-file, --where-ann, "
+                                 "--where-ann-quantile, --where-phrase)")
+            if args.where_phrase:
+                from fileconvert_ray.pipelines.delete_job import run_delete_matching
+
+                res = run_delete_matching(args.out_dir, args.where_phrase)
+                print(json.dumps({"ok": True, **res}))
+                return 0
             if args.where_ann_quantile:
-                if args.ids or args.ids_file or args.where_ann:
-                    raise SystemExit(
-                        "delete: --where-ann-quantile excludes other selectors"
-                    )
                 parts = args.where_ann_quantile.split(":")
                 if len(parts) not in (3, 4):
                     raise SystemExit(

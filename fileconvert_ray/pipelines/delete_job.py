@@ -152,6 +152,84 @@ def run_delete_where(
     }
 
 
+def run_delete_matching(out_dir: str, phrases: list[str]) -> dict:
+    """Content takedown: tombstone every doc containing ANY of the
+    exact word sequences — "remove everything that quotes this
+    passage" without a doc_id list.
+
+    Scale shape: phrase ids resolve once on the driver (search_job's
+    frozen-vocab contract; a phrase with a word outside the vocab
+    matches nothing), the bloom sidecars prune the partition set when
+    they exist, and then it is ONE Ray task per candidate partition —
+    stream-decode (doc_id, tokens), the shared multi-phrase
+    rolling-hash scan, write that partition's own tombstone file.  No
+    exchange, no driver materialization of matched ids at any corpus
+    size."""
+    import ray.data as rd
+
+    from ..pipelines.search_job import (
+        candidate_partitions_for_ids,
+        count_many_batch,
+        index_dir,
+        phrase_token_ids,
+    )
+    from ..state.manifest import JobDirs, completed_partitions
+
+    if not phrases:
+        raise ValueError("empty phrase list")
+    _refuse_unsealed(out_dir)
+    resolved = {}
+    for p in phrases:
+        ids = phrase_token_ids(out_dir, p)  # raises on vocabless/BPE stores
+        if ids is not None:
+            resolved[p] = ids
+    by_len: dict[int, tuple[list[str], np.ndarray]] = {}
+    for L in sorted({len(i) for i in resolved.values()}):
+        names = [p for p, i in resolved.items() if len(i) == L]
+        by_len[L] = (names, np.stack([resolved[p] for p in names]))
+
+    pids = sorted(completed_partitions(out_dir))
+    if resolved and os.path.isdir(index_dir(out_dir)):
+        cand: set[str] = set()
+        for ids in resolved.values():
+            c, total = candidate_partitions_for_ids(out_dir, ids)
+            cand.update(c)
+            if len(cand) == total:
+                break
+        pids = sorted(cand)
+    if not pids or not resolved:
+        return {"found": 0, "partitions": 0, "scanned": len(pids)}
+
+    dirs = JobDirs(out_dir)
+
+    def scan(batch: pa.Table):
+        from ..stages.decoder import iter_partition_chunks
+
+        for pid in batch.column("part_id").to_pylist():
+            hit: set[str] = set()
+            for t in iter_partition_chunks(
+                dirs.container_path(pid), ["doc_id", "tokens"]
+            ):
+                m = count_many_batch(t, by_len)
+                hit.update(m.column("doc_id").to_pylist())
+            if hit:
+                write_tombstones(out_dir, pid, sorted(hit))
+            yield pa.Table.from_pydict(
+                {"part_id": pa.array([pid]), "n": pa.array([len(hit)], pa.int64())}
+            )
+
+    res = (
+        rd.from_items([{"part_id": p} for p in pids])
+        .map_batches(scan, batch_format="pyarrow", batch_size=1)
+        .to_pandas()  # O(partitions) rows
+    )
+    return {
+        "found": int(res["n"].sum()),
+        "partitions": int((res["n"] > 0).sum()),
+        "scanned": len(res),
+    }
+
+
 def run_delete_quantile(
     out_dir: str,
     ann_name: str,

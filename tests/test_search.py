@@ -108,7 +108,7 @@ def test_search_after_purge_stays_exact(store, tmp_path):
     ref = _reference_hits(PHRASE)
     victims = sorted(ref)[:2]
     run_delete(enc, victims)
-    run_purge(enc)
+    run_purge(enc).materialize()
     expect = {k: v for k, v in ref.items() if k not in victims}
     assert _search_dict(enc, PHRASE) == expect
 
@@ -177,6 +177,42 @@ def test_search_many_matches_single(store):
     assert dict(zip(df["doc_id"], df["n_hits"].astype(int))) == _search_dict(
         store, PHRASE
     )
+
+
+def test_delete_where_phrase(store, tmp_path):
+    """Content takedown end to end: tombstone every doc containing any
+    of the phrases, readers exclude exactly the reference match set,
+    purge converges, and re-running finds the same (already-tombstoned)
+    docs idempotently."""
+    from fileconvert_ray.pipelines.delete_job import run_delete_matching, run_purge
+    from fileconvert_ray.stages.decoder import decode_dataset
+
+    enc = str(tmp_path / "enc")
+    shutil.copytree(store, enc)
+    victims = set(_reference_hits(PHRASE)) | set(_reference_hits("dup"))
+    res = run_delete_matching(enc, [PHRASE, "dup", "the zzz_not_a_word"])
+    assert res["found"] == len(victims)
+    left = set(
+        decode_dataset(enc, columns=["doc_id"])
+        .to_pandas()["doc_id"]
+        .astype(str)
+    )
+    import pyarrow.parquet as pq
+
+    all_ids = {
+        str(d)
+        for d in pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    }
+    assert left == all_ids - victims
+    assert _search_dict(enc, PHRASE) == {}
+    run_purge(enc).materialize()
+    assert _search_dict(enc, PHRASE, use_index=False) == {}
+    res2 = run_delete_matching(enc, [PHRASE])
+    assert res2["found"] == 0  # physically gone
+    with pytest.raises(ValueError, match="empty"):
+        run_delete_matching(enc, [])
 
 
 def test_cli_index_and_search(store):
