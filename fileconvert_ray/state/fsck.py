@@ -211,6 +211,42 @@ def fsck(out_dir: str, *, reclaim: bool = False) -> dict:
                        "manifest (purged/compacted away; safe to reclaim)"}
         )
 
+    # ---- search index sidecars (pipelines/search_job.py) ------------
+    # same partition-name contract as annotations; gaps are only a
+    # pruning loss (a missing sidecar keeps its partition a search
+    # candidate), stale files are plain dead bytes — reclaimable
+    idx_root = os.path.join(out_dir, "index")
+    stale_idx: list[str] = []
+    if os.path.isdir(idx_root):
+        for name in sorted(os.listdir(idx_root)):
+            idir = os.path.join(idx_root, name)
+            if not os.path.isdir(idir):
+                continue
+            missing = sorted(
+                pid for pid in entries
+                if not os.path.exists(os.path.join(idir, f"{pid}.parquet"))
+            )
+            if missing:
+                warnings.append(
+                    {"kind": "index_gaps", "index": name,
+                     "count": len(missing), "part_ids": missing[:10],
+                     "detail": "partitions without this search index "
+                               "(search stays exact, just unpruned; re-run "
+                               "`index` to fill)"}
+                )
+            stale_idx.extend(
+                os.path.join(idir, f)
+                for f in os.listdir(idir)
+                if f.endswith(".parquet") and f[:-len(".parquet")] not in entries
+            )
+    if stale_idx:
+        warnings.append(
+            {"kind": "stale_index", "count": len(stale_idx),
+             "bytes": sum(os.path.getsize(p) for p in stale_idx),
+             "detail": "index sidecars for partitions no longer in the "
+                       "manifest (purged/compacted away; safe to reclaim)"}
+        )
+
     # ---- scratch ----------------------------------------------------
     tmp_files = _scratch_files(dirs.tmp)
     staged_files = _scratch_files(dirs.staged)
@@ -224,7 +260,7 @@ def fsck(out_dir: str, *, reclaim: bool = False) -> dict:
     reclaimed = {"files": 0, "bytes": 0}
     if reclaim:
         victims = list(tmp_files) + [
-            (p, os.path.getsize(p)) for p in orphan_paths + stale_ann
+            (p, os.path.getsize(p)) for p in orphan_paths + stale_ann + stale_idx
         ]
         # staged/ is shuffle scratch a RESUME of an incomplete job does
         # not need either (resume re-stages from input) — but keep it

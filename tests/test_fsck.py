@@ -175,3 +175,29 @@ def test_fsck_ingest_and_annotation_sidecars(enc_dir, ray_session, tmp_path):
         json.dump({"tokenizer": "whitespace-vocab", "vocab": "vocab.json"}, f)
     r = fsck(d)
     assert not r["ok"] and any(e["kind"] == "missing_vocab" for e in r["errors"])
+
+
+def test_fsck_search_index_sidecars(enc_dir, ray_session, tmp_path):
+    """Bloom index sidecars: gaps are a (pruning-only) warning, stale
+    files for vanished partitions are reclaimable, healthy is quiet."""
+    d = _copy(enc_dir, tmp_path)
+    from fileconvert_ray.pipelines.search_job import run_build_index
+
+    run_build_index(d)
+    r = fsck(d)
+    assert r["ok"] and not any(
+        w["kind"].startswith(("index", "stale_index")) for w in r["warnings"]
+    )
+    idir = os.path.join(d, "index", "token_bloom")
+    files = sorted(f for f in os.listdir(idir) if f.endswith(".parquet"))
+    os.remove(os.path.join(idir, files[0]))
+    shutil.copy(os.path.join(idir, files[1]), os.path.join(idir, "ghost-b9999.parquet"))
+    r = fsck(d)
+    kinds = {w["kind"] for w in r["warnings"]}
+    assert r["ok"] and {"index_gaps", "stale_index"} <= kinds
+    fsck(d, reclaim=True)
+    assert not os.path.exists(os.path.join(idir, "ghost-b9999.parquet"))
+    # the gap (deleted sidecar) is NOT reclaimed away — run_build_index
+    # refills it
+    r2 = run_build_index(d)
+    assert r2["written"] == 1
