@@ -338,6 +338,43 @@ def run_bench() -> dict:
             }
         extra["float_codec"] = fc
 
+        # ---- round-5 search path over the encoded corpus: bloom
+        # sidecar build (one task per container), then the same exact
+        # trigram scan pruned vs unpruned — the delta is what the
+        # index buys an audit/forensics query at this corpus size
+        from fileconvert_ray.pipelines.search_job import run_build_index, run_search
+
+        t0 = time.perf_counter()
+        run_build_index(OUT_DIR)
+        queries["index_build"] = round(time.perf_counter() - t0, 3)
+
+        # a provably-present but selective trigram: scan the first
+        # corpus shard's first rows for the window whose MOST COMMON
+        # token is rarest (synth ids are zipf-mod-vocab: low ids carry
+        # most of the mass, so maximizing the window min avoids them)
+        tcol = _pq.read_table(warm_paths[0], columns=["tokens"]).column("tokens")
+        trigram = None
+        for r in range(min(64, len(tcol))):
+            toks0 = tcol[r].as_py()
+            if len(toks0) < 3:
+                continue
+            j = max(range(len(toks0) - 2), key=lambda k: min(toks0[k : k + 3]))
+            cand = toks0[j : j + 3]
+            if trigram is None or min(cand) > min(trigram):
+                trigram = cand
+        if trigram is not None:
+            t0 = time.perf_counter()
+            pruned = run_search(OUT_DIR, token_ids=trigram).to_pandas()
+            queries["phrase_search"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            full = run_search(OUT_DIR, token_ids=trigram, use_index=False).to_pandas()
+            queries["phrase_search_noindex"] = round(time.perf_counter() - t0, 3)
+            extra["phrase_search_docs"] = int(len(pruned))
+            if len(pruned) != len(full):  # pruning must never lose a match
+                extra["phrase_search_mismatch"] = {
+                    "pruned": int(len(pruned)), "full": int(len(full))
+                }
+
     ray.shutdown()
     # leave only the cached corpus behind: 3 GB of encode output per
     # (rows, cpus) combination fills the disk over repeated runs, and a
