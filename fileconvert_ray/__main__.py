@@ -243,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated token ids (plain, non-ingested stores)")
     sr.add_argument("--no-index", action="store_true",
                     help="force the full scan (skip bloom pruning)")
+    sr.add_argument("--positions", action="store_true",
+                    help="emit each match's 0-based token start offset within "
+                    "its doc (single phrase / token-ids only)")
     sr.add_argument("--limit", type=int, default=20,
                     help="print at most N hits (counts are always total)")
 
@@ -1017,6 +1020,10 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             )
             if args.phrase is not None and len(args.phrase) > 1:
+                if args.positions:
+                    raise SystemExit(
+                        "search: --positions needs a single phrase / --token-ids"
+                    )
                 from fileconvert_ray.pipelines.search_job import run_search_many
 
                 ds = run_search_many(
@@ -1027,6 +1034,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.out_dir,
                     args.phrase[0] if args.phrase else None,
                     token_ids=tids, use_index=not args.no_index,
+                    with_positions=args.positions,
                 )
             import pyarrow.compute as pc
 

@@ -276,11 +276,19 @@ def candidate_partitions_for_ids(
     return cand, len(pids)
 
 
-def count_occurrences_batch(batch: pa.Table, ids: np.ndarray) -> pa.Table:
+def count_occurrences_batch(
+    batch: pa.Table, ids: np.ndarray, with_positions: bool = False
+) -> pa.Table:
     """Vectorized containment count over one decoded batch: L aligned
     equality slices over the flat token buffer ANDed together, a
     same-document guard (seg[p] == seg[p+L-1]), and one bincount.
-    Counts EVERY start position — overlapping matches included."""
+    Counts EVERY start position — overlapping matches included.
+
+    ``with_positions`` additionally emits each match's 0-based token
+    start offset within its document (``positions: list<int64>``,
+    ascending) — the span evidence a redaction / forensics consumer
+    needs.  Free beyond the count path: the mask's nonzero indices are
+    the global starts, one subtraction rebases them per doc."""
     toks = batch.column("tokens").combine_chunks()
     v = toks.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -289,6 +297,8 @@ def count_occurrences_batch(batch: pa.Table, ids: np.ndarray) -> pa.Table:
     L = len(ids)
     N = len(v)
     hits = np.zeros(n, dtype=np.int64)
+    pos = np.empty(0, dtype=np.int64)
+    seg_at_pos = np.empty(0, dtype=np.int64)
     if N >= L and n:
         m = v[: N - L + 1] == ids[0]
         for j in range(1, L):
@@ -297,16 +307,27 @@ def count_occurrences_batch(batch: pa.Table, ids: np.ndarray) -> pa.Table:
             seg = np.repeat(np.arange(n, dtype=np.int64), lens)
             if L > 1:
                 m &= seg[: N - L + 1] == seg[L - 1 :]
-            hits = np.bincount(seg[: N - L + 1][m], minlength=n)
+            pos = np.nonzero(m)[0]
+            if len(pos):
+                seg_at_pos = seg[pos]
+                hits = np.bincount(seg_at_pos, minlength=n)
     keep = hits > 0
-    return pa.table(
-        {
-            "doc_id": pc.cast(batch.column("doc_id"), pa.string()).filter(
-                pa.array(keep)
-            ),
-            "n_hits": pa.array(hits[keep], type=pa.int64()),
-        }
-    )
+    cols = {
+        "doc_id": pc.cast(batch.column("doc_id"), pa.string()).filter(
+            pa.array(keep)
+        ),
+        "n_hits": pa.array(hits[keep], type=pa.int64()),
+    }
+    if with_positions:
+        # pos is ascending and seg_at_pos nondecreasing, so matches
+        # are already grouped per doc in order; list offsets fall out
+        # of the kept docs' hit counts
+        rel = pos - offs[seg_at_pos]
+        loffs = np.concatenate(([0], np.cumsum(hits[keep]))).astype(np.int64)
+        cols["positions"] = pa.ListArray.from_arrays(
+            pa.array(loffs, type=pa.int32()), pa.array(rel, type=pa.int64())
+        )
+    return pa.table(cols)
 
 
 def count_many_batch(
@@ -433,12 +454,18 @@ def run_search(
     token_ids=None,
     use_index: bool = True,
     name: str = INDEX_NAME,
+    with_positions: bool = False,
 ):
     """Streaming Dataset of (doc_id, n_hits) for documents containing
     the exact token sequence.  Pruning via the bloom sidecars when
     they exist (``use_index=False`` forces the full scan — the
     baseline the pruned path is tested against).  Tombstoned docs are
-    excluded by decode_dataset as in every read."""
+    excluded by decode_dataset as in every read.
+
+    ``with_positions=True`` adds ``positions: list<int64>`` — each
+    match's 0-based token start offset within its doc, ascending,
+    overlaps included — the span evidence for redaction / audit
+    consumers (a doc_id alone says "contains", not "where")."""
     import ray.data as rd
 
     from ..stages.decoder import decode_dataset
@@ -448,12 +475,11 @@ def run_search(
     if phrase is not None:
         ids = phrase_token_ids(out_dir, phrase)
         if ids is None:  # a word outside the vocab matches nothing
-            return rd.from_arrow(
-                pa.table(
-                    {"doc_id": pa.array([], pa.string()),
+            empty = {"doc_id": pa.array([], pa.string()),
                      "n_hits": pa.array([], pa.int64())}
-                )
-            )
+            if with_positions:
+                empty["positions"] = pa.array([], pa.list_(pa.int64()))
+            return rd.from_arrow(pa.table(empty))
     else:
         ids = np.asarray(list(token_ids), dtype=np.int64)
         if not len(ids):
@@ -465,7 +491,7 @@ def run_search(
 
     ds = decode_dataset(out_dir, columns=["doc_id", "tokens"], part_ids=part_ids)
     return ds.map_batches(
-        lambda b: count_occurrences_batch(b, ids),
+        lambda b: count_occurrences_batch(b, ids, with_positions=with_positions),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

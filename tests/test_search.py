@@ -67,6 +67,48 @@ def test_search_overlapping_positions(store):
     assert _search_dict(store, "batch batch") == ref
 
 
+def _reference_positions(phrase: str) -> dict[str, list[int]]:
+    """Pure-Python match START offsets (word index) per doc — same
+    adjacency semantics as _reference_hits, overlaps included."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = phrase.split(" ")
+    L = len(want)
+    out = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        ws = text.split(" ")
+        p = [i for i in range(len(ws) - L + 1) if ws[i : i + L] == want]
+        if p:
+            out[str(did)] = p
+    return out
+
+
+@pytest.mark.parametrize("phrase", [PHRASE, "batch batch"])
+def test_search_positions_vs_reference(store, phrase):
+    """with_positions emits each match's 0-based in-doc token start —
+    ascending, overlaps included — and n_hits == len(positions).
+    The word index IS the token index: ingest tokenizes on single
+    spaces, so word k of the text is token k of the sequence."""
+    from fileconvert_ray.pipelines.search_job import run_search
+
+    ref = _reference_positions(phrase)
+    assert ref
+    df = run_search(store, phrase, with_positions=True).to_pandas()
+    got = {d: list(p) for d, p in zip(df["doc_id"], df["positions"])}
+    assert got == ref
+    assert all(int(n) == len(p) for n, p in zip(df["n_hits"], df["positions"]))
+
+
+def test_search_positions_oov_empty_schema(store):
+    from fileconvert_ray.pipelines.search_job import run_search
+
+    ds = run_search(store, "zzz-not-in-vocab-zzz", with_positions=True)
+    t = ds.take_all()
+    assert t == []
+    assert set(ds.schema().names) == {"doc_id", "n_hits", "positions"}
+
+
 def test_bloom_prunes_and_never_false_negative(store):
     from fileconvert_ray.pipelines.search_job import (
         candidate_partitions_for_ids,
