@@ -180,6 +180,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "ranked by the annotation value (KLL threshold; "
                          "cut is threshold-exact, fraction approximate)")
 
+    rx = sub.add_parser(
+        "redact",
+        help="replace every occurrence of exact word sequences with the "
+        "OOV token (<unk>), in place — span-level takedown keeping the "
+        "documents (cf. delete --where-phrase, which drops them whole)",
+    )
+    rx.add_argument("out_dir", help="an INGESTED encode out dir (vocab.json)")
+    rx.add_argument("--where-phrase", action="append", required=True,
+                    metavar="PHRASE",
+                    help="exact word sequence to redact (repeatable)")
+
     pg = sub.add_parser(
         "purge",
         help="physically remove tombstoned rows (offline maintenance; "
@@ -532,7 +543,7 @@ def build_parser() -> argparse.ArgumentParser:
     # steals a lock whose owner is known dead (crashed job, lost host)
     for _name in ("encode", "encode-inc", "compact", "delete", "purge",
                   "upsert", "table-encode", "merge", "ingest", "remap-vocab",
-                  "drop-gen", "bpe-reencode"):
+                  "drop-gen", "bpe-reencode", "redact"):
         sub.choices[_name].add_argument(
             "--break-lock", action="store_true",
             help="steal out_dir/.lock from a dead job")
@@ -562,6 +573,7 @@ def main(argv: list[str] | None = None) -> int:
 
     _MUTATORS = {"encode": "out", "encode-inc": "out", "compact": "out_dir",
                  "delete": "out_dir", "purge": "out_dir", "upsert": "out",
+                 "redact": "out_dir",
                  "table-encode": "out", "merge": "out", "ingest": "out",
                  "remap-vocab": "out", "drop-gen": "out_dir",
                  "bpe-reencode": "out"}
@@ -763,6 +775,12 @@ def main(argv: list[str] | None = None) -> int:
                 "ok": True, "rewritten": int(len(m)),
                 "n_rows": int(m["n_rows"].sum()) if len(m) else 0,
             }))
+        elif args.cmd == "redact":
+            from fileconvert_ray.pipelines.redact_job import run_redact
+
+            res = run_redact(args.out_dir, args.where_phrase)
+            print(json.dumps({"ok": True, **res}))
+            return 0
         elif args.cmd == "delete":
             from fileconvert_ray.pipelines.delete_job import (
                 run_delete,
