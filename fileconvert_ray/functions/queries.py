@@ -3828,6 +3828,42 @@ def q_phrase_search_scan(sf_dir: str):
     return run_search(enc, "stream table hash")
 
 
+def q_phrase_positions_scan(sf_dir: str):
+    """Phrase search with SPAN EVIDENCE over the ENCODED corpus
+    (run_search(..., with_positions=True)): ingest, index, search the
+    fixed 3-word phrase, explode each doc's match-position list to
+    (doc_id, pos) rows — 0-based token start offsets, overlaps
+    included.  Value-hashed against a DuckDB UNNEST(list_filter(...))
+    oracle over the ORIGINAL text, so an off-by-one in the position
+    rebase (flat offset -> in-doc offset) breaks the digest even when
+    the counts still match."""
+    from ..pipelines.ingest_job import run_ingest
+    from ..pipelines.search_job import run_build_index, run_search
+
+    base = _job_dir(sf_dir, "searchpos")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    enc = os.path.join(base, "enc")
+    run_ingest([f"{sf_dir}/documents.parquet"], enc, target_partition_tokens=200_000)
+    run_build_index(enc)
+    ds = run_search(enc, "stream table hash", with_positions=True)
+
+    def explode(b: pa.Table) -> pa.Table:
+        pos = b.column("positions").combine_chunks()
+        reps = pc.list_value_length(pos).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.string()).take(
+                    pa.array(idx)
+                ),
+                "pos": pos.flatten(),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_corpus_grep_scan(sf_dir: str):
     """Multi-phrase search (search_job.run_search_many) under the
     oracle gate: three phrases of DISTINCT lengths (1, 2, 3 — the
@@ -8683,6 +8719,7 @@ QUERIES = {
     "annotate_quality_scan": q_annotate_quality_scan,
     "annotate_langid_scan": q_annotate_langid_scan,
     "phrase_search_scan": q_phrase_search_scan,
+    "phrase_positions_scan": q_phrase_positions_scan,
     "corpus_grep_scan": q_corpus_grep_scan,
     "packed_export_scan": q_packed_export_scan,
     "packed_boundaries_scan": q_packed_boundaries_scan,
@@ -10054,6 +10091,20 @@ ORACLE_SQL["corpus_grep_scan"] = _corpus_grep_oracle_sql(
     ["dup", "batch batch", "stream table hash"]
 )
 ORACLE_SQL["phrase_search_scan"] = _phrase_search_oracle_sql(
+    ["stream", "table", "hash"]
+)
+
+
+def _phrase_positions_oracle_sql(words: list[str]) -> str:
+    cond = " AND ".join(f"ws[i+{j}] = '{w}'" for j, w in enumerate(words))
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i - 1 AS BIGINT) AS pos
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+     UNNEST(list_filter(range(1, len(ws) + 1), i -> {cond})) AS t(i)
+"""
+
+
+ORACLE_SQL["phrase_positions_scan"] = _phrase_positions_oracle_sql(
     ["stream", "table", "hash"]
 )
 
