@@ -190,6 +190,9 @@ def build_parser() -> argparse.ArgumentParser:
     rx.add_argument("--where-phrase", action="append", required=True,
                     metavar="PHRASE",
                     help="exact word sequence to redact (repeatable)")
+    rx.add_argument("--dry-run", action="store_true",
+                    help="scan and report the blast radius, write nothing "
+                         "(the rewrite is irreversible)")
 
     pg = sub.add_parser(
         "purge",
@@ -778,7 +781,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "redact":
             from fileconvert_ray.pipelines.redact_job import run_redact
 
-            res = run_redact(args.out_dir, args.where_phrase)
+            res = run_redact(args.out_dir, args.where_phrase,
+                             dry_run=args.dry_run)
             print(json.dumps({"ok": True, **res}))
             return 0
         elif args.cmd == "delete":

@@ -86,11 +86,18 @@ def _drop_sidecars(out_dir: str, part_id: str) -> int:
     return n
 
 
-def run_redact(out_dir: str, phrases: list[str], *, zstd: bool = True) -> dict:
+def run_redact(
+    out_dir: str, phrases: list[str], *, zstd: bool = True, dry_run: bool = False
+) -> dict:
     """Redact every occurrence of the exact word sequences: matched
     spans' token ids become the store's OOV id, partitions rewrite in
     place.  Returns ``{"scanned", "rewritten", "docs_redacted",
-    "tokens_redacted", "sidecars_dropped"}``."""
+    "tokens_redacted", "sidecars_dropped"}``.
+
+    ``dry_run=True`` runs the identical scan but writes NOTHING — the
+    summary reports what a real run would rewrite ("rewritten" counts
+    the partitions that WOULD change).  The rewrite is irreversible;
+    preview the blast radius first."""
     import ray.data as rd
 
     from ..pipelines.delete_job import _refuse_unsealed
@@ -129,7 +136,8 @@ def run_redact(out_dir: str, phrases: list[str], *, zstd: bool = True) -> dict:
         pids = sorted(cand)
     if not pids or not resolved:
         return {"scanned": len(pids) if resolved else 0, "rewritten": 0,
-                "docs_redacted": 0, "tokens_redacted": 0, "sidecars_dropped": 0}
+                "docs_redacted": 0, "tokens_redacted": 0,
+                "sidecars_dropped": 0, "dry_run": dry_run}
 
     dirs = JobDirs(out_dir)
     src_of = {pid: entries[pid]["source"] for pid in pids}
@@ -156,6 +164,15 @@ def run_redact(out_dir: str, phrases: list[str], *, zstd: bool = True) -> dict:
                      "sidecars": pa.array([0], pa.int64())}
                 )
                 continue
+            n_docs_hit = int(len(np.unique(seg[covered])))
+            if dry_run:
+                yield pa.table(
+                    {"part_id": pa.array([pid]), "rewritten": pa.array([True]),
+                     "docs": pa.array([n_docs_hit], pa.int64()),
+                     "tokens": pa.array([n_cov], pa.int64()),
+                     "sidecars": pa.array([0], pa.int64())}
+                )
+                continue
             new_flat = toks.values.to_numpy(zero_copy_only=False).astype(
                 np.int32, copy=True
             )
@@ -171,7 +188,7 @@ def run_redact(out_dir: str, phrases: list[str], *, zstd: bool = True) -> dict:
             dropped = _drop_sidecars(out_dir, pid)
             yield pa.table(
                 {"part_id": pa.array([pid]), "rewritten": pa.array([True]),
-                 "docs": pa.array([int(len(np.unique(seg[covered])))], pa.int64()),
+                 "docs": pa.array([n_docs_hit], pa.int64()),
                  "tokens": pa.array([n_cov], pa.int64()),
                  "sidecars": pa.array([dropped], pa.int64())}
             )
@@ -187,4 +204,5 @@ def run_redact(out_dir: str, phrases: list[str], *, zstd: bool = True) -> dict:
         "docs_redacted": int(res["docs"].sum()),
         "tokens_redacted": int(res["tokens"].sum()),
         "sidecars_dropped": int(res["sidecars"].sum()),
+        "dry_run": dry_run,
     }

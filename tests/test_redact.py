@@ -150,6 +150,21 @@ def test_redact_detokenizes_to_unk_and_verify_manifest_green(store, tmp_path):
     assert PHRASE not in " ".join(texts.values())
 
 
+def test_redact_dry_run_predicts_and_mutates_nothing(store):
+    """--dry-run's summary equals the real run's (modulo sidecars),
+    and the store is byte-identical afterwards."""
+    from fileconvert_ray.pipelines.redact_job import run_redact
+
+    before = _doc_tokens(store)
+    preview = run_redact(store, [PHRASE], dry_run=True)
+    assert preview["dry_run"] and preview["rewritten"] >= 1
+    assert _doc_tokens(store) == before  # nothing changed
+    real = run_redact(store, [PHRASE])
+    for k in ("scanned", "rewritten", "docs_redacted", "tokens_redacted"):
+        assert real[k] == preview[k], k
+    assert not real["dry_run"] and _doc_tokens(store) != before
+
+
 def test_redact_refusals_and_oov_phrase(store):
     from fileconvert_ray.pipelines.redact_job import run_redact
 
