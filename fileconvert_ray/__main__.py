@@ -260,6 +260,9 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--positions", action="store_true",
                     help="emit each match's 0-based token start offset within "
                     "its doc (single phrase / token-ids only)")
+    sr.add_argument("--sources", default=None,
+                    help="comma-separated source filter: scan only those "
+                    "sources' partitions (composes with bloom pruning)")
     sr.add_argument("--limit", type=int, default=20,
                     help="print at most N hits (counts are always total)")
 
@@ -1049,7 +1052,8 @@ def main(argv: list[str] | None = None) -> int:
                 from fileconvert_ray.pipelines.search_job import run_search_many
 
                 ds = run_search_many(
-                    args.out_dir, args.phrase, use_index=not args.no_index
+                    args.out_dir, args.phrase, use_index=not args.no_index,
+                    sources=args.sources.split(",") if args.sources else None,
                 )
             else:
                 ds = run_search(
@@ -1057,6 +1061,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.phrase[0] if args.phrase else None,
                     token_ids=tids, use_index=not args.no_index,
                     with_positions=args.positions,
+                    sources=args.sources.split(",") if args.sources else None,
                 )
             import pyarrow.compute as pc
 

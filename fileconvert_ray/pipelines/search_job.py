@@ -401,6 +401,7 @@ def run_search_many(
     *,
     use_index: bool = True,
     name: str = INDEX_NAME,
+    sources: list[str] | None = None,
 ):
     """N phrases, ONE decode pass: streaming Dataset of (phrase,
     doc_id, n_hits) — the decontamination-forensics shape ("which
@@ -439,7 +440,9 @@ def run_search_many(
                 break
         part_ids = sorted(cand)
 
-    ds = decode_dataset(out_dir, columns=["doc_id", "tokens"], part_ids=part_ids)
+    ds = decode_dataset(
+        out_dir, columns=["doc_id", "tokens"], part_ids=part_ids, sources=sources
+    )
     return ds.map_batches(
         lambda b: count_many_batch(b, by_len),
         batch_format="pyarrow",
@@ -455,6 +458,7 @@ def run_search(
     use_index: bool = True,
     name: str = INDEX_NAME,
     with_positions: bool = False,
+    sources: list[str] | None = None,
 ):
     """Streaming Dataset of (doc_id, n_hits) for documents containing
     the exact token sequence.  Pruning via the bloom sidecars when
@@ -465,7 +469,11 @@ def run_search(
     ``with_positions=True`` adds ``positions: list<int64>`` — each
     match's 0-based token start offset within its doc, ascending,
     overlaps included — the span evidence for redaction / audit
-    consumers (a doc_id alone says "contains", not "where")."""
+    consumers (a doc_id alone says "contains", not "where").
+
+    ``sources`` scopes the scan to those sources' partitions (audits
+    are usually per-domain): manifest pruning composes with the bloom
+    pruning — only partitions passing BOTH are decoded."""
     import ray.data as rd
 
     from ..stages.decoder import decode_dataset
@@ -489,7 +497,9 @@ def run_search(
     if use_index and os.path.isdir(index_dir(out_dir, name)):
         part_ids, _total = candidate_partitions_for_ids(out_dir, ids, name)
 
-    ds = decode_dataset(out_dir, columns=["doc_id", "tokens"], part_ids=part_ids)
+    ds = decode_dataset(
+        out_dir, columns=["doc_id", "tokens"], part_ids=part_ids, sources=sources
+    )
     return ds.map_batches(
         lambda b: count_occurrences_batch(b, ids, with_positions=with_positions),
         batch_format="pyarrow",

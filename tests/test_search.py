@@ -126,6 +126,36 @@ def test_bloom_prunes_and_never_false_negative(store):
     )
 
 
+def test_search_source_scoped(store):
+    """sources= scopes the scan to those sources' partitions and
+    composes with bloom pruning — result == the reference restricted
+    to that source's docs, for every source holding a match."""
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.pipelines.search_job import run_search, run_search_many
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    src_of = {
+        str(d): s
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist())
+    }
+    ref = _reference_hits(PHRASE)
+    srcs = sorted({src_of[d] for d in ref})
+    assert srcs
+    for s in srcs:
+        want = {d: n for d, n in ref.items() if src_of[d] == s}
+        assert _search_dict(store, PHRASE, sources=[s]) == want
+        assert _search_dict(store, PHRASE, sources=[s], use_index=False) == want
+    # multi-phrase path takes the same scope
+    df = run_search_many(store, [PHRASE], sources=[srcs[0]]).to_pandas()
+    got = {} if df.empty else dict(zip(df["doc_id"], df["n_hits"].astype(int)))
+    assert got == {d: n for d, n in ref.items() if src_of[d] == srcs[0]}
+    # a source with no match of this phrase returns empty, not an error
+    quiet = [s for s in sorted(set(src_of.values())) if s not in srcs]
+    if quiet:
+        assert _search_dict(store, PHRASE, sources=[quiet[0]]) == {}
+
+
 def test_index_idempotent_gap_fill(store):
     from fileconvert_ray.pipelines.search_job import index_dir, run_build_index
 
