@@ -457,6 +457,94 @@ def q_token_entropy(sf_dir: str):
     return ds.map_batches(xent, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_bigram_entropy(sf_dir: str):
+    """Per-doc BIGRAM cross-entropy vs the corpus bigram LM — one rung
+    up the quality ladder from q_token_entropy: mean -ln p(b|a) over a
+    doc's adjacent pairs, where p(b|a) = c(a,b) / c(a,·).  Catches
+    repetitive-but-rare-token boilerplate the unigram proxy misses
+    (its pairs repeat, so p(b|a) is high and the doc scores LOW).
+
+    Two passes, both streaming: (1) corpus bigram counts — per-batch
+    np.unique partial over packed (a<<32)|b keys (bigrams never cross
+    a doc boundary), groupby-sum moves O(distinct bigrams) rows;
+    prefix totals c(a,·) fall out of one reduceat over the sorted
+    keys on the driver.  (2) the sorted (key, -ln p) LM is broadcast
+    once via ray.put and each doc's mean pair surprisal is a
+    vectorized searchsorted + reduceat — every probe hits because the
+    LM was counted over the same corpus.  No (doc, pair) row ever
+    crosses the exchange.  Docs with <2 tokens have no pairs and are
+    omitted (the SQL oracle's join does the same).  100-TB note: the
+    LM is O(distinct bigrams); beyond driver memory, prune to top-K
+    pairs + unigram backoff (the pruning changes scores, so it is a
+    deliberate different operator, not a flag here)."""
+    import ray
+
+    ds = tokseq_dataset(sf_dir)
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(flat) < 2:
+            return pa.table({"bk": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        same = seg[:-1] == seg[1:]
+        key = (flat[:-1] << np.int64(32)) | flat[1:]
+        bk, c = np.unique(key[same], return_counts=True)
+        return pa.Table.from_pydict(
+            {"bk": pa.array(bk), "c": pa.array(c.astype(np.int64))}
+        )
+
+    agg = _sum_groupby(
+        ds.map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["bk"], ["c"],
+    ).to_pandas()  # O(distinct bigrams) rows
+    keys = agg["bk"].to_numpy(dtype=np.int64)
+    cnt = agg["c"].to_numpy(dtype=np.float64)
+    order = np.argsort(keys)
+    keys_s, cnt_s = keys[order], cnt[order]
+    a = keys_s >> np.int64(32)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(a)) + 1))
+    ca = np.add.reduceat(cnt_s, starts)  # c(a,.) per distinct prefix
+    neg_logp = np.log(np.repeat(ca, np.diff(np.concatenate((starts, [len(a)]))))) - np.log(cnt_s)
+    keys_ref = ray.put(keys_s)
+    lm_ref = ray.put(neg_logp)
+
+    def xent(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        lm = ray.get(lm_ref)
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_tok >= 2
+        n_pairs = np.maximum(n_tok - 1, 0)
+        if len(flat) < 2 or not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()), "xent2": pa.array([], pa.float64())})
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        same = seg[:-1] == seg[1:]
+        key = ((flat[:-1] << np.int64(32)) | flat[1:])[same]
+        vals = lm[np.searchsorted(ks, key)]  # every pair was counted
+        pstarts = np.concatenate(([0], np.cumsum(n_pairs)))[:-1]
+        sums = np.add.reduceat(vals, pstarts[keep]) if keep.any() else np.zeros(0)
+        x = sums / n_pairs[keep]
+        x = np.floor(x * 1e6 + 0.5) / 1e6  # half-away, DuckDB round parity
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "xent2": pa.array(x),
+            }
+        )
+
+    return ds.map_batches(xent, batch_format="pyarrow", zero_copy_batch=True)
+
+
 DOC_LEN_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -8549,6 +8637,7 @@ QUERIES = {
     "stratified_sample": functools.partial(q_stratified_sample, hash="md5"),  # oracle-parity mode; fnv is the scale default
     "token_idf": q_token_idf,
     "token_entropy": q_token_entropy,
+    "bigram_entropy": q_bigram_entropy,
     "tfidf_top_terms": q_tfidf_top_terms,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "distinct_sources": q_distinct_sources,
@@ -9344,6 +9433,16 @@ ORACLE_SQL = {
     select t.doc_id, round(avg(ln(n.total) - ln(f.c)), 6) as xent
     from tok t join f using (word), n
     group by t.doc_id
+    """,
+    "bigram_entropy": """
+    with w as (select doc_id, string_split(text, ' ') as ws from documents),
+    pairs as (select doc_id, ws[i] as a, ws[i + 1] as b
+              from w, unnest(range(1, len(ws))) as t(i)),
+    bc as (select a, b, cast(count(*) as double) as c from pairs group by a, b),
+    ac as (select a, cast(sum(c) as double) as ca from bc group by a)
+    select p.doc_id, round(avg(ln(ac.ca) - ln(bc.c)), 6) as xent2
+    from pairs p join bc using (a, b) join ac using (a)
+    group by p.doc_id
     """,
     "source_lang_rollup": """
     select coalesce(source, 'ALL') as source, coalesce(lang, 'ALL') as lang,
