@@ -193,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
     rx.add_argument("--dry-run", action="store_true",
                     help="scan and report the blast radius, write nothing "
                          "(the rewrite is irreversible)")
+    rx.add_argument("--sources", default=None,
+                    help="comma-separated source filter: redact only those "
+                         "sources' partitions")
 
     pg = sub.add_parser(
         "purge",
@@ -784,8 +787,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "redact":
             from fileconvert_ray.pipelines.redact_job import run_redact
 
-            res = run_redact(args.out_dir, args.where_phrase,
-                             dry_run=args.dry_run)
+            res = run_redact(
+                args.out_dir, args.where_phrase, dry_run=args.dry_run,
+                sources=args.sources.split(",") if args.sources else None,
+            )
             print(json.dumps({"ok": True, **res}))
             return 0
         elif args.cmd == "delete":

@@ -87,7 +87,12 @@ def _drop_sidecars(out_dir: str, part_id: str) -> int:
 
 
 def run_redact(
-    out_dir: str, phrases: list[str], *, zstd: bool = True, dry_run: bool = False
+    out_dir: str,
+    phrases: list[str],
+    *,
+    zstd: bool = True,
+    dry_run: bool = False,
+    sources: list[str] | None = None,
 ) -> dict:
     """Redact every occurrence of the exact word sequences: matched
     spans' token ids become the store's OOV id, partitions rewrite in
@@ -97,7 +102,12 @@ def run_redact(
     ``dry_run=True`` runs the identical scan but writes NOTHING — the
     summary reports what a real run would rewrite ("rewritten" counts
     the partitions that WOULD change).  The rewrite is irreversible;
-    preview the blast radius first."""
+    preview the blast radius first.
+
+    ``sources`` scopes the takedown to those sources' partitions
+    (manifest-pruned, composes with the bloom pruning) — redact a
+    quote from one domain while leaving legitimate quotations in
+    another untouched."""
     import ray.data as rd
 
     from ..pipelines.delete_job import _refuse_unsealed
@@ -126,6 +136,9 @@ def run_redact(
 
     entries = read_manifest_entries(out_dir)
     pids = sorted(entries)
+    if sources is not None:
+        want_src = set(sources)
+        pids = [p for p in pids if entries[p]["source"] in want_src]
     if resolved and os.path.isdir(index_dir(out_dir)):
         cand: set[str] = set()
         for ids in resolved:
@@ -133,7 +146,7 @@ def run_redact(
             cand.update(c)
             if len(cand) == total:
                 break
-        pids = sorted(cand)
+        pids = [p for p in pids if p in cand]  # intersect with the source scope
     if not pids or not resolved:
         return {"scanned": len(pids) if resolved else 0, "rewritten": 0,
                 "docs_redacted": 0, "tokens_redacted": 0,

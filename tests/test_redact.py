@@ -165,6 +165,29 @@ def test_redact_dry_run_predicts_and_mutates_nothing(store):
     assert not real["dry_run"] and _doc_tokens(store) != before
 
 
+def test_redact_source_scoped(store):
+    """sources= redacts only that source's partitions: its matches go
+    quiet, every other source's matches survive untouched."""
+    import pyarrow.parquet as pq
+
+    from fileconvert_ray.pipelines.redact_job import run_redact
+    from fileconvert_ray.pipelines.search_job import run_search
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    src_of = {
+        str(d): s
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist())
+    }
+    ref = _reference_positions(PHRASE)
+    srcs = sorted({src_of[d] for d in ref})
+    assert len(srcs) >= 2, "fixture phrase must span sources"
+    target = srcs[0]
+    res = run_redact(store, [PHRASE], sources=[target])
+    assert res["docs_redacted"] == sum(1 for d in ref if src_of[d] == target)
+    left = {r["doc_id"] for r in run_search(store, PHRASE).take_all()}
+    assert left == {d for d in ref if src_of[d] != target}
+
+
 def test_redact_refusals_and_oov_phrase(store):
     from fileconvert_ray.pipelines.redact_job import run_redact
 
