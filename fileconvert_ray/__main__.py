@@ -1187,6 +1187,29 @@ def main(argv: list[str] | None = None) -> int:
             n_tombstoned = sum(
                 len(read_tombstones(args.out_dir, p) or ()) for p in tomb_pids
             )
+            # sidecar coverage: how many partitions each derived
+            # annotation / search index actually covers (gaps appear
+            # after compact/merge/upsert/redact until the owning job's
+            # idempotent gap-fill re-runs)
+            import os as _os
+
+            sidecars = {}
+            for root in ("ann", "index"):
+                rdir = _os.path.join(args.out_dir, root)
+                if not _os.path.isdir(rdir):
+                    continue
+                for name in sorted(_os.listdir(rdir)):
+                    ndir = _os.path.join(rdir, name)
+                    if not _os.path.isdir(ndir):
+                        continue
+                    have = sum(
+                        1
+                        for p in entries
+                        if _os.path.exists(_os.path.join(ndir, f"{p}.parquet"))
+                    )
+                    sidecars[f"{root}/{name}"] = {
+                        "partitions": have, "of": len(entries)
+                    }
             print(json.dumps({
                 "ok": True,
                 "partitions": len(entries),
@@ -1196,6 +1219,7 @@ def main(argv: list[str] | None = None) -> int:
                 "container_bytes": tot_bytes,
                 "bytes_per_token": (round(tot_bytes / tot_tok, 4) if tot_tok else None),
                 "codec_mix": dict(sorted(codecs.items())),
+                **({"sidecars": sidecars} if sidecars else {}),
                 **({"generations": gens} if gens else {}),
                 **(
                     {

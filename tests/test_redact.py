@@ -122,9 +122,24 @@ def test_redact_invalidates_sidecars_and_annotate_refills(store):
     have = {f[: -len(".parquet")] for f in os.listdir(adir)}
     rewritten = [p for p in cand if p not in have]
     assert len(rewritten) == res["rewritten"]
+    # inspect surfaces the coverage gap, then full coverage post-refill
+    def coverage():
+        r = subprocess.run(
+            [sys.executable, "-m", "fileconvert_ray", "inspect", store],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-300:]
+        return json.loads(r.stdout.strip().splitlines()[-1])["sidecars"]
+
+    cov = coverage()
+    assert cov["ann/token_stats"]["partitions"] == (
+        cov["ann/token_stats"]["of"] - res["rewritten"]
+    )
     run_annotate(store, "token_stats")
     for pid in rewritten:
         read_annotation(store, "token_stats", pid)  # refilled, readable
+    cov = coverage()
+    assert cov["ann/token_stats"]["partitions"] == cov["ann/token_stats"]["of"]
 
 
 def test_redact_detokenizes_to_unk_and_verify_manifest_green(store, tmp_path):
